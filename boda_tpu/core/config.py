@@ -145,6 +145,9 @@ def _resolve_concrete(cls: Type[Config], l: Lexp, scope: NameValScope) -> Type[C
     """Resolve the concrete class for a possibly-polymorphic base."""
     subs = Config.registered(cls)
     if not subs:
+        if cls.TID_KEY is not None and cls.TYPE_ID is None:
+            raise RtErr(f"no concrete types registered for polymorphic base "
+                        f"{cls.__name__} (selector '{cls.TID_KEY}='); missing import?")
         return cls
     tid_key = cls.TID_KEY or "type"
     tid_l = scope.find(tid_key)

@@ -61,6 +61,7 @@ def default_global_vars() -> dict[str, str]:
 
 def create_and_run_has_main(l: Union[Lexp, str],
                             global_vars: Optional[dict[str, str]] = None) -> HasMain:
+    from .. import modes  # noqa: F401  (registers all CLI modes)
     if isinstance(l, str):
         l = parse_lexp(l)
     gscope = NameValScope()
