@@ -191,8 +191,8 @@ def _init_config(cls: Type[Config], l: Lexp, parent: Optional[NameValScope]) -> 
             if a.req:
                 raise RtErr(f"missing required value for '{name}' of {concrete.__name__}")
             dv = None if a.default in (_NO_DEFAULT, _REQUIRED) else a.default
-            if isinstance(dv, str) and _needs_struct_default(a.ty):
-                # string default for struct-typed field: parse it
+            if isinstance(dv, str) and a.ty is not str:
+                # string default for a non-str field: parse like a lexp value
                 setattr(obj, name, _coerce(a.ty, parse_lexp(dv) if dv.startswith("(")
                                            else Lexp.leaf(dv), scope, name))
             else:
@@ -241,6 +241,10 @@ def _coerce(ty, l: Lexp, scope: NameValScope, name: str):
         return NDA.from_lexp(l)
     # scalar leaf types
     if not l.is_leaf:
+        if ty is str:  # nested lexp as string value: round-trip to text
+            _deep(l)
+            l.use_cnt += 1
+            return str(l)
         raise RtErr(f"field '{name}' expects a {_ty_name(ty)} leaf value, got a list")
     s = l.leaf_val
     if isinstance(s, str) and "%(" in s:

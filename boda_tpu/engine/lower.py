@@ -1,0 +1,245 @@
+"""Graph → kernel-call lowering (shared by the rtc and ref engines).
+
+Capability parity with the reference's gen_ops_rec/gen_op lowering
+(rtc_fwd.cc:263-465): a topo walk emitting one or more kernel-template
+calls per graph op, with
+
+  * ReLU-into-conv fusion (rtc_fwd.cc:488-493) via conv_has_relu,
+  * Concat → N `copy` calls at chan offsets (rtc_fwd.cc:267-280),
+  * Split → N `split_copy` calls (:281-294),
+  * Eltwise → chained binary calls,
+  * SoftmaxWithLoss → grad+loss then loss-sum calls (:365-374),
+  * in-place ReLU/Dropout steps on their node (:330-358),
+  * temp-node synthesis for multi-call lowerings.
+
+Each Step carries a full op signature with *template* arg names, so
+KernelTemplate.check_args sees exactly what CUCL check_args saw.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from ..core.dims import Dims
+from ..core.error import RtErr
+from ..graph.pipe import ConvOp, ConvPipe
+from ..ops.cnn_variants import OpTune, add_cnn_codegen_annotations
+from ..ops.op_base import OpBase
+from ..ops.registry import get_template
+
+
+@dataclass
+class Step:
+    """One kernel call: template sig + template-arg→graph-node mapping."""
+
+    sig: OpBase                      # full sig with template arg names
+    arg_nodes: dict[str, str]        # template arg name → node name
+    call_tag: str
+    temps: dict[str, Dims] = field(default_factory=dict)  # extra nodes to alloc
+
+    @property
+    def func_name(self) -> str:
+        return self.sig.func_name
+
+
+@dataclass
+class Plan:
+    steps: list[Step]
+    node_dims: dict[str, Dims]       # every node (incl. temps) → dims
+    input_nodes: list[str]           # data/label nodes to be fed
+    weight_nodes: list[str]          # nodes fed from pipe.op_params
+    output_nodes: list[str]          # sink nodes
+
+
+def _sig_from_op(op: ConvOp, arg_map: dict[str, str], pipe: ConvPipe,
+                 func_name: Optional[str] = None) -> tuple[OpBase, dict[str, str]]:
+    """Build a template sig: params from op + dims for each mapped arg."""
+    sig = OpBase(dict(op.str_vals), {k: v for k, v in op.nda_vals.items()})
+    # drop graph-arg dims recorded under coi names; re-add under template names
+    for coi_n in op.coi().bots + op.coi().tops:
+        sig.nda_vals.pop(coi_n, None)
+    for tmpl_arg, node in arg_map.items():
+        sig.set_dims(tmpl_arg, pipe.must_get_node(node).dims)
+    if func_name:
+        sig.set_func_name(func_name)
+    return sig, dict(arg_map)
+
+
+def lower_pipe(pipe: ConvPipe, tune: Optional[OpTune] = None,
+               op_tunes: Optional[dict[str, OpTune]] = None,
+               fuse_relu: bool = True,
+               train_dropout: bool = False) -> Plan:
+    tune = tune or OpTune.init_from_lexp("()")
+    steps: list[Step] = []
+    node_dims = {n: nd.dims for n, nd in pipe.nodes.items() if nd.dims is not None}
+    weight_nodes: list[str] = []
+    for op in pipe.ops.values():
+        if op.type in ("Convolution", "Deconvolution", "InnerProduct") and len(op.bots) >= 3:
+            weight_nodes += op.bots[1:3]
+    input_nodes = [n for n in sorted(pipe.bots) if n not in weight_nodes]
+    output_nodes = sorted(pipe.tops)
+
+    for op in pipe.topo_order():
+        # annotation writes func_name/work/prec on the op; each lowering
+        # re-annotates, and Steps carry signature *copies*, so this is safe
+        add_cnn_codegen_annotations(op, tune, op_tunes)
+        steps += _lower_op(pipe, op, tune, fuse_relu, train_dropout)
+        # in-place ops attached to this op's primary output node
+        out_node = pipe.must_get_node(op.tops[0])
+        for ip in out_node.in_place_ops:
+            if fuse_relu and ip.type == "ReLU" and op.type in ("Convolution", "InnerProduct") \
+                    and out_node.in_place_ops[0] is ip:
+                continue  # fused into the conv step
+            steps += _lower_in_place(pipe, ip, train_dropout)
+    for s in steps:
+        node_dims.update(s.temps)
+    return Plan(steps, node_dims, input_nodes, weight_nodes, output_nodes)
+
+
+def _lower_op(pipe: ConvPipe, op: ConvOp, tune: OpTune, fuse_relu: bool,
+              train_dropout: bool) -> list[Step]:
+    t = op.type
+    if t == "Data":
+        return []
+    if t in ("Convolution", "Deconvolution"):
+        arg_map = {"in": op.bots[0], "filts": op.bots[1], "out": op.tops[0]}
+        if len(op.bots) > 2:
+            arg_map["biases"] = op.bots[2]
+        sig, am = _sig_from_op(op, arg_map, pipe)
+        out_node = pipe.must_get_node(op.tops[0])
+        if fuse_relu and out_node.in_place_ops and out_node.in_place_ops[0].type == "ReLU":
+            sig.set_u32("conv_has_relu", 1)
+        return [Step(sig, am, op.tag)]
+    if t == "InnerProduct":
+        arg_map = {"in": op.bots[0], "filts": op.bots[1], "out": op.tops[0]}
+        if len(op.bots) > 2:
+            arg_map["biases"] = op.bots[2]
+        sig, am = _sig_from_op(op, arg_map, pipe, func_name="ipconv")
+        ind = pipe.must_get_node(op.bots[0]).dims
+        sig.set_null_dims("kern_sz", y=ind["y"], x=ind["x"])
+        sig.set_null_dims("stride", y=1, x=1)
+        sig.set_null_dims("in_pad", y=0, x=0)
+        out_node = pipe.must_get_node(op.tops[0])
+        if fuse_relu and out_node.in_place_ops and out_node.in_place_ops[0].type == "ReLU":
+            sig.set_u32("conv_has_relu", 1)
+        return [Step(sig, am, op.tag)]
+    if t in ("Pooling",):
+        ind = pipe.must_get_node(op.bots[0]).dims
+        sig, am = _sig_from_op(op, {"in": op.bots[0], "out": op.tops[0]}, pipe)
+        ks = op.kern_sz()
+        if ks.is_zeros():  # global pooling
+            sig.set_null_dims("kern_sz", y=ind["y"], x=ind["x"])
+        sig.str_vals["avg_pool"] = str(op.get_u32_or("avg_pool", 0))
+        sig.nda_vals.pop("avg_pool", None)
+        return [Step(sig, am, op.tag)]
+    if t == "LRN":
+        sig, am = _sig_from_op(op, {"in": op.bots[0], "out": op.tops[0]}, pipe)
+        return [Step(sig, am, op.tag)]
+    if t == "Softmax":
+        sig, am = _sig_from_op(op, {"in": op.bots[0], "out": op.tops[0]}, pipe,
+                               func_name="softmax")
+        return [Step(sig, am, op.tag)]
+    if t == "SoftmaxWithLoss":
+        in_dims = pipe.must_get_node(op.bots[0]).dims
+        pel_loss = f"{op.tag}__pel_loss"
+        pel_dims = Dims.make(tn=in_dims.tn, img=in_dims["img"], y=in_dims["y"], x=in_dims["x"])
+        sig1 = OpBase({"type": t, "func_name": "sm_grad_and_loss"})
+        sig1.set_dims("in", in_dims)
+        sig1.set_dims("label", pipe.must_get_node(op.bots[1]).dims)
+        sig1.set_dims("in_grad", pipe.must_get_node(op.tops[0]).dims)
+        sig1.set_dims("loss", pel_dims)
+        s1 = Step(sig1, {"in": op.bots[0], "label": op.bots[1],
+                         "in_grad": op.tops[0], "loss": pel_loss},
+                  op.tag, temps={pel_loss: pel_dims})
+        sig2 = OpBase({"type": t, "func_name": "sum_loss_over_imgs"})
+        sig2.set_dims("loss", pel_dims)
+        loss_out = Dims.make(tn=in_dims.tn, n=1)
+        sig2.set_dims("loss_sum", loss_out)
+        s2 = Step(sig2, {"loss": pel_loss, "loss_sum": op.tops[1]},
+                  f"{op.tag}__sum")
+        return [s1, s2]
+    if t in ("Concat",):
+        out_dims = pipe.must_get_node(op.tops[0]).dims
+        steps = []
+        ocix = 0
+        for i, b in enumerate(op.bots):
+            bd = pipe.must_get_node(b).dims
+            sig = OpBase({"type": t, "func_name": "copy"})
+            sig.set_dims("in", bd)
+            sig.set_dims("out", out_dims)
+            sig.set_u32("ocix", ocix)
+            steps.append(Step(sig, {"in": b, "out": op.tops[0]}, f"{op.tag}__{i}"))
+            ocix += bd["chan"]
+        return steps
+    if t == "Split":
+        in_dims = pipe.must_get_node(op.bots[0]).dims
+        steps = []
+        for i, tp in enumerate(op.tops):
+            sig = OpBase({"type": t, "func_name": "split_copy"})
+            sig.set_dims("in", in_dims)
+            sig.set_dims("out", pipe.must_get_node(tp).dims)
+            sig.set_u32("icix", 0)
+            steps.append(Step(sig, {"in": op.bots[0], "out": tp}, f"{op.tag}__{i}"))
+        return steps
+    if t == "Eltwise":
+        out = op.tops[0]
+        out_dims = pipe.must_get_node(out).dims
+        ew_op = op.str_vals.get("ew_op", "SUM")
+        steps = []
+        acc = op.bots[0]
+        for i, b in enumerate(op.bots[1:]):
+            sig = OpBase({"type": t, "func_name": "eltwise", "ew_op": ew_op})
+            sig.set_dims("a", pipe.must_get_node(acc).dims if i == 0 else out_dims)
+            sig.set_dims("b", pipe.must_get_node(b).dims)
+            sig.set_dims("out", out_dims)
+            steps.append(Step(sig, {"a": acc, "b": b, "out": out}, f"{op.tag}__{i}"))
+            acc = out
+        return steps
+    if t == "Reduce":
+        raise RtErr("Reduce lowering requires stacked-inputs planning; "
+                    "emitted only by add_bck_ops paths that pre-stack")
+    if t == "Spreading":
+        sig, am = _sig_from_op(op, {"out": op.bots[0], "out_grad": op.bots[1],
+                                    "in": op.bots[2], "in_grad": op.tops[0]}, pipe)
+        sig.str_vals["avg_pool"] = str(op.get_u32_or("avg_pool", 0))
+        sig.nda_vals.pop("avg_pool", None)
+        return [Step(sig, am, op.tag)]
+    if t == "BckConv":
+        sig, am = _sig_from_op(op, {"in": op.bots[0], "filts": op.bots[1],
+                                    "out_grad": op.bots[3],
+                                    "in_grad": op.tops[0],
+                                    "filts_grad": op.tops[1],
+                                    "biases_grad": op.tops[2]}, pipe)
+        return [Step(sig, am, op.tag)]
+    if t == "BckLRN":
+        sig, am = _sig_from_op(op, {"in": op.bots[0], "out_grad": op.bots[2],
+                                    "in_grad": op.tops[0]}, pipe)
+        return [Step(sig, am, op.tag)]
+    if t in ("Scale", "BatchNorm", "Accuracy"):
+        raise RtErr(f"op type '{t}' requires import-time folding (caffe_io) "
+                    "and should not reach lowering")
+    raise RtErr(f"lowering: unhandled op type '{t}'")
+
+
+def _lower_in_place(pipe: ConvPipe, ip: ConvOp, train_dropout: bool) -> list[Step]:
+    node = ip.bots[0]
+    dims = pipe.must_get_node(node).dims
+    if ip.type == "ReLU":
+        sig = OpBase({"type": "ReLU", "func_name": "relu"})
+        sig.set_dims("inout", dims)
+        return [Step(sig, {"inout": node}, ip.tag)]
+    if ip.type in ("Dropout", "BckDropout"):
+        sig = OpBase({"type": ip.type, "func_name": "dropout",
+                      "drop_mode": "train" if train_dropout else "infer"})
+        sig.set_dims("inout", dims)
+        if "dropout_ratio" in ip.nda_vals:
+            sig.nda_vals["dropout_ratio"] = ip.nda_vals["dropout_ratio"]
+        return [Step(sig, {"inout": node}, ip.tag)]
+    if ip.type == "ZeroIfNonPos":
+        sig = OpBase({"type": ip.type, "func_name": "ZeroIfNonPos"})
+        sig.set_dims("in", dims)
+        sig.set_dims("grad", dims)
+        sig.set_dims("out", dims)
+        return [Step(sig, {"in": ip.bots[1], "grad": node, "out": node}, ip.tag)]
+    raise RtErr(f"unhandled in-place op type '{ip.type}'")

@@ -1,0 +1,260 @@
+"""The generated-kernel network executor: rtc_fwd.cc's TPU-native analog.
+
+Capability parity with conv_pipe_fwd_t (rtc_fwd.cc:43-577):
+
+  * init: variant annotation + ReLU fusion + topo lowering to a flat call
+    plan; weights uploaded once (rtc_fwd.cc:524),
+  * run_fwd: copy-in → run calls → sync → copy-out, with per-call event
+    timing dump (per_call_fn, rtc_fwd.cc:560-572),
+  * per-layer quantization hooks (quantize_ops, rtc_fwd.cc:28-37),
+  * per-layer stats dump (enable_stats → var_stats calls, rtc_fwd.cc:105),
+  * deterministic-dropout control (set_det_drop_seed, rtc_fwd.cc:91-99).
+
+TPU-native addition: `fuse=1` (default) compiles the ENTIRE lowered program
+into one jitted XLA function — the reference's 100s of per-op kernel
+launches (23µs each, BASELINE.md) collapse into a single dispatch, which is
+where the TPU build beats the reference's execution model. `fuse=0` keeps
+reference-style per-call dispatch through the Backend for per-layer timing
+and the tuner.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from ..backend.iface import Backend, RtcFuncCall
+from ..core.config import Attr, register
+from ..core.dims import NDA, Dims
+from ..core.error import RtErr
+from ..core.timers import timer
+from ..graph.pipe import ConvPipe
+from ..ops.cnn_variants import OpTune
+from ..ops.op_base import OpBase
+from ..ops.registry import Codegen, get_template
+from .iface import ConvFwd
+from .lower import Plan, Step, lower_pipe
+
+
+@register(ConvFwd, "rtc", help="Pallas/XLA generated-kernel executor")
+class RtcFwd(ConvFwd):
+    rtc = Attr(Backend, default="xla", help="backend to run kernels on")
+    op_tune = Attr(OpTune, default="()", help="default tuning record")
+    fuse = Attr(bool, default=True, help="compile whole net into one XLA program")
+    enable_stats = Attr(bool, default=False, help="emit per-layer var stats")
+    quantize = Attr(list[str], default=None,
+                    help="per-layer quantize specs: (name=...,max_val=...,keep_bits=...)")
+    show_rtc_calls = Attr(bool, default=False, help="print per-call info")
+    per_call_fn = Attr(str, default="", help="write per-call timing report here")
+    write_op_sigs_fn = Attr(str, default="", help="log full op sigs to this file")
+    det_drop_seed = Attr(int, default=0, help="deterministic dropout seed")
+    train_dropout = Attr(bool, default=False, help="apply dropout masks (train mode)")
+    keep_all_nodes = Attr(bool, default=False,
+                          help="fused mode: keep every intermediate node "
+                               "fetchable (for digest comparison; disables DCE)")
+
+    def init(self, pipe: ConvPipe) -> None:
+        self.pipe = pipe
+        self.rtc.ensure_init()
+        self.codegen = Codegen(self.rtc)
+        with timer("rtc_fwd_init"):
+            self.plan = lower_pipe(pipe, self.op_tune, fuse_relu=True,
+                                   train_dropout=self.train_dropout)
+            self._apply_quantize_hooks()
+            self._apply_det_drop_seed()
+            if self.write_op_sigs_fn:
+                with open(self.write_op_sigs_fn, "w") as f:
+                    for s in self.plan.steps:
+                        f.write(str(s.sig.to_lexp()) + "\n")
+            if self.fuse:
+                self._init_fused()
+            else:
+                self._init_per_call()
+        self._info_log: list[str] = []
+        self.stats: dict[str, NDA] = {}
+
+    # ---- quantize / dropout hooks ----
+    def _apply_quantize_hooks(self) -> None:
+        if not self.quantize:
+            return
+        from ..core.lexp import parse_lexp
+        new_steps = []
+        specs = []
+        for q in self.quantize:
+            l = parse_lexp(q) if isinstance(q, str) else q
+            kid = l.get_kid("name")
+            l.deep_inc_use_cnt()
+            specs.append({
+                "name": kid.leaf_val,
+                "max_val": float(l.get_kid("max_val").leaf_val) if l.get_kid("max_val") else 1.0,
+                "keep_bits": int(l.get_kid("keep_bits").leaf_val) if l.get_kid("keep_bits") else 8,
+            })
+        for s in self.plan.steps:
+            new_steps.append(s)
+            for sp in specs:
+                # insert a quantize call right after any step that writes the
+                # named node (reference: gen_op_quantize after producer)
+                writes = any(s.arg_nodes.get(a) == sp["name"]
+                             for a in ("out", "inout", "in_grad"))
+                if writes:
+                    dims = self.plan.node_dims[sp["name"]]
+                    qsig = OpBase({"type": "quantize", "func_name": "quantize"})
+                    qsig.set_dims("inout", dims)
+                    qsig.nda_vals["max_val"] = NDA.scalar(sp["max_val"], "float")
+                    qsig.set_u32("keep_bits", sp["keep_bits"])
+                    new_steps.append(Step(qsig, {"inout": sp["name"]},
+                                          f"quantize__{sp['name']}"))
+        self.plan.steps = new_steps
+
+    def _apply_det_drop_seed(self) -> None:
+        if not self.det_drop_seed:
+            return
+        for s in self.plan.steps:
+            if s.sig.func_name == "dropout":
+                s.sig.set_u32("det_drop_seed", self.det_drop_seed)
+
+    # ---- per-call mode (reference-style) ----
+    def _init_per_call(self) -> None:
+        be = self.rtc
+        for name, dims in self.plan.node_dims.items():
+            if not be.var_exists(name):
+                be.create_var_with_dims(name, dims)
+        self.fwd_calls: list[RtcFuncCall] = []
+        for s in self.plan.steps:
+            inst = self.codegen.gen_func(s.sig)
+            self.fwd_calls.append(RtcFuncCall(inst, dict(s.arg_nodes), s.call_tag))
+        if self.enable_stats:
+            self._add_stats_calls()
+        self.codegen.compile_pend()
+        be.copy_ndas_to_vars(self.pipe.op_params)
+
+    def _add_stats_calls(self) -> None:
+        seen = set()
+        extra = []
+        for call, s in zip(list(self.fwd_calls), self.plan.steps):
+            for a, node in s.arg_nodes.items():
+                if a in ("out", "inout") and node not in seen:
+                    seen.add(node)
+                    sig = OpBase({"type": "var_stats", "func_name": "var_stats"})
+                    sig.set_dims("in", self.plan.node_dims[node])
+                    inst = self.codegen.gen_func(sig)
+                    sname = f"{node}__stats"
+                    if not self.rtc.var_exists(sname):
+                        self.rtc.create_var_with_dims(sname, Dims.make(n=4))
+                    extra.append((call, RtcFuncCall(inst, {"in": node, "stats": sname},
+                                                    f"stats__{node}")))
+        # interleave stats calls right after their producing call
+        out = []
+        for c in self.fwd_calls:
+            out.append(c)
+            out += [sc for (pc, sc) in extra if pc is c]
+        self.fwd_calls = out
+
+    # ---- fused mode (one XLA program) ----
+    def _init_fused(self) -> None:
+        import jax
+        steps = self.plan.steps
+        fns = []
+        for s in steps:
+            tmpl = get_template(s.sig.func_name)
+            rfs = tmpl.check_args(s.sig)
+            fns.append((tmpl.build(rfs), tmpl, s))
+        input_nodes = [n for n in self.plan.input_nodes]
+        weight_nodes = [n for n in self.plan.weight_nodes]
+        out_nodes = list(self.plan.output_nodes)
+        stats_nodes = sorted({node for s in steps
+                              for a, node in s.arg_nodes.items()
+                              if a in ("out", "inout")}) if self.enable_stats else []
+        stats_fns = {}
+        if self.enable_stats:
+            for node in stats_nodes:
+                sig = OpBase({"type": "var_stats", "func_name": "var_stats"})
+                sig.set_dims("in", self.plan.node_dims[node])
+                t = get_template("var_stats")
+                stats_fns[node] = t.build(t.check_args(sig))
+
+        node_dims = self.plan.node_dims
+
+        def fwd(inputs: dict, weights: dict):
+            import jax.numpy as jnp
+            vals = dict(weights)
+            vals.update(inputs)
+            stats = {}
+            for fn, tmpl, s in fns:
+                ins = []
+                for an in tmpl.in_args() + tmpl.io_args():
+                    if an in s.arg_nodes:
+                        node = s.arg_nodes[an]
+                        if node not in vals:  # INOUT target first touch (e.g. concat out)
+                            d = node_dims[node]
+                            vals[node] = jnp.zeros(d.shape, d.dtype)
+                        ins.append(vals[node])
+                outs = fn(*ins)
+                if not isinstance(outs, (tuple, list)):
+                    outs = (outs,)
+                for an, ov in zip(tmpl.out_args() + tmpl.io_args(), outs):
+                    if an in s.arg_nodes:
+                        node = s.arg_nodes[an]
+                        vals[node] = ov
+                        if self.enable_stats and node in stats_fns:
+                            stats[node] = stats_fns[node](ov)
+            if self.keep_all_nodes:
+                return {n: v for n, v in vals.items()
+                        if n not in weights and n not in inputs}, stats
+            return {n: vals[n] for n in out_nodes if n in vals}, stats
+
+        self._fused_fn = jax.jit(fwd)
+        self._weights = {n: self.pipe.op_params[n].v for n in weight_nodes
+                         if n in self.pipe.op_params}
+        missing = [n for n in weight_nodes if n not in self.pipe.op_params]
+        if missing:
+            raise RtErr(f"rtc_fwd init: missing weights for {sorted(missing)}")
+        self._fused_compiled = False
+
+    # ---- run ----
+    def run_fwd(self, to_set: dict[str, NDA], to_get: list[str]) -> dict[str, NDA]:
+        if self.fuse:
+            return self._run_fused(to_set, to_get)
+        return self._run_per_call(to_set, to_get)
+
+    def _run_fused(self, to_set: dict[str, NDA], to_get: list[str]) -> dict[str, NDA]:
+        import numpy as np
+        with timer("run_fwd"):
+            inputs = {k: v.v for k, v in to_set.items()}
+            t0 = time.perf_counter()
+            outs, stats = self._fused_fn(inputs, self._weights)
+            outs = {k: np.asarray(v) for k, v in outs.items()}
+            self.last_run_secs = time.perf_counter() - t0
+        if self.enable_stats:
+            self.stats = {k: NDA(Dims.make(n=4), np.asarray(v)) for k, v in stats.items()}
+        missing = [n for n in to_get if n not in outs]
+        if missing:
+            raise RtErr(f"run_fwd: requested nodes not produced: {missing} "
+                        f"(outputs: {sorted(outs)})")
+        return {n: NDA(self.plan.node_dims[n], outs[n]) for n in to_get}
+
+    def _run_per_call(self, to_set: dict[str, NDA], to_get: list[str]) -> dict[str, NDA]:
+        be = self.rtc
+        with timer("run_fwd"):
+            be.copy_ndas_to_vars(to_set)
+            call_ids = []
+            for c in self.fwd_calls:
+                if self.show_rtc_calls:
+                    self._info_log.append(f"CALL {c.call_tag} {c.func_name} {c.args}")
+                call_ids.append(self.codegen.run_func(c))
+            be.finish_and_sync()
+            if call_ids:
+                self.last_run_secs = be.get_dur(call_ids[0], call_ids[-1])
+        if self.per_call_fn:
+            with open(self.per_call_fn, "w") as f:
+                f.write("per-layer timing (tag func secs):\n")
+                for c, cid in zip(self.fwd_calls, call_ids):
+                    f.write(f"{c.call_tag} {c.func_name} {be.get_dur(cid, cid):.9f}\n")
+        if self.enable_stats:
+            for n in be.var_names():
+                if n.endswith("__stats"):
+                    self.stats[n[:-7]] = be.copy_var_to_nda(n)
+        return be.copy_vars_to_ndas(to_get)
+
+    def get_info_log(self) -> str:
+        return "\n".join(self._info_log)

@@ -1,0 +1,139 @@
+"""Per-op variant selection + tuning knobs: the cnn_op.cc equivalent.
+
+Capability parity with op_tune_t + add_cnn_codegen_annotations
+(cnn_op.H:10-32, cnn_op.cc:16-68): a tune record (selectable per-op) picks
+the kernel variant (func_name) for each graph op from its shape and the
+enabled-variant flags, and attaches block-shape `work` dims. The reference
+rewrote arg dims to blocked layouts and inserted transposes; on TPU the
+variant builders own their internal layouts (NHWC etc.) and XLA handles the
+data movement, so annotation = variant pick + work dims + fusion flags.
+
+Tune record text form (wisdom-file compatible keys):
+  (use_culibs=1)                  — force vendor (XLA) kernels
+  (k1conv=1,ipconv=1,tconv=1)     — enable variants
+  (MNb=..., Kb=..., prec=bf16)    — block shapes / precision
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from ..core.config import Attr, Config
+from ..core.dims import Dims
+from ..core.lexp import Lexp, parse_lexp
+from .op_base import OpBase
+
+
+class OpTune(Config):
+    """Tuning knobs (reference: op_tune_t cnn_op.H:10-32)."""
+
+    use_culibs = Attr(bool, default=False, help="use vendor (stock XLA) kernels")
+    k1conv = Attr(bool, default=True, help="enable 1x1-conv-as-matmul variant")
+    ipconv = Attr(bool, default=True, help="enable inner-product variant")
+    tconv = Attr(bool, default=True, help="enable spatial-tiled conv variant")
+    tconv_max_ksz = Attr(list[int], default="11 11", help="max kernel for tconv")
+    Mb = Attr(int, default=0, help="matmul M block (0=auto)")
+    Nb = Attr(int, default=0, help="matmul N block (0=auto)")
+    Kb = Attr(int, default=0, help="matmul K block (0=auto)")
+    prec = Attr(str, default="", help="'' (f32) or 'bf16' compute precision")
+
+    def to_lexp(self) -> Lexp:
+        l = Lexp.empty_list()
+        for k in ("use_culibs", "k1conv", "ipconv", "tconv"):
+            v = getattr(self, k)
+            if v != type(self)._attrs[k].default:
+                l.add_key_val(k, "1" if v else "0")
+        for k in ("Mb", "Nb", "Kb"):
+            if getattr(self, k):
+                l.add_key_val(k, str(getattr(self, k)))
+        if self.prec:
+            l.add_key_val("prec", self.prec)
+        return l
+
+    def __str__(self):
+        return str(self.to_lexp())
+
+
+def make_op_tune(spec: Union[str, None] = None) -> OpTune:
+    if spec is None or spec == "":
+        spec = "()"
+    return OpTune.init_from_lexp(spec)
+
+
+# map caffe-ish op type → default template name for non-conv ops
+_SIMPLE_TEMPLATE = {
+    "Pooling": "pool",
+    "LRN": "lrn",
+    "Softmax": "softmax",
+    "SoftmaxWithLoss": "sm_grad_and_loss",
+    "ReLU": "relu",
+    "Dropout": "dropout",
+    "BckDropout": "dropout",
+    "Scale": "scale",
+    "Eltwise": "eltwise",
+    "Concat": "copy",
+    "Split": "split_copy",
+    "Reduce": "reduce",
+    "ZeroIfNonPos": "ZeroIfNonPos",
+    "Spreading": "Spreading",
+    "BckLRN": "bck_lrn",
+    "BckConv": "BckConv",
+    "sgemm": "sgemm",
+}
+
+
+def add_cnn_codegen_annotations(op: OpBase, tune: OpTune,
+                                op_tunes: Optional[dict[str, OpTune]] = None) -> None:
+    """Select func_name (+ work dims / prec) for one op (reference:
+    add_cnn_codegen_annotations cnn_op.cc:16; per-op tune override map
+    cnn_op.cc:75 via op_tunes keyed by op type or tag)."""
+    t = tune
+    if op_tunes:
+        key = op.str_vals.get("tag") or op.type
+        t = op_tunes.get(key, op_tunes.get(op.type, tune))
+    if op.type in ("Convolution", "Deconvolution"):
+        ind = op.get_dims("in")
+        fd = op.get_dims("filts")
+        st = op.get_dims_or_none("stride")
+        sy, sx = (st["y"], st["x"]) if st else (1, 1)
+        if t.use_culibs or op.type == "Deconvolution":
+            fn = "xla_conv"
+        elif t.ipconv and fd["y"] == ind["y"] and fd["x"] == ind["x"] \
+                and op.get_dims("out")["y"] == 1 and op.get_dims("out")["x"] == 1 \
+                and (not op.get_dims_or_none("in_pad")
+                     or op.get_dims("in_pad").sz() == 0
+                     or (op.get_dims("in_pad")["y"] == 0 and op.get_dims("in_pad")["x"] == 0)):
+            fn = "ipconv"
+        elif t.k1conv and fd["y"] == 1 and fd["x"] == 1:
+            fn = "k1conv"
+        elif t.tconv and fd["y"] <= t.tconv_max_ksz[0] and fd["x"] <= t.tconv_max_ksz[1]:
+            fn = "conv"  # direct/tiled Pallas conv
+        else:
+            fn = "xla_conv"
+        op.set_func_name(fn)
+        if t.Mb or t.Nb or t.Kb:
+            op.set_dims("work", Dims.make(tn="none", Mb=t.Mb, Nb=t.Nb, Kb=t.Kb))
+        if t.prec:
+            op.str_vals["prec"] = t.prec
+    elif op.type == "InnerProduct":
+        op.set_func_name("ipconv" if t.ipconv else "xla_conv")
+        if t.prec:
+            op.str_vals["prec"] = t.prec
+    else:
+        fn = _SIMPLE_TEMPLATE.get(op.type)
+        if fn is not None:
+            op.set_func_name(fn)
+
+
+def add_codegen_annotations(op: OpBase, tune: OpTune) -> None:
+    """sgemm-family annotation (reference: add_codegen_annotations
+    cnn_op.cc:334-380): pick sgemm/xla_sgemm + work dims."""
+    if op.type == "sgemm":
+        if "func_name" not in op.str_vals:
+            op.set_func_name("xla_sgemm" if tune.use_culibs else "sgemm")
+        if tune.Mb or tune.Nb or tune.Kb:
+            op.set_dims("work", Dims.make(tn="none", Mb=tune.Mb, Nb=tune.Nb, Kb=tune.Kb))
+        if tune.prec:
+            op.str_vals["prec"] = tune.prec
+    else:
+        add_cnn_codegen_annotations(op, tune)

@@ -22,6 +22,8 @@ def _params(rfs: OpBase):
     st = rfs.get_dims_or_none("stride")
     pad = rfs.get_dims_or_none("in_pad")
     ky, kx = (ks["y"], ks["x"]) if ks else (ind["y"], ind["x"])
+    if ky == 0 or kx == 0:  # global pooling: kernel covers the whole input
+        ky, kx = ind["y"], ind["x"]
     sy, sx = (st["y"], st["x"]) if st else (1, 1)
     py, px = (pad["y"], pad["x"]) if pad else (0, 0)
     avg = rfs.str_vals.get("avg_pool", "0") == "1"

@@ -123,7 +123,22 @@ def build_matmul_ext(M: int, N: int, K: int, tiles, in_dtype="float32",
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from .util import pallas_call
+    from .util import pallas_call, pallas_mode
+
+    if pallas_mode() == "fallback":
+        # off-TPU whole-net path: semantically-identical fused jnp matmul
+        def fb(a, b, bias_vec=None):
+            if str(a.dtype) != str(in_dtype):
+                a = a.astype(in_dtype)
+                b = b.astype(in_dtype)
+            c = jnp.dot(a, b, preferred_element_type=jnp.float32,
+                        precision=_dot_precision(a.dtype))
+            if bias and bias_vec is not None:
+                c = c + bias_vec.reshape(1, N).astype(jnp.float32)
+            if relu:
+                c = jnp.maximum(c, 0)
+            return c.astype(out_dtype)
+        return fb
 
     Mb, Nb, Kb = tiles.Mb, tiles.Nb, tiles.Kb
     Mp, Np, Kp = tiles.Mp, tiles.Np, tiles.Kp

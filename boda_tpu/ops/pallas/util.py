@@ -1,32 +1,35 @@
-"""Shared Pallas helpers.
+"""Shared Pallas helpers: kernel execution-mode policy.
 
-`pallas_call` wraps pl.pallas_call, switching to interpreter mode off-TPU
-(CI/tests run on CPU where Mosaic compilation is an emulation path that is
-both slow and numerically TPU-like; the interpreter is fast and exact).
-Override with BODA_PALLAS_INTERPRET=0/1.
+Modes (env BODA_PALLAS_MODE overrides):
+  real      — compile Pallas via Mosaic (TPU hardware; the perf path)
+  interpret — pl.pallas_call(interpret=True): exact, used by op-level CI
+              tests to exercise kernel bodies off-TPU
+  fallback  — skip Pallas, use the template's fused-jnp equivalent: whole-
+              net CI tests off-TPU (Pallas interpret inside one big jit
+              multiplies XLA compile time past usability)
+
+Default: real on TPU, fallback elsewhere.
 """
 
 from __future__ import annotations
 
 import os
-from functools import lru_cache
 
 
-@lru_cache(maxsize=1)
-def use_interpret() -> bool:
-    env = os.environ.get("BODA_PALLAS_INTERPRET")
-    if env is not None:
-        return env not in ("0", "false")
+def pallas_mode() -> str:
+    env = os.environ.get("BODA_PALLAS_MODE")
+    if env in ("real", "interpret", "fallback"):
+        return env
     import jax
     try:
-        return jax.default_backend() != "tpu"
+        return "real" if jax.default_backend() == "tpu" else "fallback"
     except Exception:
-        return True
+        return "fallback"
 
 
 def pallas_call(kernel, **kw):
     from jax.experimental import pallas as pl
-    if use_interpret():
+    if pallas_mode() == "interpret":
         kw.pop("compiler_params", None)
         kw["interpret"] = True
     return pl.pallas_call(kernel, **kw)

@@ -1,0 +1,127 @@
+"""End-to-end engine tests: the test_compute_multi semantics at small scale —
+run the same net through independent engines (rtc fused / rtc per-call /
+ref float64) on the same deterministic inputs, compare outputs within
+mrd_toler (reference default 5e-4, test_compute.cc:44-46).
+"""
+
+import numpy as np
+import pytest
+
+from boda_tpu.core.dims import NDA, Dims
+from boda_tpu.engine.iface import make_engine
+from boda_tpu.models.zoo import NetBuilder, build_model
+from boda_tpu.ops.pallas.gen_data import gen_test_nda
+
+MRD_TOLER = 5e-4
+
+
+def mrd(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    scale = np.maximum(np.abs(a), np.abs(b)).max() + 1e-30
+    return np.abs(a - b).max() / scale
+
+
+def small_nin(batch=1):
+    """NiN-style all-conv net at 32x32 — exercises conv(+pad,+stride),
+    1x1 conv (k1conv), pool (max+global-avg), dropout, softmax, concat."""
+    b = NetBuilder("mini", batch, 3, 32, 32)
+    b.conv("conv1", 16, 5, 2, 2)
+    b.conv("cccp1", 16, 1)
+    b.pool("pool1", 3, 2)
+    b.conv("conv2a", 8, 3, 1, 1)
+    c2a = b.cur
+    b.cur = "pool1"
+    b.conv("conv2b", 8, 1)
+    c2b = b.cur
+    b.concat("cat2", [c2a, c2b])
+    b.pool("pool2", 2, 2, avg=True)
+    b.dropout("drop")
+    b.conv("fc-conv", 10, 1, relu=False)
+    b.pool("gpool", 0, 1, avg=True, global_=True)
+    b.softmax("prob")
+    return b.done(seed=42)
+
+
+def data_for(pipe, batch=1):
+    d = pipe.get_data_img_dims()
+    return {"data": NDA(d, gen_test_nda(d, mode=0, scale=0.1))}
+
+
+def run_engine(spec, pipe, to_get=("prob",)):
+    eng = make_engine(spec)
+    eng.init(pipe)
+    return eng.run_fwd(data_for(pipe), list(to_get))
+
+
+def test_engines_agree_small_nin():
+    pipe = small_nin()
+    ref = run_engine("ref", pipe)["prob"].v
+    fused = run_engine("(engine=rtc,fuse=1)", pipe)["prob"].v
+    percall = run_engine("(engine=rtc,fuse=0)", pipe)["prob"].v
+    assert ref.shape == fused.shape == percall.shape == (1, 10, 1, 1)
+    assert abs(ref.sum() - 1.0) < 1e-5  # softmax
+    assert mrd(ref, fused) < MRD_TOLER, f"fused vs ref mrd={mrd(ref, fused)}"
+    assert mrd(ref, percall) < MRD_TOLER
+    assert mrd(fused, percall) < MRD_TOLER
+
+
+def test_engines_agree_interp_backend():
+    pipe = small_nin()
+    ref = run_engine("ref", pipe)["prob"].v
+    interp = run_engine("(engine=rtc,fuse=0,rtc=interp)", pipe)["prob"].v
+    assert mrd(ref, interp) < MRD_TOLER
+
+
+def test_variant_tunes_agree():
+    """Different variant selections (vendor vs pallas) must agree numerically
+    — the core ops-prof cross-check invariant."""
+    pipe = small_nin()
+    base = run_engine("(engine=rtc,op_tune=())", pipe)["prob"].v
+    culibs = run_engine("(engine=rtc,op_tune=(use_culibs=1))", pipe)["prob"].v
+    nok1 = run_engine("(engine=rtc,op_tune=(k1conv=0,ipconv=0))", pipe)["prob"].v
+    assert mrd(base, culibs) < MRD_TOLER
+    assert mrd(base, nok1) < MRD_TOLER
+
+
+def test_intermediate_node_fetch():
+    pipe = small_nin()
+    outs = run_engine("(engine=rtc,fuse=1,keep_all_nodes=1)", pipe,
+                      to_get=["conv1", "cat2", "prob"])
+    assert outs["conv1"].dims.shape == (1, 16, 16, 16)
+    assert outs["cat2"].dims.shape == (1, 16, 8, 8)  # pool ceil mode: 16→8
+    # relu fused into conv1 must still produce post-relu values
+    assert outs["conv1"].v.min() >= 0.0
+
+
+def test_per_call_timing_report(tmp_path):
+    pipe = small_nin()
+    eng = make_engine(f"(engine=rtc,fuse=0,per_call_fn={tmp_path}/calls.txt)")
+    eng.init(pipe)
+    eng.run_fwd(data_for(pipe), ["prob"])
+    txt = (tmp_path / "calls.txt").read_text()
+    assert "conv1" in txt and "prob" in txt
+
+
+def test_batch_gt_1():
+    pipe = small_nin(batch=3)
+    ref = run_engine("ref", pipe)["prob"].v
+    fused = run_engine("(engine=rtc,fuse=1)", pipe)["prob"].v
+    assert ref.shape == (3, 10, 1, 1)
+    assert mrd(ref, fused) < MRD_TOLER
+
+
+def test_stats_and_quantize():
+    pipe = small_nin()
+    eng = make_engine("(engine=rtc,fuse=1,enable_stats=1)")
+    eng.init(pipe)
+    eng.run_fwd(data_for(pipe), ["prob"])
+    assert "conv1" in eng.stats
+    smin, smax, savg, sssq = eng.stats["conv1"].v
+    assert smin >= 0.0 and smax > 0  # post-relu
+    # quantize hook changes outputs (coarse quantization)
+    eq = make_engine("(engine=rtc,fuse=1,quantize=((name=conv1,max_val=1.0,keep_bits=2)))")
+    eq.init(pipe)
+    q = eq.run_fwd(data_for(pipe), ["prob"])["prob"].v
+    base = run_engine("(engine=rtc,fuse=1)", pipe)["prob"].v
+    assert not np.allclose(q, base)
