@@ -1,0 +1,106 @@
+"""Headline benchmark: ResNet-50 batch inference on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": imgs/sec, "unit": ..., "vs_baseline": ...}
+
+vs_baseline = achieved conv TFLOP/s ÷ (70% of MXU roofline) — the BASELINE
+north star is ≥70% of roofline, i.e. vs_baseline ≥ 1.0 meets it. Roofline
+peak is per-dtype for the compute precision in use (bf16 on v5e ≈ 197
+TFLOP/s).
+
+Timing methodology: under the axon tunnel, block_until_ready() does NOT
+block and repeated same-input dispatches hit a cache, so iterations are
+chained *inside one XLA program* via lax.scan (each step's input depends on
+the previous step's output) and the clock stops on a scalar readback.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+_PEAKS = {
+    ("TPU v5 lite", "bf16"): 197e12,
+    ("TPU v5 lite", "f32"): 49e12,
+    ("TPU v5p", "bf16"): 459e12,
+}
+
+
+def peak_flops(device_kind: str, prec: str) -> float:
+    for (kind, p), v in _PEAKS.items():
+        if device_kind.startswith(kind) and p == prec:
+            return v
+    return 197e12 if prec == "bf16" else 49e12
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boda_tpu.engine.lower import lower_pipe
+    from boda_tpu.engine.rtc_fwd import build_fused_forward
+    from boda_tpu.models.zoo import build_model
+    from boda_tpu.ops.cnn_variants import make_op_tune
+
+    batch = 32
+    prec = "bf16"
+    iters = 10
+    pipe = build_model("resnet-50", batch=batch)
+    plan = lower_pipe(pipe, make_op_tune(f"(use_culibs=1,prec={prec})"))
+    fwd = build_fused_forward(plan)
+    weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+
+    d = pipe.get_data_img_dims()
+    rng = np.random.RandomState(0)
+    x = rng.randn(*d.shape).astype(np.float32) * 0.1
+
+    def chained(w, x, n):
+        # serial dependency between steps defeats dispatch caching and makes
+        # wall-clock = n * single-forward time (+1 negligible add per step)
+        def body(c, _):
+            p = fwd({"data": c}, w)["prob"]
+            c2 = c + p.sum() * 1e-12
+            return c2, p[0, 0, 0, 0]
+        c, ps = jax.lax.scan(body, x, None, length=n)
+        return ps.sum()
+
+    fn = jax.jit(chained, static_argnums=2)
+    dev = jax.devices()[0]
+    w_dev = {k: jax.device_put(v, dev) for k, v in weights.items()}
+    x_dev = jax.device_put(x, dev)
+
+    t0 = time.perf_counter()
+    float(fn(w_dev, x_dev, 1))  # compile (n=1) + warm transfer path
+    compile_s = time.perf_counter() - t0
+
+    float(fn(w_dev, x_dev, iters))  # compile the n=iters program
+    t0 = time.perf_counter()
+    float(fn(w_dev, x_dev, iters))  # timed: scalar readback = real barrier
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * iters / dt
+    flops_per_batch, _ = pipe.total_flops_and_bytes()
+    tflops = flops_per_batch * iters / dt
+    pk = peak_flops(dev.device_kind, prec)
+    frac_roofline = tflops / pk
+    vs_baseline = frac_roofline / 0.70
+
+    print(json.dumps({
+        "metric": "resnet50_b32_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/sec",
+        "vs_baseline": round(vs_baseline, 4),
+        "conv_tflops": round(tflops / 1e12, 2),
+        "frac_of_roofline": round(frac_roofline, 4),
+        "peak_tflops": pk / 1e12,
+        "prec": prec,
+        "batch": batch,
+        "device": dev.device_kind,
+        "compile_s": round(compile_s, 1),
+        "step_ms": round(dt / iters * 1e3, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,46 @@ from .iface import ConvFwd
 from .lower import Plan, Step, lower_pipe
 
 
+def build_fused_forward(plan: Plan, keep_all_nodes: bool = False):
+    """Build the pure whole-net function fwd(inputs: dict, weights: dict) ->
+    outputs dict from a lowered Plan. Standalone (no engine/backend) so it
+    can be jitted/grad-ed/sharded directly (graft entry, multi-chip dryrun,
+    training-step composition)."""
+    fns = []
+    for s in plan.steps:
+        tmpl = get_template(s.sig.func_name)
+        rfs = tmpl.check_args(s.sig)
+        fns.append((tmpl.build(rfs), tmpl, s))
+    out_nodes = list(plan.output_nodes)
+    node_dims = plan.node_dims
+
+    def fwd(inputs: dict, weights: dict):
+        import jax.numpy as jnp
+        vals = dict(weights)
+        vals.update(inputs)
+        for fn, tmpl, s in fns:
+            ins = []
+            for an in tmpl.in_args() + tmpl.io_args():
+                if an in s.arg_nodes:
+                    node = s.arg_nodes[an]
+                    if node not in vals:  # INOUT target first touch
+                        d = node_dims[node]
+                        vals[node] = jnp.zeros(d.shape, d.dtype)
+                    ins.append(vals[node])
+            outs = fn(*ins)
+            if not isinstance(outs, (tuple, list)):
+                outs = (outs,)
+            for an, ov in zip(tmpl.out_args() + tmpl.io_args(), outs):
+                if an in s.arg_nodes:
+                    vals[s.arg_nodes[an]] = ov
+        if keep_all_nodes:
+            return {n: v for n, v in vals.items()
+                    if n not in weights and n not in inputs}
+        return {n: vals[n] for n in out_nodes if n in vals}
+
+    return fwd
+
+
 @register(ConvFwd, "rtc", help="Pallas/XLA generated-kernel executor")
 class RtcFwd(ConvFwd):
     rtc = Attr(Backend, default="xla", help="backend to run kernels on")

@@ -1,0 +1,126 @@
+"""Graph/net-surgery CLI modes.
+
+Reference parity: conv_ana (conv_util.cc:964), cnet_ana (op/flop dump,
+caffepb.cc:441), cnet_copy (:781), cnet_resize_conv (:824),
+cnet_fc_to_conv (:888).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from ..core.config import Attr
+from ..core.dims import Dims
+from ..core.error import RtErr
+from ..core.has_main import HasMain, mode
+
+
+def _load_pipe(hm) -> "ConvPipe":
+    from .caffe_io import read_model
+    from ..models.zoo import build_model, init_pipe_weights
+    if getattr(hm, "model", ""):
+        pipe = build_model(hm.model, batch=getattr(hm, "batch", 1))
+        return pipe
+    if not getattr(hm, "ptt_fn", ""):
+        raise RtErr("specify --model=<zoo name> or --ptt-fn=<prototxt>")
+    in_dims = None
+    if getattr(hm, "in_dims", None) is not None:
+        in_dims = hm.in_dims
+    pipe = read_model(hm.ptt_fn, getattr(hm, "trained_fn", "") or None, in_dims=in_dims)
+    if not pipe.op_params:
+        from ..models.zoo import init_pipe_weights
+        init_pipe_weights(pipe)
+    return pipe
+
+
+class _NetMode(HasMain):
+    model = Attr(str, default="", help="model zoo name (e.g. resnet-50)")
+    ptt_fn = Attr(str, default="", help="prototxt filename")
+    trained_fn = Attr(str, default="", help="caffemodel filename")
+    in_dims = Attr(Dims, default=None, help="override input dims, e.g. "
+                   "(dims=(img=1,chan=3,y=227,x=227))")
+    batch = Attr(int, default=1)
+
+
+@mode("conv_ana", help="analyze a conv pipe: dumps, support info, sizes")
+class ConvAna(_NetMode):
+    dump_ops = Attr(bool, default=False)
+
+    def main(self):
+        pipe = _load_pipe(self)
+        pipe.dump_pipe()
+        pipe.dump_ios()
+        if self.dump_ops:
+            pipe.dump_ops()
+
+
+@mode("cnet_ana", help="per-op flops/bytes/AI analysis of a net")
+class CnetAna(_NetMode):
+    def main(self):
+        pipe = _load_pipe(self)
+        total_f = 0
+        total_b = 0
+        print(f"{'op':30s} {'type':14s} {'out_dims':26s} {'Mflops':>10s} {'MB':>8s} {'AI':>7s}")
+        for op in pipe.topo_order():
+            od = pipe.must_get_node(op.tops[0]).dims
+            f = 0
+            if op.type in ("Convolution", "InnerProduct", "Deconvolution"):
+                fd = pipe.must_get_node(op.bots[1]).dims
+                f = 2 * od.sz() * fd["in_chan"] * fd.get("y", 1) * fd.get("x", 1)
+            byts = sum(pipe.must_get_node(b).dims.bytes_sz() for b in op.bots
+                       if pipe.nodes[b].dims is not None)
+            byts += od.bytes_sz()
+            ai = f / byts if byts else 0.0
+            total_f += f
+            total_b += byts
+            print(f"{op.tag:30s} {op.type:14s} {od.pretty():26s} "
+                  f"{f / 1e6:10.1f} {byts / 1e6:8.2f} {ai:7.1f}")
+        print(f"TOTAL: {total_f / 1e9:.3f} GF, {total_b / 1e6:.1f} MB, "
+              f"AI={total_f / max(total_b, 1):.1f}")
+
+
+@mode("cnet_copy", help="read a net (+weights) and write it back out")
+class CnetCopy(_NetMode):
+    out_ptt_fn = Attr(str, default="out.prototxt")
+    out_trained_fn = Attr(str, default="")
+
+    def main(self):
+        from .caffe_io import write_caffemodel, write_prototxt
+        pipe = _load_pipe(self)
+        write_prototxt(pipe, self.out_path(self.out_ptt_fn))
+        if self.out_trained_fn:
+            write_caffemodel(pipe, self.out_path(self.out_trained_fn))
+        print(f"wrote {self.out_ptt_fn}" + (f" + {self.out_trained_fn}" if self.out_trained_fn else ""))
+
+
+@mode("cnet_fc_to_conv", help="convert InnerProduct layers to Convolution")
+class CnetFcToConv(_NetMode):
+    out_ptt_fn = Attr(str, default="out.prototxt")
+    out_trained_fn = Attr(str, default="")
+
+    def main(self):
+        from .caffe_io import fc_to_conv, write_caffemodel, write_prototxt
+        pipe = _load_pipe(self)
+        fc_to_conv(pipe)
+        write_prototxt(pipe, self.out_path(self.out_ptt_fn))
+        if self.out_trained_fn:
+            write_caffemodel(pipe, self.out_path(self.out_trained_fn))
+        print(f"fc_to_conv: wrote {self.out_ptt_fn}")
+
+
+@mode("cnet_resize_conv", help="bilinear-resample a conv layer's kernels")
+class CnetResizeConv(_NetMode):
+    layer = Attr(str, req=True, help="conv layer tag to resize")
+    new_kern_sz = Attr(list[int], default="3 3", help="new kernel (ky kx)")
+    out_trained_fn = Attr(str, default="resized.caffemodel")
+
+    def main(self):
+        from .caffe_io import resize_kernel, write_caffemodel
+        from ..core.dims import NDA
+        pipe = _load_pipe(self)
+        op = pipe.get_op(self.layer)
+        w = pipe.op_params[op.bots[1]]
+        nw = resize_kernel(w.v, self.new_kern_sz[0], self.new_kern_sz[1])
+        pipe.op_params[op.bots[1]] = NDA.from_array(nw, ["out_chan", "in_chan", "y", "x"])
+        write_caffemodel(pipe, self.out_path(self.out_trained_fn))
+        print(f"resized '{self.layer}' kernels {w.v.shape[2:]} -> {tuple(self.new_kern_sz)}")

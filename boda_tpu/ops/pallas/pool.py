@@ -55,7 +55,7 @@ class Pool(KernelTemplate):
             H, W = ind["y"], ind["x"]
             cy = np.array([min(yy * sy - py + ky, H + py) - (yy * sy - py) for yy in range(oy)])
             cx = np.array([min(xx * sx - px + kx, W + px) - (xx * sx - px) for xx in range(ox)])
-            cnt = (cy[:, None] * cx[None, :]).astype(ind.dtype)
+            cnt = np.maximum(cy[:, None] * cx[None, :], 1).astype(ind.dtype)
 
             def fn(x):
                 xp = jnp.pad(x, ((0, 0), (0, 0), (py, py + extra_y), (px, px + extra_x)))
@@ -64,7 +64,9 @@ class Pool(KernelTemplate):
                 return s[:, :, :oy, :ox] / jnp.asarray(cnt)[None, None]
         else:
             def fn(x):
-                neg = jnp.finfo(x.dtype).min
+                # -inf init (not finfo.min): required for jax to recognize
+                # the differentiable reduce_window_max form
+                neg = -jnp.inf
                 xp = jnp.pad(x, ((0, 0), (0, 0), (py, py + extra_y), (px, px + extra_x)),
                              constant_values=neg)
                 m = jax.lax.reduce_window(xp, neg, jax.lax.max, (1, 1, ky, kx),
@@ -88,7 +90,7 @@ class Pool(KernelTemplate):
                 if avg:
                     # caffe: divide by clipped-to-padded-image window size
                     cnt = (min(y0 + ky, H + py) - y0) * (min(x0 + kx, W + px) - x0)
-                    out[:, :, yy, xx] = win.sum(axis=(2, 3)) / cnt
+                    out[:, :, yy, xx] = win.sum(axis=(2, 3)) / max(cnt, 1)
                 else:
                     out[:, :, yy, xx] = win.max(axis=(2, 3)) if win.size else 0
         return out

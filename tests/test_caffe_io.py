@@ -1,0 +1,197 @@
+"""Caffe import/export tests: prototxt round-trip, binary weights round-trip,
+BN folding, fc→conv surgery (reference: caffepb.cc semantics + net-surgery
+modes, tested via our own exporter since model downloads aren't available —
+same strategy as the reference's archived-digest approach).
+"""
+
+import numpy as np
+import pytest
+
+from boda_tpu.core.dims import NDA, Dims
+from boda_tpu.graph.caffe_io import (copy_matching_layer_blobs_to_pipe,
+                                     create_pipe_from_param, extract_layer_blobs,
+                                     fc_to_conv, fold_bn_scale, read_binary_net_param,
+                                     read_model, resize_kernel, write_caffemodel,
+                                     write_prototxt)
+from boda_tpu.graph.pbtext import parse_pbtext, print_pbtext
+
+V2_PROTOTXT = """
+name: "tiny"
+input: "data"
+input_shape { dim: 1 dim: 3 dim: 16 dim: 16 }
+layer { name: "conv1" type: "Convolution" bottom: "data" top: "conv1"
+  convolution_param { num_output: 8 kernel_size: 3 pad: 1 stride: 1 } }
+layer { name: "relu1" type: "ReLU" bottom: "conv1" top: "conv1" }
+layer { name: "pool1" type: "Pooling" bottom: "conv1" top: "pool1"
+  pooling_param { pool: MAX kernel_size: 2 stride: 2 } }
+layer { name: "fc1" type: "InnerProduct" bottom: "pool1" top: "fc1"
+  inner_product_param { num_output: 10 } }
+layer { name: "prob" type: "Softmax" bottom: "fc1" top: "prob" }
+"""
+
+V1_PROTOTXT = """
+name: "tiny_v1"
+layers {
+  top: "data" name: "data" type: DATA
+  data_param { batch_size: 2 }
+  transform_param { crop_size: 16 }
+  include: { phase: TRAIN }
+}
+layers {
+  top: "data" name: "data" type: DATA
+  data_param { batch_size: 1 }
+  transform_param { crop_size: 16 }
+  include: { phase: TEST }
+}
+layers { bottom: "data" top: "conv1" name: "conv1" type: CONVOLUTION
+  convolution_param { num_output: 4 kernel_size: 5 stride: 2 } }
+layers { bottom: "conv1" top: "conv1" name: "relu1" type: RELU }
+layers { bottom: "conv1" top: "prob" name: "prob" type: SOFTMAX }
+"""
+
+
+def test_pbtext_round_trip():
+    n = parse_pbtext(V2_PROTOTXT)
+    assert n.get("name") == "tiny"
+    assert len(n.get_all("layer")) == 5
+    txt = print_pbtext(n)
+    n2 = parse_pbtext(txt)
+    assert len(n2.get_all("layer")) == 5
+    assert n2.get_all("layer")[0].get("convolution_param").get("num_output") == 8
+
+
+def test_v2_import():
+    pipe = create_pipe_from_param(parse_pbtext(V2_PROTOTXT))
+    pipe.calc_dims()
+    assert pipe.must_get_node("conv1").dims.shape == (1, 8, 16, 16)
+    assert pipe.must_get_node("pool1").dims.shape == (1, 8, 8, 8)
+    assert pipe.must_get_node("fc1").dims.shape == (1, 10, 1, 1)
+    # relu is in-place on conv1's node
+    assert pipe.must_get_node("conv1").in_place_ops[0].tag == "relu1"
+
+
+def test_v1_import_phase_filter():
+    pipe = create_pipe_from_param(parse_pbtext(V1_PROTOTXT), phase="TEST")
+    pipe.calc_dims()
+    # TEST-phase data layer sets batch 1, crop 16
+    assert pipe.must_get_node("data").dims.shape == (1, 3, 16, 16)
+    assert pipe.must_get_node("conv1").dims.shape == (1, 4, 6, 6)
+
+
+def test_weights_and_prototxt_round_trip(tmp_path):
+    from boda_tpu.models.zoo import build_model
+    pipe = build_model("nin_imagenet_nopad", batch=1, ysz=64, xsz=64,
+                       num_classes=10)
+    write_prototxt(pipe, tmp_path / "net.prototxt", "nin_small")
+    write_caffemodel(pipe, tmp_path / "net.caffemodel")
+    pipe2 = read_model(tmp_path / "net.prototxt", tmp_path / "net.caffemodel",
+                       in_dims=Dims.make(img=1, chan=3, y=64, x=64))
+    # same structure
+    assert pipe2.must_get_node("conv1").dims == pipe.must_get_node("conv1").dims
+    top1, top2 = pipe.get_single_top_node(), pipe2.get_single_top_node()
+    assert top1.dims == top2.dims
+    # same weights
+    for k, v in pipe.op_params.items():
+        np.testing.assert_allclose(pipe2.op_params[k].v, v.v, rtol=1e-6,
+                                   err_msg=k)
+    # and same outputs end-to-end through the ref engine
+    from boda_tpu.engine.iface import make_engine
+    from boda_tpu.ops.pallas.gen_data import gen_test_nda
+    d = pipe.get_data_img_dims()
+    x = {"data": NDA(d, gen_test_nda(d, 0, 0.1))}
+    e1 = make_engine("ref")
+    e1.init(pipe)
+    e2 = make_engine("ref")
+    e2.init(pipe2)
+    np.testing.assert_allclose(e1.run_fwd(x, ["prob"])["prob"].v,
+                               e2.run_fwd(x, ["prob"])["prob"].v, rtol=1e-6)
+
+
+BN_PROTOTXT = """
+name: "bn_net"
+input: "data"
+input_shape { dim: 1 dim: 3 dim: 8 dim: 8 }
+layer { name: "conv1" type: "Convolution" bottom: "data" top: "conv1"
+  convolution_param { num_output: 4 kernel_size: 3 pad: 1 } }
+layer { name: "bn1" type: "BatchNorm" bottom: "conv1" top: "conv1" }
+layer { name: "scale1" type: "Scale" bottom: "conv1" top: "conv1" }
+layer { name: "relu1" type: "ReLU" bottom: "conv1" top: "conv1" }
+layer { name: "prob" type: "Softmax" bottom: "conv1" top: "prob" }
+"""
+
+
+def test_bn_scale_folding():
+    rng = np.random.RandomState(0)
+    pipe = create_pipe_from_param(parse_pbtext(BN_PROTOTXT))
+    pipe.calc_dims()
+    w = rng.randn(4, 3, 3, 3).astype(np.float32)
+    b = rng.randn(4).astype(np.float32)
+    mean = rng.randn(4).astype(np.float32)
+    var = np.abs(rng.randn(4)).astype(np.float32) + 0.5
+    gamma = rng.randn(4).astype(np.float32) + 1.0
+    beta = rng.randn(4).astype(np.float32)
+    blobs = {
+        "conv1": [NDA.from_array(w, ["out_chan", "in_chan", "y", "x"]),
+                  NDA.from_array(b, ["out_chan"])],
+        "bn1": [NDA.from_array(mean, ["out_chan"]),
+                NDA.from_array(var, ["out_chan"]),
+                NDA.from_array(np.array([1.0], np.float32), ["out_chan"])],
+        "scale1": [NDA.from_array(gamma, ["out_chan"]),
+                   NDA.from_array(beta, ["out_chan"])],
+    }
+    copy_matching_layer_blobs_to_pipe(pipe, blobs)
+    fold_bn_scale(pipe, blobs)
+    assert not any(op.type in ("BatchNorm", "Scale") for op in pipe.ops.values())
+    # run folded net; compare vs manual BN math
+    from boda_tpu.engine.iface import make_engine
+    d = pipe.get_data_img_dims()
+    x = rng.randn(*d.shape).astype(np.float32)
+    eng = make_engine("ref")
+    eng.init(pipe)
+    out = eng.run_fwd({"data": NDA(d, x)}, ["conv1"])["conv1"].v
+    # manual: conv → bn → scale → relu (float64)
+    from boda_tpu.ops.pallas.conv import _ConvBase, make_conv_op
+    op = make_conv_op(1, 3, 8, 8, 4, 3, 3, py=1, px=1)
+    rfs = __import__("boda_tpu.ops.registry", fromlist=["get_template"]) \
+        .get_template("xla_conv").check_args(op)
+    y = _ConvBase.ref_impl(rfs, x, w, b)
+    inv = 1.0 / np.sqrt(var + 1e-5)
+    y = (y - mean[None, :, None, None]) * inv[None, :, None, None]
+    y = y * gamma[None, :, None, None] + beta[None, :, None, None]
+    y = np.maximum(y, 0)
+    np.testing.assert_allclose(out, y, rtol=1e-4, atol=1e-5)
+
+
+def test_fc_to_conv():
+    pipe = create_pipe_from_param(parse_pbtext(V2_PROTOTXT))
+    pipe.calc_dims()
+    from boda_tpu.models.zoo import init_pipe_weights
+    init_pipe_weights(pipe)
+    # reshape IP weights to flat fc layout first (oc, in_chan*y*x)
+    w = pipe.op_params["fc1_filts"]
+    fc_to_conv(pipe)
+    assert pipe.get_op("fc1").type == "Convolution"
+    assert pipe.op_params["fc1_filts"].dims.names() == ("out_chan", "in_chan", "y", "x")
+    assert pipe.op_params["fc1_filts"].dims.shape == (10, 8, 8, 8)
+
+
+def test_resize_kernel():
+    rng = np.random.RandomState(1)
+    w = rng.randn(2, 3, 5, 5).astype(np.float32)
+    w2 = resize_kernel(w, 3, 3)
+    assert w2.shape == (2, 3, 3, 3)
+    # integral preserved per filter
+    np.testing.assert_allclose(w2.sum(axis=(2, 3)), w.sum(axis=(2, 3)), rtol=1e-3)
+    assert np.array_equal(resize_kernel(w, 5, 5), w)
+
+
+def test_binary_weights_format(tmp_path):
+    from boda_tpu.models.zoo import NetBuilder
+    b = NetBuilder("t", 1, 3, 8, 8)
+    b.conv("c1", 4, 3, 1, 1)
+    pipe = b.done(seed=3)
+    write_caffemodel(pipe, tmp_path / "w.caffemodel", "t")
+    blobs = extract_layer_blobs(read_binary_net_param(tmp_path / "w.caffemodel"))
+    assert "c1" in blobs
+    np.testing.assert_allclose(blobs["c1"][0].v, pipe.op_params["c1_filts"].v)
+    assert blobs["c1"][0].dims.shape == (4, 3, 3, 3)
