@@ -176,7 +176,6 @@ class Codegen:
         self.sig_cache: dict[tuple, str] = {}    # reduced-sig key → instance name
         self.instances: dict[str, tuple[type[KernelTemplate], OpBase]] = {}
         self.compile_pend_list: list[CompiledFunc] = []
-        self._uid = 0
 
     def gen_func(self, op: OpBase, func_name: Optional[str] = None) -> str:
         """Reduce op → signature; return (possibly cached) instance name."""
@@ -187,8 +186,9 @@ class Codegen:
         hit = self.sig_cache.get(key)
         if hit is not None:
             return hit
-        inst = f"{tname}__{self._uid}"
-        self._uid += 1
+        # content-hash instance names: stable across Codegen objects sharing
+        # one backend (a counter would collide with previously-compiled funcs)
+        inst = f"{tname}__{hashlib.sha256(repr(key).encode()).hexdigest()[:12]}"
         with timer("gen_func"):
             if getattr(self.backend, "kind", "xla") == "ref":
                 fn = _bind_ref(tmpl, rfs)

@@ -1,0 +1,94 @@
+"""cnn_op_info: per-op FLOPs/AI/roofline analysis + optional run/compare.
+
+Capability parity with cnn-prof.cc:25-131 (mode cnn_op_info): for each op
+in an op-sig file, report FLOPs, bytes, arithmetic intensity, and — with
+--run=1 — measured time, achieved FLOP/s, and % of peak (peak_flops
+defaulting to the current device's MXU peak rather than the reference's
+hardcoded TITAN X 6.6 TF/s, cnn-prof.cc:36), optionally cross-checked
+against a comparison tune (cuDNN role → use_culibs tune).
+"""
+
+from __future__ import annotations
+
+from ..core.config import Attr
+from ..core.error import RtErr
+from ..core.has_main import HasMain, mode
+from ..backend.iface import Backend
+from ..ops.cnn_variants import OpTune, add_codegen_annotations, make_op_tune
+from ..ops.op_base import read_op_sigs
+from ..ops.registry import Codegen, get_template
+from ..testing.comp import comp_vars
+
+
+def op_bytes(rfs) -> int:
+    n = 0
+    for k, v in rfs.nda_vals.items():
+        if v.dims.tn != "none":
+            n += v.dims.bytes_sz()
+    return n
+
+
+def default_peak_flops(prec: str = "bf16") -> float:
+    try:
+        import jax
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = ""
+    if kind.startswith("TPU v5 lite"):
+        return 197e12 if prec == "bf16" else 49e12
+    if "TPU" in kind:
+        return 197e12
+    return 1e12  # CPU-ish fallback
+
+
+@mode("cnn_op_info", help="per-op flops/AI/roofline report (+optional run)")
+class CnnOpInfo(HasMain):
+    ops_fn = Attr(str, req=True, help="op-sig list file")
+    rtc = Attr(Backend, default="xla")
+    op_tune = Attr(OpTune, default="()")
+    comp_tune = Attr(OpTune, default=None, help="comparison tune (e.g. (use_culibs=1))")
+    run = Attr(bool, default=False, help="also run+time each op")
+    run_iter = Attr(int, default=5)
+    peak_flops = Attr(float, default=0.0, help="peak FLOP/s (0=auto from device)")
+    mrd_toler = Attr(float, default=5e-4)
+
+    def main(self):
+        from .prof import profile_rcg_call
+        ops = read_op_sigs(self.ops_fn)
+        peak = self.peak_flops or default_peak_flops(self.op_tune.prec or "bf16")
+        cg = None
+        if self.run:
+            self.rtc.ensure_init()
+            cg = Codegen(self.rtc)
+        print(f"{'op':58s} {'func':12s} {'Mflops':>10s} {'MB':>8s} {'AI':>7s}"
+              + (f" {'secs':>11s} {'GF/s':>9s} {'%peak':>6s}" if self.run else ""))
+        n_err = 0
+        for op in ops:
+            top = op.copy()
+            add_codegen_annotations(top, self.op_tune)
+            tmpl = get_template(top.func_name)
+            rfs = tmpl.check_args(top)
+            fl = tmpl.flops(rfs)
+            by = op_bytes(rfs)
+            line = (f"{str(op.to_compact_lexp())[:58]:58s} {top.func_name:12s} "
+                    f"{fl / 1e6:10.1f} {by / 1e6:8.2f} {fl / max(by, 1):7.1f}")
+            if self.run:
+                try:
+                    secs, outs = profile_rcg_call(cg, top, self.run_iter)
+                    gfs = fl / secs / 1e9 if secs > 0 else 0.0
+                    line += f" {secs:11.3e} {gfs:9.1f} {100 * gfs * 1e9 / peak:6.2f}"
+                    if self.comp_tune is not None:
+                        cop = op.copy()
+                        add_codegen_annotations(cop, self.comp_tune)
+                        csecs, couts = profile_rcg_call(cg, cop, self.run_iter)
+                        errs = comp_vars(couts, outs, self.mrd_toler)
+                        line += f"  comp={csecs:.3e}({top.func_name} vs {cop.func_name})"
+                        if errs:
+                            line += " COMP_FAIL: " + "; ".join(errs)
+                            n_err += 1
+                except RtErr as e:
+                    line += f" ERROR {e}"
+                    n_err += 1
+            print(line)
+        if n_err:
+            raise RtErr(f"cnn_op_info: {n_err} errors")

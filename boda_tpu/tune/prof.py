@@ -1,0 +1,174 @@
+"""Per-op profiling + the ops-prof autotuning sweep driver.
+
+Capability parity with rtc_prof.cc: profile_rcg_call (:44-137 — generate
+one op, alloc its args, fill inputs with deterministic gen_data patterns,
+run run_iter times with event timing) and mode ops-prof (:140-457 — for
+each op in an op-sig file × each named tune × each backend: run, time,
+cross-check outputs against the kg tune's full data AND against stored
+known-good digests from input wisdom; write merged wisdom).
+
+TPU-era addition: --auto-sweep generates MXU-aligned candidate tunes from
+the tile solver instead of requiring hand-listed tunes.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Optional
+
+from ..backend.iface import Backend, RtcFuncCall
+from ..core.config import Attr
+from ..core.dims import NDA, Dims
+from ..core.error import RtErr
+from ..core.has_main import HasMain, mode
+from ..ops.cnn_variants import OpTune, add_codegen_annotations, make_op_tune
+from ..ops.op_base import OpBase, read_op_sigs
+from ..ops.registry import Codegen, get_template
+from ..testing.comp import comp_digests, comp_vars
+from ..core.digest import nda_digest
+from .wisdom import (OpWisdom, merge_wisdoms, read_wisdom_file,
+                     write_wisdom_file)
+
+
+def profile_rcg_call(cg: Codegen, op: OpBase, run_iter: int = 5,
+                     var_prefix: str = "") -> tuple[float, dict[str, NDA]]:
+    """Generate one op instance, alloc+fill args, run run_iter times; return
+    (best secs, output tensors). Mirrors profile_rcg_call rtc_prof.cc:44."""
+    be = cg.backend
+    tmpl = get_template(op.func_name)
+    rfs = tmpl.check_args(op)
+    inst = cg.gen_func(op)
+    args: dict[str, str] = {}
+    made: list[str] = []
+    gd = get_template("gen_data")
+    for i, a in enumerate(tmpl.args):
+        if a.name not in rfs.nda_vals:
+            continue
+        dims = rfs.get_dims(a.name)
+        if dims.tn == "none":
+            continue
+        vn = f"{var_prefix}{a.name}"
+        if not be.var_exists(vn):
+            be.create_var_with_dims(vn, dims)
+            made.append(vn)
+        args[a.name] = vn
+        if a.kind in ("IN", "INOUT"):
+            gop = OpBase({"type": "gen_data", "func_name": "gen_data"})
+            gop.set_dims("out", dims)
+            gop.set_u32("mode", i % 4)
+            gop.nda_vals["scale"] = NDA.scalar(0.1, "float")
+            cg.gen_and_run(gop, {"out": vn})
+    cg.compile_pend()
+    best = None
+    for _ in range(max(run_iter, 1)):
+        cid = cg.run_func(RtcFuncCall(inst, args))
+        be.finish_and_sync()
+        dur = be.get_dur(cid, cid)
+        best = dur if best is None else min(best, dur)
+    outs = {a.name: be.copy_var_to_nda(args[a.name])
+            for a in tmpl.args if a.kind in ("OUT", "INOUT") and a.name in args}
+    for vn in made:
+        be.release_var(vn)
+    return best, outs
+
+
+def auto_sweep_tunes(op: OpBase, max_tunes: int) -> list[tuple[str, OpTune]]:
+    """Generate MXU-aligned candidate tunes for matmul-shaped ops."""
+    cands = []
+    for prec in ("", "bf16"):
+        for Mb in (0, 256, 512):
+            for Kb in (0, 512, 2048):
+                spec = "(" + ",".join(
+                    ([f"Mb={Mb},Nb={Mb}"] if Mb else [])
+                    + ([f"Kb={Kb}"] if Kb else [])
+                    + ([f"prec={prec}"] if prec else [])) + ")"
+                cands.append((f"sweep{len(cands)}:{spec}", make_op_tune(spec)))
+                if len(cands) >= max_tunes:
+                    return cands
+    return cands
+
+
+@mode("ops_prof", help="per-op tuning sweep: time each op x tune x backend, "
+                       "cross-check outputs, write wisdom")
+class OpsProf(HasMain):
+    ops_fn = Attr(str, req=True, help="op-sig list file (one lexp per line)")
+    rtcs = Attr(dict[str, Backend], default=None,
+                help="named backends, e.g. (tpu=(be=xla),ref=(be=interp))")
+    op_tunes = Attr(dict[str, OpTune], default=None,
+                    help="named tunes, e.g. (kg=(use_culibs=1),t1=(Mb=256))")
+    kg_tune_tag = Attr(str, default="kg", help="tune whose outputs are ground truth")
+    auto_sweep = Attr(int, default=0, help="also sweep N generated tunes")
+    run_iter = Attr(int, default=5)
+    mrd_toler = Attr(float, default=5e-4)
+    func_mrd_toler = Attr(dict[str, float], default=None,
+                          help="per-func-name tolerance overrides")
+    wisdom_in_fn = Attr(str, default="", help="input wisdom (known-good digests)")
+    wisdom_out_fn = Attr(str, default="", help="output (merged) wisdom file")
+    write_kgs = Attr(bool, default=True, help="record kg digests in output wisdom")
+
+    def main(self):
+        ops = read_op_sigs(self.ops_fn)
+        rtcs = self.rtcs or {"xla": __import__(
+            "boda_tpu.backend.iface", fromlist=["make_backend"]).make_backend("xla")}
+        for be in rtcs.values():
+            be.ensure_init()
+        tunes: dict[str, OpTune] = dict(self.op_tunes or {})
+        if self.kg_tune_tag not in tunes:
+            tunes[self.kg_tune_tag] = make_op_tune("(use_culibs=1)")
+        wis_in: dict = {}
+        if self.wisdom_in_fn:
+            for w in read_wisdom_file(self.wisdom_in_fn):
+                wis_in[w.op._key()] = w
+        out_ws: list[OpWisdom] = []
+        n_err = 0
+        cgs = {bn: Codegen(be) for bn, be in rtcs.items()}
+        for op in ops:
+            w = OpWisdom(op)
+            tune_items = list(tunes.items())
+            if self.auto_sweep:
+                tune_items += auto_sweep_tunes(op, self.auto_sweep)
+            kg_outs: Optional[dict] = None
+            for be_name, be in rtcs.items():
+                cg = cgs[be_name]
+                plat = be.get_plat_tag()
+                for tname, tune in tune_items:
+                    top = op.copy()
+                    try:
+                        add_codegen_annotations(top, tune)
+                        secs, outs = profile_rcg_call(cg, top, self.run_iter)
+                    except RtErr as e:
+                        print(f"OP {op.type} tune={tname} be={be_name}: ERROR {e}")
+                        n_err += 1
+                        continue
+                    ftol = (self.func_mrd_toler or {}).get(top.func_name, self.mrd_toler)
+                    status = "ok"
+                    if tname == self.kg_tune_tag and kg_outs is None:
+                        kg_outs = outs
+                        if self.write_kgs:
+                            for an, nda in outs.items():
+                                w.kgs.setdefault(an, nda_digest(nda, self_cmp_mrd=ftol))
+                    elif kg_outs is not None:
+                        errs = comp_vars(kg_outs, outs, ftol)
+                        if errs:
+                            status = "COMP_FAIL: " + "; ".join(errs)
+                            n_err += 1
+                    kw = wis_in.get(op._key())
+                    if kw is not None and kw.kgs:
+                        errs = comp_digests(outs, {k: v for k, v in kw.kgs.items()
+                                                   if k in outs}, ftol)
+                        if errs:
+                            status += " KG_DIGEST_FAIL: " + "; ".join(errs)
+                            n_err += 1
+                    flops = get_template(top.func_name).flops(
+                        get_template(top.func_name).check_args(top))
+                    gfs = flops / secs / 1e9 if secs else 0.0
+                    print(f"OP {op.to_compact_lexp()} tune={tname} be={be_name} "
+                          f"func={top.func_name} secs={secs:.3e} GF/s={gfs:.1f} {status}")
+                    w.tune(str(tune.to_lexp())).add_run(plat, secs)
+            out_ws.append(w)
+        if self.wisdom_out_fn:
+            merged = merge_wisdoms([list(wis_in.values()), out_ws]) if wis_in else out_ws
+            write_wisdom_file(self.out_path(self.wisdom_out_fn), merged)
+            print(f"wrote wisdom for {len(merged)} ops to {self.wisdom_out_fn}")
+        if n_err:
+            raise RtErr(f"ops_prof: {n_err} errors/comparison failures")

@@ -1,0 +1,159 @@
+"""Wisdom: the persisted per-op tuning-record store.
+
+Capability parity with op-tuner.{H,cc}: per-op records holding the op
+signature, per-tune timing runs keyed by platform tag, and known-good
+output digests; line-structured text stream IO (read_next_wisdom /
+write_op_wisdom, op-tuner.H:48-49) and merge semantics (wis-merge,
+op-tuner.cc:162). Format (compatible line structure with the reference's
+.wis files; digests use our lexp digest form):
+
+    op_wisdom_t
+    <op sig lexp>
+    op_kg_t <arg name> <digest lexp>        (0+ lines)
+    op_tune_wisdom_t
+    <tune lexp>
+    op_run_t
+    <plat tag>
+    <rt_secs>
+    ... (more runs / more tunes)
+    <blank line terminates the record>
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator, Optional, TextIO, Union
+
+from ..core.digest import Digest
+from ..core.error import RtErr
+from ..ops.op_base import OpBase
+
+
+class OpTuneWisdom:
+    """Per-tune results: tune spec (lexp text) → {plat_tag: rt_secs}."""
+
+    __slots__ = ("tune_str", "runs")
+
+    def __init__(self, tune_str: str):
+        self.tune_str = tune_str
+        self.runs: dict[str, float] = {}
+
+    def add_run(self, plat: str, secs: float, keep_best: bool = True) -> None:
+        if keep_best and plat in self.runs:
+            self.runs[plat] = min(self.runs[plat], secs)
+        else:
+            self.runs[plat] = secs
+
+
+class OpWisdom:
+    __slots__ = ("op", "tunes", "kgs")
+
+    def __init__(self, op: OpBase):
+        self.op = op
+        self.tunes: dict[str, OpTuneWisdom] = {}
+        self.kgs: dict[str, Digest] = {}
+
+    def tune(self, tune_str: str) -> OpTuneWisdom:
+        tw = self.tunes.get(tune_str)
+        if tw is None:
+            tw = OpTuneWisdom(tune_str)
+            self.tunes[tune_str] = tw
+        return tw
+
+    def best_tune(self, plat: str) -> Optional[tuple[str, float]]:
+        best = None
+        for ts, tw in self.tunes.items():
+            s = tw.runs.get(plat)
+            if s is not None and (best is None or s < best[1]):
+                best = (ts, s)
+        return best
+
+    def merge_from(self, o: "OpWisdom") -> None:
+        for ts, tw in o.tunes.items():
+            mine = self.tune(ts)
+            for plat, secs in tw.runs.items():
+                mine.add_run(plat, secs)
+        for k, d in o.kgs.items():
+            self.kgs.setdefault(k, d)
+
+
+def write_op_wisdom(w: OpWisdom, f: TextIO) -> None:
+    f.write("op_wisdom_t\n")
+    f.write(str(w.op.to_compact_lexp()) + "\n")
+    for k in sorted(w.kgs):
+        f.write(f"op_kg_t {k} {w.kgs[k]}\n")
+    for ts in sorted(w.tunes):
+        tw = w.tunes[ts]
+        f.write("op_tune_wisdom_t\n")
+        f.write(ts + "\n")
+        for plat in sorted(tw.runs):
+            f.write("op_run_t\n")
+            f.write(plat + "\n")
+            f.write(f"{tw.runs[plat]:.9g}\n")
+    f.write("\n")
+
+
+def read_wisdom_stream(f) -> Iterator[OpWisdom]:
+    """Parse a wisdom stream; f is an iterable of lines."""
+    lines = iter(f)
+    cur: Optional[OpWisdom] = None
+    cur_tune: Optional[OpTuneWisdom] = None
+    for raw in lines:
+        line = raw.rstrip("\n")
+        if not line.strip():
+            if cur is not None:
+                yield cur
+            cur, cur_tune = None, None
+            continue
+        if line == "op_wisdom_t":
+            if cur is not None:
+                yield cur
+            sig_line = next(lines).rstrip("\n")
+            cur = OpWisdom(OpBase.from_lexp(sig_line))
+            cur_tune = None
+        elif line.startswith("op_kg_t "):
+            if cur is None:
+                raise RtErr("wisdom parse: op_kg_t before op_wisdom_t")
+            _, name, rest = line.split(" ", 2)
+            cur.kgs[name] = Digest.from_lexp(rest)
+        elif line == "op_tune_wisdom_t":
+            if cur is None:
+                raise RtErr("wisdom parse: op_tune_wisdom_t before op_wisdom_t")
+            tune_line = next(lines).rstrip("\n")
+            cur_tune = cur.tune(tune_line)
+        elif line == "op_run_t":
+            if cur_tune is None:
+                raise RtErr("wisdom parse: op_run_t before op_tune_wisdom_t")
+            plat = next(lines).rstrip("\n")
+            secs = float(next(lines).rstrip("\n"))
+            cur_tune.add_run(plat, secs)
+        else:
+            raise RtErr(f"wisdom parse: unexpected line '{line}'")
+    if cur is not None:
+        yield cur
+
+
+def read_wisdom_file(path: Union[str, Path]) -> list[OpWisdom]:
+    with open(path) as f:
+        return list(read_wisdom_stream(f))
+
+
+def write_wisdom_file(path: Union[str, Path], ws: list[OpWisdom]) -> None:
+    with open(path, "w") as f:
+        for w in ws:
+            write_op_wisdom(w, f)
+
+
+def merge_wisdoms(streams: list[list[OpWisdom]]) -> list[OpWisdom]:
+    """Merge by op signature, preserving first-seen order (wis-merge)."""
+    by_sig: dict = {}
+    order: list[OpWisdom] = []
+    for ws in streams:
+        for w in ws:
+            key = w.op._key()
+            if key in by_sig:
+                by_sig[key].merge_from(w)
+            else:
+                by_sig[key] = w
+                order.append(w)
+    return order

@@ -1,0 +1,133 @@
+"""Tuning-stack tests: wisdom IO/merge, profile_rcg_call, ops_prof sweep
+with cross-checking, cnn_op_info (minimum-slice checkpoint A from
+SURVEY.md §7: sgemm op-sig file runs and cross-checks vs the vendor path).
+"""
+
+import io
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from boda_tpu.backend.iface import make_backend
+from boda_tpu.core.error import RtErr
+from boda_tpu.core.has_main import create_and_run_has_main
+from boda_tpu.ops.op_base import OpBase, read_op_sigs
+from boda_tpu.ops.registry import Codegen
+from boda_tpu.tune.prof import profile_rcg_call
+from boda_tpu.tune.wisdom import (OpWisdom, merge_wisdoms, read_wisdom_stream,
+                                  write_op_wisdom)
+
+OPS_DIR = Path(__file__).parent / "data" / "ops"
+
+
+def test_wisdom_round_trip_and_merge():
+    op = OpBase.from_lexp("(type=sgemm,dims_vals=(a=(M=64,K=64),b=(K=64,N=64),c=(M=64,N=64)))")
+    w = OpWisdom(op)
+    w.tune("(Mb=256)").add_run("xla:tpu:v5e", 1.5e-3)
+    w.tune("(Mb=256)").add_run("interp:numpy", 2.0)
+    w.tune("(use_culibs=1)").add_run("xla:tpu:v5e", 1.0e-3)
+    from boda_tpu.core.digest import nda_digest
+    w.kgs["c"] = nda_digest(np.ones((4, 4), np.float32))
+    buf = io.StringIO()
+    write_op_wisdom(w, buf)
+    ws2 = list(read_wisdom_stream(io.StringIO(buf.getvalue())))
+    assert len(ws2) == 1
+    w2 = ws2[0]
+    assert w2.op == op
+    assert w2.tunes["(Mb=256)"].runs["xla:tpu:v5e"] == pytest.approx(1.5e-3)
+    assert w2.best_tune("xla:tpu:v5e") == ("(use_culibs=1)", pytest.approx(1.0e-3))
+    assert "c" in w2.kgs
+    # merge: keeps min secs per (tune, plat)
+    w3 = OpWisdom(op)
+    w3.tune("(Mb=256)").add_run("xla:tpu:v5e", 1.2e-3)
+    merged = merge_wisdoms([[w2], [w3]])
+    assert len(merged) == 1
+    assert merged[0].tunes["(Mb=256)"].runs["xla:tpu:v5e"] == pytest.approx(1.2e-3)
+
+
+def test_profile_rcg_call():
+    be = make_backend("xla")
+    be.init()
+    cg = Codegen(be)
+    ops = read_op_sigs(OPS_DIR / "sgemm-tiny.txt")
+    secs, outs = profile_rcg_call(cg, _ann(ops[0]), run_iter=2)
+    assert secs >= 0
+    assert outs["c"].dims.shape == (128, 128)
+    assert float(np.abs(outs["c"].v).sum()) > 0  # gen_data actually fed inputs
+
+
+def _ann(op):
+    from boda_tpu.ops.cnn_variants import add_codegen_annotations, make_op_tune
+    op = op.copy()
+    add_codegen_annotations(op, make_op_tune(None))
+    return op
+
+
+def test_ops_prof_mode(tmp_path, capsys):
+    create_and_run_has_main(
+        f"(mode=ops_prof,ops_fn={OPS_DIR}/sgemm-tiny.txt,"
+        f"rtcs=(xla=(be=xla)),"
+        f"op_tunes=(kg=(use_culibs=1),pallas=(),big=(Mb=256,Nb=256)),"
+        f"run_iter=2,boda_output_dir={tmp_path},wisdom_out_fn=out.wis)",
+        global_vars={})
+    out = capsys.readouterr().out
+    assert "COMP_FAIL" not in out
+    assert "tune=pallas" in out and "tune=kg" in out
+    wis = (tmp_path / "out.wis").read_text()
+    assert wis.count("op_wisdom_t") == 2
+    assert "op_kg_t c" in wis
+    # cross-check failure detection: rerun against corrupted kg digests
+    bad = wis.replace("cnt=16384", "cnt=99")
+    (tmp_path / "bad.wis").write_text(bad)
+    with pytest.raises(RtErr, match="errors"):
+        create_and_run_has_main(
+            f"(mode=ops_prof,ops_fn={OPS_DIR}/sgemm-tiny.txt,"
+            f"rtcs=(xla=(be=xla)),run_iter=1,"
+            f"wisdom_in_fn={tmp_path}/bad.wis)",
+            global_vars={})
+
+
+def test_ops_prof_conv(tmp_path, capsys):
+    create_and_run_has_main(
+        f"(mode=ops_prof,ops_fn={OPS_DIR}/conv-tiny.txt,"
+        f"rtcs=(xla=(be=xla)),"
+        f"op_tunes=(kg=(use_culibs=1),pall=(tconv=1)),run_iter=1)",
+        global_vars={})
+    out = capsys.readouterr().out
+    assert "COMP_FAIL" not in out and "ERROR" not in out
+    assert "func=conv" in out or "func=k1conv" in out
+
+
+def test_wis_merge_ana_modes(tmp_path, capsys):
+    create_and_run_has_main(
+        f"(mode=ops_prof,ops_fn={OPS_DIR}/sgemm-tiny.txt,rtcs=(xla=(be=xla)),"
+        f"op_tunes=(kg=(use_culibs=1),p=()),run_iter=1,"
+        f"boda_output_dir={tmp_path},wisdom_out_fn=a.wis)", global_vars={})
+    create_and_run_has_main(
+        f"(mode=wis_merge,wisdom_in_fns=({tmp_path}/a.wis,{tmp_path}/a.wis),"
+        f"boda_output_dir={tmp_path},wisdom_out_fn=m.wis)", global_vars={})
+    capsys.readouterr()
+    create_and_run_has_main(
+        f"(mode=wis_ana,wisdom_in_fn={tmp_path}/m.wis,csv_fn=w.csv,"
+        f"boda_output_dir={tmp_path})", global_vars={})
+    out = capsys.readouterr().out
+    assert "best_tune" in out
+    csv = (tmp_path / "w.csv").read_text()
+    assert csv.count("\n") >= 2  # header + 2 ops
+
+
+def test_cnn_op_info_mode(tmp_path, capsys):
+    """Checkpoint A (SURVEY §7 stage 3): cnn_op_info over sgemm op sigs runs
+    and cross-checks pallas sgemm vs the vendor (xla_sgemm) path."""
+    create_and_run_has_main(
+        f"(mode=cnn_op_info,ops_fn={OPS_DIR}/sgemm-tiny.txt,run=1,run_iter=1,"
+        f"comp_tune=(use_culibs=1),peak_flops=1e12)", global_vars={})
+    out = capsys.readouterr().out
+    assert "COMP_FAIL" not in out
+    assert "sgemm" in out and "%peak" in out
+    # static-only mode (no run) works and reports AI
+    create_and_run_has_main(
+        f"(mode=cnn_op_info,ops_fn={OPS_DIR}/conv-tiny.txt)", global_vars={})
+    out = capsys.readouterr().out
+    assert "AI" in out
