@@ -45,7 +45,7 @@ def main() -> None:
 
     batch = 32
     prec = "bf16"
-    iters = 10
+    iters = 50  # large enough to amortize the ~30ms fixed tunnel dispatch latency
     pipe = build_model("resnet-50", batch=batch)
     plan = lower_pipe(pipe, make_op_tune(f"(use_culibs=1,prec={prec})"))
     fwd = build_fused_forward(plan)
