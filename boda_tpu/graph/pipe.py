@@ -524,6 +524,49 @@ class ConvPipe:
                         f"data img input nodes are: {self.data_img_node_names}")
         return self.must_get_node(self.data_img_node_names[0]).dims
 
+    def pruned_to(self, node_name: str) -> "ConvPipe":
+        """Sub-pipe containing only the ops needed to compute node_name
+        (the out_node_name truncation capability; reference nets are
+        truncated at parse time via out_layer_name, caffeif.H)."""
+        self.must_get_node(node_name)
+        keep_ops: set[str] = set()
+        stack = [node_name]
+        seen_nodes: set[str] = set()
+        while stack:
+            n = stack.pop()
+            if n in seen_nodes:
+                continue
+            seen_nodes.add(n)
+            node = self.must_get_node(n)
+            for tag in node.top_for:
+                if tag not in keep_ops:
+                    keep_ops.add(tag)
+                    stack.extend(self.get_op(tag).bots)
+        sub = ConvPipe()
+        sub.data_img_node_names = [n for n in self.data_img_node_names
+                                   if n in seen_nodes]
+        for op in self.ops.values():
+            if op.tag in keep_ops:
+                sub.add_op(ConvOp(op.type, op.tag, op.bots, op.tops,
+                                  dict(op.params)))
+                sub.ops[op.tag].str_vals.update(
+                    {k: v for k, v in op.str_vals.items() if k != "type"})
+        # in-place ops on kept nodes (except ones past the target's producer)
+        for n in seen_nodes:
+            node = self.nodes[n]
+            for ip in node.in_place_ops:
+                if ip.tag not in sub.ops and all(b in seen_nodes for b in ip.bots):
+                    sub.add_op(ConvOp(ip.type, ip.tag, ip.bots, ip.tops,
+                                      dict(ip.params)))
+        for n in seen_nodes:
+            if self.nodes[n].dims is not None and n in sub.nodes \
+                    and not sub.nodes[n].top_for:
+                sub.nodes[n].dims = self.nodes[n].dims
+        sub.op_params = self.op_params
+        sub.calc_dims()
+        sub.calc_support_info()
+        return sub
+
     # ---- dumps (golden-diffed; reference: dump_pipe/dump_ios/dump_ops) ----
     def dump_pipe(self, out: Callable[[str], None] = print) -> None:
         out("== BEGIN dump_pipe ==")
