@@ -19,7 +19,12 @@ def _load_pipe(hm) -> "ConvPipe":
     from .caffe_io import read_model
     from ..models.zoo import build_model, init_pipe_weights
     if getattr(hm, "model", ""):
-        pipe = build_model(hm.model, batch=getattr(hm, "batch", 1))
+        kw = {"batch": getattr(hm, "batch", 1)}
+        ind = getattr(hm, "in_dims", None)
+        if ind is not None:
+            kw.update(batch=ind.get("img", kw["batch"]),
+                      ysz=ind["y"], xsz=ind["x"])
+        pipe = build_model(hm.model, **kw)
         return pipe
     if not getattr(hm, "ptt_fn", ""):
         raise RtErr("specify --model=<zoo name> or --ptt-fn=<prototxt>")

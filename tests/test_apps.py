@@ -1,0 +1,142 @@
+"""App-layer tests: pyramid packing math, conv_pyra pipeline, PASCAL
+scoring, run_cnet/cnet_predict mode flows.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from boda_tpu.apps.pyra import ImgPyraPack, blf_place, calc_pyra_scales
+from boda_tpu.apps.score import (GtBox, ImgInfo, box_iou, load_pil,
+                                 score_results_for_class)
+from boda_tpu.core.error import RtErr
+from boda_tpu.core.geom import Box, Pt
+from boda_tpu.core.has_main import create_and_run_has_main
+
+
+def run_mode(s):
+    return create_and_run_has_main(s, global_vars={})
+
+
+def test_pyra_scales():
+    sc = calc_pyra_scales(Pt(227, 227), interval=3, min_sz=32)
+    assert sc[0].scale == 1.0 and sc[0].sz == Pt(227, 227)
+    # each octave halves the size
+    assert abs(sc[3].scale - 0.5) < 1e-9
+    assert all(min(s.sz.y, s.sz.x) >= 32 for s in sc)
+    # upsampled octave prepends scales > 1
+    sc2 = calc_pyra_scales(Pt(100, 100), interval=2, min_sz=32,
+                           num_upsamp_octaves=1)
+    assert sc2[0].scale == 2.0
+
+
+def test_blf_place_no_overlap():
+    sizes = [Pt(100, 100), Pt(100, 100), Pt(50, 50), Pt(50, 50), Pt(50, 50),
+             Pt(71, 71), Pt(35, 35), Pt(25, 25)]
+    bin_sz = Pt(256, 256)
+    pad = Pt(8, 8)
+    places = blf_place(sizes, bin_sz, pad)
+    assert all(p is not None for p in places)
+    by_bin = {}
+    for (bi, box), sz in zip(places, sizes):
+        assert box.sz() == sz
+        assert box.p1.y <= bin_sz.y and box.p1.x <= bin_sz.x
+        by_bin.setdefault(bi, []).append(box)
+    # no overlaps within a bin (even ignoring pad)
+    for boxes in by_bin.values():
+        for i in range(len(boxes)):
+            for j in range(i + 1, len(boxes)):
+                a, b = boxes[i], boxes[j]
+                assert not (a.p0.y < b.p1.y and b.p0.y < a.p1.y
+                            and a.p0.x < b.p1.x and b.p0.x < a.p1.x), (a, b)
+    # all fit into few bins
+    assert len(by_bin) <= 2
+
+
+def test_blf_too_big():
+    with pytest.raises(RtErr, match="larger than bin"):
+        blf_place([Pt(300, 300)], Pt(256, 256), Pt(0, 0))
+
+
+def test_img_pyra_pack():
+    from boda_tpu.io.img import make_test_pattern_img
+    pp = ImgPyraPack(Pt(128, 128), Pt(256, 256), interval=2, min_sz=32,
+                     pad=Pt(8, 8))
+    img = make_test_pattern_img(128, 128)
+    packed = pp.scale_and_pack_img_into_bins(img)
+    assert packed.shape[1:] == (256, 256, 3)
+    assert packed.shape[0] == pp.num_bins
+    # full-scale image is placed verbatim
+    s0 = pp.scales[0]
+    b = s0.place
+    np.testing.assert_array_equal(
+        packed[s0.bin_ix, b.p0.y:b.p1.y, b.p0.x:b.p1.x], img)
+    # trash mask covers neither images nor pads
+    m = pp.trash_mask()
+    assert not m[s0.bin_ix, b.p0.y:b.p1.y, b.p0.x:b.p1.x].any()
+    assert m.any()  # some trash exists
+
+
+def test_blf_pack_mode(tmp_path, capsys):
+    run_mode(f"(mode=blf_pack,in_sz=128 128,bin_sz=256 256,interval=2,"
+             f"min_sz=32,boda_output_dir={tmp_path},out_fn=p.txt)")
+    out = capsys.readouterr().out
+    assert "num_scales=" in out and "scale[0]: s=1.0000" in out
+    assert (tmp_path / "p.txt").exists()
+
+
+def test_conv_pyra_mode(tmp_path, capsys):
+    run_mode(f"(mode=conv_pyra,model=nin_imagenet_nopad,"
+             f"in_dims=(dims=(img=1,chan=3,y=128,x=128)),out_node=conv2,"
+             f"bin_sz=160 160,interval=2,min_sz=48,"
+             f"boda_output_dir={tmp_path},digest_fn=pyra.boda)")
+    out = capsys.readouterr().out
+    assert "conv_pyra:" in out and "scale 0" in out
+    assert (tmp_path / "pyra.boda").read_text().count("scale_") >= 2
+
+
+def test_box_iou_and_ap():
+    assert box_iou((0, 0, 10, 10), (0, 0, 10, 10)) == pytest.approx(1.0)
+    assert box_iou((0, 0, 10, 10), (5, 0, 15, 10)) == pytest.approx(1 / 3)
+    assert box_iou((0, 0, 10, 10), (20, 20, 30, 30)) == 0.0
+    db = {
+        "im1": ImgInfo("im1", {"dog": [GtBox((0, 0, 10, 10))]}),
+        "im2": ImgInfo("im2", {"dog": [GtBox((0, 0, 10, 10)),
+                                       GtBox((20, 20, 30, 30))]}),
+    }
+    dets = [("im1", 0.9, (1, 1, 10, 10)),     # TP
+            ("im2", 0.8, (0, 0, 10, 10)),     # TP
+            ("im2", 0.7, (0, 0, 10, 10)),     # FP (dup)
+            ("im2", 0.6, (21, 21, 30, 30))]   # TP
+    ap, (rec, prec, _s) = score_results_for_class(db, "dog", dets)
+    assert rec[-1] == pytest.approx(1.0)
+    assert 0.8 < ap <= 1.0
+
+
+def test_score_mode(tmp_path, capsys):
+    (tmp_path / "imgset.txt").write_text("im1\nim2\n")
+    ann = tmp_path / "ann"
+    ann.mkdir()
+    ann_xml = """<annotation><object><name>dog</name><difficult>0</difficult>
+      <bndbox><xmin>0</xmin><ymin>0</ymin><xmax>10</xmax><ymax>10</ymax></bndbox>
+      </object></annotation>"""
+    (ann / "im1.xml").write_text(ann_xml)
+    (ann / "im2.xml").write_text(ann_xml)
+    (tmp_path / "res_dog.txt").write_text(
+        "im1 0.9 0 0 10 10\nim2 0.8 0 0 10 10\n")
+    run_mode(f"(mode=score,imgset_fn={tmp_path}/imgset.txt,ann_dir={ann},"
+             f"res_fns=(dog={tmp_path}/res_dog.txt),boda_output_dir={tmp_path},"
+             f"summary_fn=sum.txt,prc_png_fn=prc-{{cls}}.png)")
+    out = capsys.readouterr().out
+    assert "dog: AP=1.0000" in out and "mAP=1.0000" in out
+    assert (tmp_path / "sum.txt").exists()
+    assert (tmp_path / "prc-dog.png").exists()
+
+
+def test_run_cnet_mode(tmp_path, capsys):
+    run_mode(f"(mode=run_cnet,model=nin_imagenet_nopad,batch=1,"
+             f"in_dims=(dims=(img=1,chan=3,y=64,x=64)),"
+             f"boda_output_dir={tmp_path},digest_fn=d.txt,dump_top=3)")
+    out = capsys.readouterr().out
+    assert "top-3" in out and (tmp_path / "d.txt").exists()
