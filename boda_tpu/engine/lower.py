@@ -80,6 +80,10 @@ def lower_pipe(pipe: ConvPipe, tune: Optional[OpTune] = None,
     input_nodes = [n for n in sorted(pipe.bots) if n not in weight_nodes]
     output_nodes = sorted(pipe.tops)
 
+    for n, d in node_dims.items():
+        if 0 in d.shape:
+            raise RtErr(f"lowering: node '{n}' has zero-sized dims {d.pretty()} "
+                        "(input spatial size too small for this net)")
     for op in pipe.topo_order():
         # annotation writes func_name/work/prec on the op; each lowering
         # re-annotates, and Steps carry signature *copies*, so this is safe

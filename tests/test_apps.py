@@ -136,7 +136,7 @@ def test_score_mode(tmp_path, capsys):
 
 def test_run_cnet_mode(tmp_path, capsys):
     run_mode(f"(mode=run_cnet,model=nin_imagenet_nopad,batch=1,"
-             f"in_dims=(dims=(img=1,chan=3,y=64,x=64)),"
+             f"in_dims=(dims=(img=1,chan=3,y=192,x=192)),"
              f"boda_output_dir={tmp_path},digest_fn=d.txt,dump_top=3)")
     out = capsys.readouterr().out
     assert "top-3" in out and (tmp_path / "d.txt").exists()

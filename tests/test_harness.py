@@ -54,7 +54,7 @@ def test_test_cmds_flow(tmp_path, capsys):
 
 def test_test_compute_multi(tmp_path, capsys):
     run_mode(f"(mode=test_compute_multi,model=nin_imagenet_nopad,batch=1,"
-             f"in_dims=(dims=(img=1,chan=3,y=64,x=64)),"
+             f"in_dims=(dims=(img=1,chan=3,y=192,x=192)),"
              f"boda_output_dir={tmp_path})")
     out = capsys.readouterr().out
     assert "comp ref vs rtc: PASS" in out
