@@ -80,12 +80,12 @@ def test_v1_import_phase_filter():
 
 def test_weights_and_prototxt_round_trip(tmp_path):
     from boda_tpu.models.zoo import build_model
-    pipe = build_model("nin_imagenet_nopad", batch=1, ysz=64, xsz=64,
+    pipe = build_model("nin_imagenet_nopad", batch=1, ysz=192, xsz=192,
                        num_classes=10)
     write_prototxt(pipe, tmp_path / "net.prototxt", "nin_small")
     write_caffemodel(pipe, tmp_path / "net.caffemodel")
     pipe2 = read_model(tmp_path / "net.prototxt", tmp_path / "net.caffemodel",
-                       in_dims=Dims.make(img=1, chan=3, y=64, x=64))
+                       in_dims=Dims.make(img=1, chan=3, y=192, x=192))
     # same structure
     assert pipe2.must_get_node("conv1").dims == pipe.must_get_node("conv1").dims
     top1, top2 = pipe.get_single_top_node(), pipe2.get_single_top_node()
