@@ -54,7 +54,8 @@ class CompiledFunc:
     the codegen engine so backends can AOT-compile against fixed shapes.
     """
 
-    __slots__ = ("name", "fn", "in_args", "out_args", "io_args", "flops", "in_specs")
+    __slots__ = ("name", "fn", "in_args", "out_args", "io_args", "flops",
+                 "in_specs", "sig_meta")
 
     def __init__(self, name: str, fn, in_args: list[str], out_args: list[str],
                  io_args: list[str], flops: int = 0):
@@ -65,6 +66,7 @@ class CompiledFunc:
         self.io_args = io_args    # read-write args (both passed and returned)
         self.flops = flops
         self.in_specs: list[tuple[str, Dims]] = []
+        self.sig_meta = None  # (template name, reduced sig) for remote compile
 
 
 class _Var:

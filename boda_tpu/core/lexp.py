@@ -247,13 +247,44 @@ class _Parser:
         return Lexp(kids=kids, src=self.s[start:self.i])
 
 
-def parse_lexp(s: str) -> Lexp:
-    """Parse a lexp string. A leading '(' means list; otherwise whole-string leaf."""
+def _parse_lexp_py(s: str) -> Lexp:
     p = _Parser(s)
     v = p.parse_value()
     if p.i != len(s):
         p.err(f"trailing characters after lexp: '{s[p.i:]}'")
     return v
+
+
+def _parse_lexp_cpp(s: str) -> Lexp:
+    """Rebuild a Lexp tree from the native parser's flat pre-order table
+    (csrc/lexp.cc; grammar + error strings identical to _Parser)."""
+    from ..utils.cpplib import cpp_parse_lexp_flat
+    flat = cpp_parse_lexp_flat(s)
+    nodes: list[Lexp] = []
+    root: Optional[Lexp] = None
+    for parent, is_leaf, name, val in flat:
+        node = Lexp(leaf_val=val) if is_leaf else Lexp(kids=[])
+        nodes.append(node)
+        if parent < 0:
+            root = node
+        else:
+            nodes[parent].kids.append((name, node))
+    assert root is not None
+    return root
+
+
+# native parse pays ~4 ctypes calls/node; only a win on big inputs
+# (wisdom files, op-sig batches). Differential tests pin both paths.
+_CPP_PARSE_MIN_LEN = 4096
+
+
+def parse_lexp(s: str) -> Lexp:
+    """Parse a lexp string. A leading '(' means list; otherwise whole-string leaf."""
+    if len(s) >= _CPP_PARSE_MIN_LEN:
+        from ..utils.cpplib import cpp_available
+        if cpp_available():
+            return _parse_lexp_cpp(s)
+    return _parse_lexp_py(s)
 
 
 def parse_lexp_leaf_str(s: str) -> Lexp:

@@ -177,14 +177,20 @@ def _lower_op(pipe: ConvPipe, op: ConvOp, tune: OpTune, fuse_relu: bool,
             ocix += bd["chan"]
         return steps
     if t == "Split":
+        # Concat-bck: tops partition the input chans (running icix offsets);
+        # Eltwise-bck: each top is a full-chan copy (icix stays 0)
         in_dims = pipe.must_get_node(op.bots[0]).dims
         steps = []
+        icix = 0
         for i, tp in enumerate(op.tops):
+            td = pipe.must_get_node(tp).dims
             sig = OpBase({"type": t, "func_name": "split_copy"})
             sig.set_dims("in", in_dims)
-            sig.set_dims("out", pipe.must_get_node(tp).dims)
-            sig.set_u32("icix", 0)
+            sig.set_dims("out", td)
+            sig.set_u32("icix", icix)
             steps.append(Step(sig, {"in": op.bots[0], "out": tp}, f"{op.tag}__{i}"))
+            if td["chan"] < in_dims["chan"]:
+                icix += td["chan"]
         return steps
     if t == "Eltwise":
         out = op.tops[0]
@@ -201,8 +207,20 @@ def _lower_op(pipe: ConvPipe, op: ConvOp, tune: OpTune, fuse_relu: bool,
             acc = out
         return steps
     if t == "Reduce":
-        raise RtErr("Reduce lowering requires stacked-inputs planning; "
-                    "emitted only by add_bck_ops paths that pre-stack")
+        # partial-grad summation (add_bck_ops): chained binary adds — XLA
+        # fuses the chain into one kernel inside the jitted program
+        out = op.tops[0]
+        out_dims = pipe.must_get_node(out).dims
+        steps = []
+        acc = op.bots[0]
+        for i, b in enumerate(op.bots[1:]):
+            sig = OpBase({"type": t, "func_name": "eltwise", "ew_op": "SUM"})
+            sig.set_dims("a", pipe.must_get_node(acc).dims if i == 0 else out_dims)
+            sig.set_dims("b", pipe.must_get_node(b).dims)
+            sig.set_dims("out", out_dims)
+            steps.append(Step(sig, {"a": acc, "b": b, "out": out}, f"{op.tag}__{i}"))
+            acc = out
+        return steps
     if t == "Spreading":
         sig, am = _sig_from_op(op, {"out": op.bots[0], "out_grad": op.bots[1],
                                     "in": op.bots[2], "in_grad": op.tops[0]}, pipe)

@@ -201,7 +201,9 @@ class RtcFwd(ConvFwd):
             fns.append((tmpl.build(rfs), tmpl, s))
         input_nodes = [n for n in self.plan.input_nodes]
         weight_nodes = [n for n in self.plan.weight_nodes]
-        out_nodes = list(self.plan.output_nodes)
+        if not hasattr(self, "_extra_out_nodes"):
+            self._extra_out_nodes: list[str] = []
+        out_nodes = list(self.plan.output_nodes) + self._extra_out_nodes
         stats_nodes = sorted({node for s in steps
                               for a, node in s.arg_nodes.items()
                               if a in ("out", "inout")}) if self.enable_stats else []
@@ -259,6 +261,15 @@ class RtcFwd(ConvFwd):
 
     def _run_fused(self, to_set: dict[str, NDA], to_get: list[str]) -> dict[str, NDA]:
         import numpy as np
+        # requested intermediates become program outputs (reference run_fwd
+        # copies out any named var, rtc_fwd.cc:555) — re-jit once to add them
+        want_extra = [n for n in to_get
+                      if n not in self.plan.output_nodes
+                      and n not in self._extra_out_nodes
+                      and n in self.plan.node_dims]
+        if want_extra:
+            self._extra_out_nodes += want_extra
+            self._init_fused()
         with timer("run_fwd"):
             inputs = {k: v.v for k, v in to_set.items()}
             t0 = time.perf_counter()

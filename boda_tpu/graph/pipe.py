@@ -402,9 +402,14 @@ class ConvPipe:
     def _calc_dims_bck_op(self, op: ConvOp) -> None:
         """Backward/synthesized ops: outputs mirror declared input dims."""
         if op.type == "Split":
+            # grad tops mirror their forward node's dims (Concat-bck tops
+            # partition the input chans; Eltwise-bck tops are full copies)
             in_dims = self.must_get_node(op.bots[0]).dims
             for t in op.tops:
-                self.must_get_node(t).dims = in_dims
+                fwd_name = t.split("_grad_loss")[0]
+                fwd = self.nodes.get(fwd_name)
+                self.must_get_node(t).dims = \
+                    fwd.dims if fwd is not None and fwd.dims is not None else in_dims
         elif op.type == "Reduce":
             self.must_get_node(op.tops[0]).dims = self.must_get_node(op.bots[0]).dims
         elif op.type == "BckConv":
@@ -505,6 +510,108 @@ class ConvPipe:
             csi_out.eff_tot_pad = csi_in.eff_tot_pad + op.in_pad() * csi_in.support_stride
         else:
             csi_out.eff_tot_pad = csi_in.eff_tot_pad
+
+    # ---- backward-op synthesis (reference: add_bck_ops, conv_util.cc:732-800) ----
+    def _grad_onn(self, cop: ConvOp, inn: str) -> str:
+        """Node name for cop's contribution to d(loss)/d(inn): the plain
+        `_grad_loss` node when inn has one consumer (or cop is in-place),
+        else a per-op partial later summed by a Reduce op."""
+        node = self.must_get_node(inn)
+        if len(node.bot_for) == 1 or cop.in_place:
+            return inn + "_grad_loss"
+        return inn + "_grad_loss_" + cop.tag
+
+    def _make_bck_op(self, cop: ConvOp) -> Optional[ConvOp]:
+        """Synthesize the gradient op for one forward op (reference:
+        add_bck_ops_op). Returns None for ops that already produce their
+        own gradients (SoftmaxWithLoss)."""
+        t = cop.type
+        params = dict(cop.params)
+        if t == "SoftmaxWithLoss":
+            if cop.bots[0] + "_grad_loss" != cop.tops[0]:
+                raise RtErr("add_bck_ops: SoftmaxWithLoss must write "
+                            f"'{cop.bots[0]}_grad_loss' as tops[0], got '{cop.tops[0]}'")
+            return None
+        if t == "Pooling":
+            return ConvOp("Spreading", cop.tag + "_bck",
+                          [cop.tops[0], cop.tops[0] + "_grad_loss", cop.bots[0]],
+                          [self._grad_onn(cop, cop.bots[0])], params)
+        if t == "ReLU":  # in-place: grads flow in-place through the grad node
+            gl = cop.bots[0] + "_grad_loss"
+            return ConvOp("ZeroIfNonPos", cop.tag + "_bck",
+                          [gl, cop.bots[0]], [gl], {})
+        if t == "Dropout":
+            gl = cop.bots[0] + "_grad_loss"
+            return ConvOp("BckDropout", cop.tag + "_bck", [gl], [gl], params)
+        if t == "Convolution":
+            return ConvOp("BckConv", cop.tag + "_bck",
+                          list(cop.bots) + [cop.tops[0] + "_grad_loss"],
+                          [self._grad_onn(cop, b) for b in cop.bots[:3]], params)
+        if t == "Concat":
+            return ConvOp("Split", cop.tag + "_bck",
+                          [cop.tops[0] + "_grad_loss"],
+                          [self._grad_onn(cop, b) for b in cop.bots], {})
+        if t == "Eltwise":
+            if cop.str_vals.get("ew_op", "SUM") != "SUM":
+                raise RtErr("add_bck_ops: only SUM Eltwise has bck support")
+            # d/d(each input) of a sum is the out grad: a full-copy Split
+            return ConvOp("Split", cop.tag + "_bck",
+                          [cop.tops[0] + "_grad_loss"],
+                          [self._grad_onn(cop, b) for b in cop.bots],
+                          {})
+        if t == "LRN":
+            return ConvOp("BckLRN", cop.tag + "_bck",
+                          [cop.bots[0], cop.tops[0], cop.tops[0] + "_grad_loss"],
+                          [self._grad_onn(cop, cop.bots[0])], params)
+        raise RtErr(f"add_bck_ops: unhandled op type '{t}' (op '{cop.tag}')")
+
+    def add_bck_ops(self) -> None:
+        """Append gradient ops for every forward op, producing
+        `<node>_grad_loss` nodes back to the data input. All sinks must be
+        produced by SoftmaxWithLoss ops (the loss caps the net)."""
+        bck_ops: list[ConvOp] = []
+        self.topo_visit_setup()
+
+        def rec(node_name: str):
+            node = self.must_get_node(node_name)
+            if not node.bot_for:  # sink: must be capped by a loss op
+                if len(node.top_for) != 1 or \
+                        not self.get_op(node.top_for[0]).is_type("SoftmaxWithLoss"):
+                    raise RtErr(f"add_bck_ops: top node '{node_name}' not produced "
+                                "by a SoftmaxWithLoss op")
+            for ip in reversed(node.in_place_ops):
+                b = self._make_bck_op(ip)
+                if b is not None:
+                    bck_ops.append(b)
+            if len(node.bot_for) > 1:
+                # partial grads from multiple consumers get summed by Reduce
+                consumers = [self.get_op(tag) for tag in node.bot_for]
+                parts = [self._grad_onn(c, node_name) for c in consumers]
+                if len(set(parts)) != len(parts):
+                    raise RtErr(f"add_bck_ops: grad contributions for multi-use "
+                                f"node '{node_name}' collide: {parts}")
+                bck_ops.append(ConvOp("Reduce", f"reduce_{node_name}_grad_loss",
+                                      parts, [node_name + "_grad_loss"], {}))
+            for tag in node.bot_for:
+                cop = self.get_op(tag)
+                if cop.in_place or not self._on_seen_bot(cop):
+                    continue
+                b = self._make_bck_op(cop)
+                if b is not None:
+                    bck_ops.append(b)
+                for tp in cop.tops:
+                    rec(tp)
+
+        for b in sorted(self.bots):
+            rec(b)
+        # add in reverse walk order; drop Reduce ops whose inputs never
+        # materialized (consumer produced no grads) — reference behavior
+        for bcop in reversed(bck_ops):
+            if bcop.is_type("Reduce") and not all(b in self.nodes for b in bcop.bots):
+                continue
+            self.add_op(bcop)
+        self.has_bck_ops = True
+        self.calc_dims()  # infer dims for the new grad nodes
 
     # ---- queries ----
     def get_single_top_node(self) -> ConvNode:

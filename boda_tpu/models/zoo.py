@@ -92,6 +92,18 @@ class NetBuilder:
         self.cur = tag
         return self
 
+    def softmax_with_loss(self, tag: str = "loss",
+                          label: str = "label") -> "NetBuilder":
+        """Cap the net with a loss op producing both the loss and the
+        gradient w.r.t. its input — required before add_bck_ops()
+        (reference: SoftmaxWithLoss handling, caffepb.cc:256-265)."""
+        self.pipe.add_op(ConvOp("SoftmaxWithLoss", tag,
+                                [self.cur, label],
+                                [self.cur + "_grad_loss", tag]))
+        self.pipe.data_label_node_names = [label]
+        self.cur = tag
+        return self
+
     def done(self, init_weights: bool = True, seed: int = 1234) -> ConvPipe:
         self.pipe.calc_dims()
         self.pipe.calc_support_info()

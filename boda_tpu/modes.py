@@ -6,7 +6,8 @@ gated on optional features import lazily/fail-soft.
 
 # Registration happens at import. Keep this list in build-plan order.
 _MODE_MODULES = [
-    "boda_tpu.backend.modes",    # rtc_test, cs_test_*
+    "boda_tpu.backend.modes",    # rtc_test
+    "boda_tpu.backend.ipc",      # ipc_compute_worker, cs_test_master
     "boda_tpu.graph.modes",      # conv_ana, cnet_ana, net surgery
     "boda_tpu.apps.run_cnet",    # run_cnet, cnet_predict
     "boda_tpu.tune.prof",        # ops_prof

@@ -14,7 +14,16 @@ import numpy as np
 
 from ..op_base import OpBase
 from ..registry import IN, OUT, KernelTemplate, adecl, template
-from .conv import conv_params, conv_flops
+from .conv import conv_flops
+
+
+def _bck_conv_params(rfs: OpBase):
+    """BckConv sigs carry out_grad (not out); extract geometry directly."""
+    st = rfs.get_dims_or_none("stride")
+    pad = rfs.get_dims_or_none("in_pad")
+    sy, sx = (st["y"], st["x"]) if st else (1, 1)
+    py, px = (pad["y"], pad["x"]) if pad else (0, 0)
+    return sy, sx, py, px
 
 
 @template
@@ -34,13 +43,15 @@ class BckConv(KernelTemplate):
 
     @classmethod
     def flops(cls, rfs: OpBase) -> int:
-        return 3 * conv_flops(rfs)
+        ogd = rfs.get_dims("out_grad")
+        fd = rfs.get_dims("filts")
+        return 3 * 2 * ogd.sz() * fd["in_chan"] * fd["y"] * fd["x"]
 
     @classmethod
     def build(cls, rfs: OpBase):
         import jax
         import jax.numpy as jnp
-        _ind, _outd, _fd, sy, sx, py, px, _relu = conv_params(rfs)
+        sy, sx, py, px = _bck_conv_params(rfs)
 
         from .sgemm import _dot_precision
 
@@ -60,7 +71,7 @@ class BckConv(KernelTemplate):
 
     @classmethod
     def ref_impl(cls, rfs: OpBase, x, w, og):
-        _ind, _outd, _fd, sy, sx, py, px, _relu = conv_params(rfs)
+        sy, sx, py, px = _bck_conv_params(rfs)
         x = np.asarray(x, np.float64)
         w = np.asarray(w, np.float64)
         og = np.asarray(og, np.float64)

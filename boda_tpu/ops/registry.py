@@ -189,13 +189,17 @@ class Codegen:
         # content-hash instance names: stable across Codegen objects sharing
         # one backend (a counter would collide with previously-compiled funcs)
         inst = f"{tname}__{hashlib.sha256(repr(key).encode()).hexdigest()[:12]}"
+        kind = getattr(self.backend, "kind", "xla")
         with timer("gen_func"):
-            if getattr(self.backend, "kind", "xla") == "ref":
+            if kind == "ref":
                 fn = _bind_ref(tmpl, rfs)
+            elif kind == "remote":
+                fn = None  # built worker-side from the shipped signature
             else:
                 fn = tmpl.build(rfs)
         cf = CompiledFunc(inst, fn, tmpl.in_args(), tmpl.out_args(), tmpl.io_args(),
                           flops=tmpl.flops(rfs))
+        cf.sig_meta = (tname, rfs)
         cf.in_specs = [(a.name, rfs.get_dims(a.name)) for a in tmpl.args
                        if a.kind in (IN, INOUT) and a.name in rfs.nda_vals]
         self.compile_pend_list.append(cf)
