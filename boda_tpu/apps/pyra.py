@@ -61,12 +61,26 @@ def calc_pyra_scales(in_sz: Pt, interval: int = 3, min_sz: int = 16,
     return scales
 
 
-def blf_place(sizes: list[Pt], bin_sz: Pt, pad: Pt) -> list[tuple[int, Box]]:
+def blf_place(sizes: list[Pt], bin_sz: Pt, pad: Pt,
+              impl: str = "auto") -> list[tuple[int, Box]]:
     """Bottom-left-fill packing: place each (pre-sorted descending) rect in
     the first bin position that fits; open new bins as needed. Returns
     (bin_ix, box) per input rect (in input order). Each placed rect
     reserves `pad` on its +y/+x sides (support padding so net receptive
-    fields don't mix scales)."""
+    fields don't mix scales). impl='auto' uses the native placement core
+    (csrc/blf_pack.cc) when built; semantics are pinned identical by
+    differential tests."""
+    if impl != "py":
+        from ..utils.cpplib import cpp_available, cpp_blf_place
+        if impl == "cpp" or (impl == "auto" and cpp_available()):
+            for sz in sizes:
+                if sz.y > bin_sz.y or sz.x > bin_sz.x:
+                    raise RtErr(f"blf_place: rect {sz} larger than bin {bin_sz}")
+            _nb, flat = cpp_blf_place([(s.y, s.x) for s in sizes],
+                                      (bin_sz.y, bin_sz.x), (pad.y, pad.x))
+            return [(int(bi), Box(Pt(int(y), int(x)),
+                                  Pt(int(y) + sizes[i].y, int(x) + sizes[i].x)))
+                    for i, (bi, y, x) in enumerate(flat)]
     order = sorted(range(len(sizes)), key=lambda i: (-sizes[i].y * sizes[i].x, i))
     bins: list[list[Box]] = []  # placed (padded) boxes per bin
     cands: list[list[Pt]] = []  # candidate corners per bin

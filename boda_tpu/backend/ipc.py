@@ -199,7 +199,8 @@ class IpcBackend(Backend):
     def quit_worker(self) -> None:
         try:
             self.stream.write_frame(_pack(_hdr("quit")))
-            self.stream.close()
+            self.stream.read_frame()  # wait for 'bye' so the worker's reply
+            self.stream.close()       # write never hits a closed stream
         except Exception:
             pass
         if self._proc is not None:

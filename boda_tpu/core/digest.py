@@ -90,8 +90,14 @@ class Digest:
         return None
 
 
-def nda_digest(x, dims: Optional[Dims] = None, self_cmp_mrd: float = 0.0) -> Digest:
-    """Digest a tensor (NDA, numpy, or jax array)."""
+def nda_digest(x, dims: Optional[Dims] = None, self_cmp_mrd: float = 0.0,
+               impl: str = "py") -> Digest:
+    """Digest a tensor (NDA, numpy, or jax array).
+
+    impl='cpp' uses the native kernel (csrc/nda_digest.cc). The qhash is
+    byte-identical across impls; avg/rms may differ in the last ulp
+    (pairwise-summation order), so golden digest files should always be
+    produced by one impl — the default stays 'py'."""
     if isinstance(x, NDA):
         dims = dims or x.dims
         v = x.v
@@ -103,6 +109,10 @@ def nda_digest(x, dims: Optional[Dims] = None, self_cmp_mrd: float = 0.0) -> Dig
     cnt = fv.size
     if cnt == 0:
         return Digest(dims, 0, 0.0, 0.0, 0.0, 0.0, "empty", self_cmp_mrd)
+    if impl == "cpp":
+        from ..utils.cpplib import cpp_nda_digest_stats
+        vmin, vmax, avg, rms, qhash = cpp_nda_digest_stats(fv)
+        return Digest(dims, cnt, vmin, vmax, avg, rms, qhash, self_cmp_mrd)
     vmin = float(fv.min())
     vmax = float(fv.max())
     avg = float(fv.mean())

@@ -28,6 +28,8 @@ def is_feature_enabled(name: str) -> bool:
         return importlib.util.find_spec("lmdb") is not None
     if name == "protobuf":
         return importlib.util.find_spec("google.protobuf") is not None
+    if name == "zmq":
+        return importlib.util.find_spec("zmq") is not None
     if name == "cpp":  # native C++ core library built and loadable
         from ..utils.cpplib import cpp_available
         return cpp_available()
@@ -35,5 +37,5 @@ def is_feature_enabled(name: str) -> bool:
 
 
 def enabled_features() -> list[str]:
-    return [f for f in ("xla", "tpu", "pallas", "pil", "lmdb", "protobuf", "cpp")
+    return [f for f in ("xla", "tpu", "pallas", "pil", "lmdb", "protobuf", "cpp", "zmq")
             if is_feature_enabled(f)]

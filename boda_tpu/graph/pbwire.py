@@ -70,6 +70,12 @@ class WireNode:
             return np.zeros(0, np.float32)
         return np.concatenate(chunks)
 
+    def bytes_field(self, fno: int, default: bytes = b"") -> bytes:
+        vs = self.fields.get(fno)
+        if not vs:
+            return default
+        return vs[0][1]
+
     def string(self, fno: int, default=None):
         vs = self.fields.get(fno)
         if not vs:

@@ -39,6 +39,21 @@ def load_img(path: Union[str, Path]) -> np.ndarray:
     return np.asarray(im.convert("RGB"))
 
 
+def decode_img_bytes(raw: bytes) -> np.ndarray:
+    """Decode an encoded image (JPEG/PNG/...) from memory → RGB (y,x,3)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        raise RtErr("image IO requires PIL (feature 'pil' disabled)")
+    import io
+    try:
+        im = Image.open(io.BytesIO(raw))
+        im.load()
+    except Exception as e:
+        raise RtErr(f"failed to decode image bytes: {e}")
+    return np.asarray(im.convert("RGB"))
+
+
 def save_img(path: Union[str, Path], img: np.ndarray) -> None:
     from PIL import Image
     Image.fromarray(np.asarray(img, np.uint8)).save(str(path))

@@ -337,7 +337,25 @@ def build_googlenet_conv(batch: int = 1, ysz: int = 224, xsz: int = 224,
     return b.done()
 
 
+def build_mini(batch: int = 1, ysz: int = 32, xsz: int = 32,
+               n_classes: int = 10) -> ConvPipe:
+    """Tiny NiN-style all-conv net for fast CLI/harness tests (fills the
+    small-test-model slot the reference populated with downloaded
+    fc-to-conv-converted caffemodels)."""
+    b = NetBuilder("mini", batch, 3, ysz, xsz)
+    b.conv("conv1", 16, 5, 2, 2)
+    b.conv("cccp1", 16, 1)
+    b.pool("pool1", 3, 2)
+    b.conv("conv2", 16, 3, 1, 1)
+    b.dropout("drop")
+    b.conv("fc-conv", n_classes, 1, relu=False)
+    b.pool("gpool", 0, 1, avg=True, global_=True)
+    b.softmax("prob")
+    return b.done(seed=42)
+
+
 MODEL_BUILDERS = {
+    "mini": build_mini,
     "nin_imagenet_nopad": lambda **kw: build_nin(pad=False, **kw),
     "nin_imagenet": lambda **kw: build_nin(pad=True, **kw),
     "alexnet_ng_conv": build_alexnet_ng_conv,

@@ -10,6 +10,9 @@ _MODE_MODULES = [
     "boda_tpu.backend.ipc",      # ipc_compute_worker, cs_test_master
     "boda_tpu.graph.modes",      # conv_ana, cnet_ana, net surgery
     "boda_tpu.apps.run_cnet",    # run_cnet, cnet_predict
+    "boda_tpu.io.data_stream",   # scan_data_stream + stream stages
+    "boda_tpu.apps.zmq_serve",   # zmq detection/classification service
+    "boda_tpu.apps.eval_cls",    # test_lmdb accuracy eval + labeled sources
     "boda_tpu.tune.prof",        # ops_prof
     "boda_tpu.tune.wisdom_modes",  # wis_merge, wis_ana
     "boda_tpu.tune.opinfo",      # cnn_op_info

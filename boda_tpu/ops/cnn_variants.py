@@ -36,6 +36,9 @@ class OpTune(Config):
     Nb = Attr(int, default=0, help="matmul N block (0=auto)")
     Kb = Attr(int, default=0, help="matmul K block (0=auto)")
     prec = Attr(str, default="", help="'' (f32) or 'bf16' compute precision")
+    layout = Attr(str, default="", help="'' (nchw) or 'nhwc' internal conv "
+                  "layout (TPU prefers feature-minor; transposes at op edges "
+                  "cancel inside the fused XLA program)")
 
     def to_lexp(self) -> Lexp:
         l = Lexp.empty_list()
@@ -48,6 +51,8 @@ class OpTune(Config):
                 l.add_key_val(k, str(getattr(self, k)))
         if self.prec:
             l.add_key_val("prec", self.prec)
+        if self.layout:
+            l.add_key_val("layout", self.layout)
         return l
 
     def __str__(self):
@@ -115,6 +120,8 @@ def add_cnn_codegen_annotations(op: OpBase, tune: OpTune,
             op.set_dims("work", Dims.make(tn="none", Mb=t.Mb, Nb=t.Nb, Kb=t.Kb))
         if t.prec:
             op.str_vals["prec"] = t.prec
+        if t.layout:
+            op.str_vals["layout"] = t.layout
     elif op.type == "InnerProduct":
         op.set_func_name("ipconv" if t.ipconv else "xla_conv")
         if t.prec:
@@ -123,6 +130,8 @@ def add_cnn_codegen_annotations(op: OpBase, tune: OpTune,
         fn = _SIMPLE_TEMPLATE.get(op.type)
         if fn is not None:
             op.set_func_name(fn)
+        if t.layout and op.type in ("Pooling", "LRN"):
+            op.str_vals["layout"] = t.layout
 
 
 def add_codegen_annotations(op: OpBase, tune: OpTune) -> None:

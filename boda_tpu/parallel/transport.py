@@ -75,10 +75,18 @@ class Stream:
                         pass
 
 
-def make_stream(addr: str, is_server: bool = False) -> Stream:
+def make_stream(addr: str, is_server: bool = False, impl: str = "auto"):
     """Open a stream by address string (reference syntax family):
-    fds:R:W | fns:rfifo:wfifo | tcp:host:port | tcp-listen:port"""
+    fds:R:W | fns:rfifo:wfifo | tcp:host:port | tcp-listen:port
+
+    impl: 'auto' uses the native transport (csrc/stream.cc) when built,
+    'py'/'cpp' force one side; the wire format is identical so mixed
+    peers interoperate."""
     method, _, rest = addr.partition(":")
+    if impl != "py" and method in ("fds", "fns", "tcp", "tcp-listen"):
+        from ..utils.cpplib import CppStream, cpp_available
+        if impl == "cpp" or (impl == "auto" and cpp_available()):
+            return CppStream(addr, is_server=is_server)
     if method == "fds":
         r, w = rest.split(":")
         return Stream(rfd=int(r), wfd=int(w))

@@ -1,0 +1,148 @@
+"""Data-stream framework tests (reference: data-stream.{H,cc} composable
+stage semantics — sources get empty blocks, invalid block = EOF, seek,
+start-stop-skip/merge/sync/fold/flatten/batch combinators)."""
+
+import numpy as np
+import pytest
+
+from boda_tpu.core.error import RtErr
+from boda_tpu.io.data_stream import (DataBlock, make_data_stream,
+                                     read_all_blocks)
+
+
+def spec(s):
+    ds = make_data_stream(s)
+    return ds
+
+
+def test_test_gen_and_eof():
+    ds = spec("(mode=test-gen,num=3,sz=4)")
+    bs = read_all_blocks(ds)
+    assert len(bs) == 3
+    assert bs[0].nda.v.tolist() == [0, 1, 2, 3]
+    assert bs[2].nda.v[0] == 200.0
+    assert [b.timestamp_ns for b in bs] == [0, 1000, 2000]
+    # post-EOF reads stay invalid
+    assert not ds.proc_block(DataBlock()).valid()
+
+
+def test_start_stop_skip():
+    ds = spec("(mode=start-stop-skip,src=(mode=test-gen,num=10),"
+              "start_block=2,skip_blocks=1,num_to_read=3)")
+    bs = read_all_blocks(ds)
+    assert [b.frame_ix for b in bs] == [2, 4, 6]
+
+
+def test_text_and_csv_src(tmp_path):
+    fn = tmp_path / "x.txt"
+    fn.write_text("hello\nworld\n")
+    bs = read_all_blocks(spec(f"(mode=text-src,fn={fn})"))
+    assert len(bs) == 2
+    assert bytes(bs[0].nda.v.tobytes()) == b"hello"
+    cfn = tmp_path / "x.csv"
+    cfn.write_text("a,b,c\n1,2,3\n4,5,6\n")
+    bs = read_all_blocks(spec(f"(mode=csv-src,fn={cfn},skip_rows=1)"))
+    assert len(bs) == 2
+    assert bs[1].nda.v.tolist() == [4.0, 5.0, 6.0]
+
+
+def test_raw_file_src_and_seek(tmp_path):
+    fn = tmp_path / "r.bin"
+    fn.write_bytes(bytes(range(32)))
+    ds = spec(f"(mode=raw-file-src,fn={fn},frame_sz=8)")
+    bs = read_all_blocks(ds)
+    assert len(bs) == 4 and bs[1].nda.v[0] == 8
+    assert ds.seek_to_block(2)
+    b = ds.proc_block(DataBlock())
+    assert b.frame_ix == 2 and b.nda.v[0] == 16
+    with pytest.raises(RtErr, match="not a multiple"):
+        make_data_stream(f"(mode=raw-file-src,fn={fn},frame_sz=7)")
+
+
+def test_merge_and_flatten():
+    ds = spec("(mode=merge,srcs=((mode=test-gen,num=3,tag=a),"
+              "(mode=test-gen,num=5,tag=b)))")
+    bs = read_all_blocks(ds)
+    assert len(bs) == 3  # shortest source ends the merge
+    assert set(bs[0].named) == {"a", "b"}
+    flat = read_all_blocks(spec(
+        "(mode=flatten,src=(mode=merge,srcs=((mode=test-gen,num=2,tag=a),"
+        "(mode=test-gen,num=2,tag=b))))"))
+    assert [b.tag for b in flat] == ["a", "b", "a", "b"]
+
+
+def test_ts_merge_orders_by_timestamp():
+    ds = spec("(mode=ts-merge,srcs=((mode=test-gen,num=3,dt_ns=1000,t0_ns=500),"
+              "(mode=test-gen,num=3,dt_ns=1000,t0_ns=0)))")
+    bs = read_all_blocks(ds)
+    ts = [b.timestamp_ns for b in bs]
+    assert ts == sorted(ts) == [0, 500, 1000, 1500, 2000, 2500]
+
+
+def test_sync_nearest_timestamp():
+    # secondary at 0,1000,2000,... primary at 100,1100,...: nearest matches
+    ds = spec("(mode=sync,primary=(mode=test-gen,num=3,dt_ns=1000,t0_ns=100,"
+              "tag=p),secondary=((mode=test-gen,num=10,dt_ns=1000,tag=s)),"
+              "max_delta_ns=200)")
+    bs = read_all_blocks(ds)
+    assert len(bs) == 3
+    for b in bs:
+        assert abs(b.get_sdb("s").timestamp_ns - b.timestamp_ns) <= 200
+
+
+def test_fold_and_sort():
+    bs = read_all_blocks(spec("(mode=fold,src=(mode=test-gen,num=5),n=2)"))
+    assert [b.num_subblocks() for b in bs] == [2, 2, 1]
+    # sort a deliberately interleaved ts-stream
+    bs = read_all_blocks(spec(
+        "(mode=sort-by-ts,window=8,src=(mode=merge,srcs="
+        "((mode=test-gen,num=3,t0_ns=900),(mode=test-gen,num=3,t0_ns=0))))"))
+    # merge makes composite blocks; just check it runs and yields 3
+    assert len(bs) == 3
+
+
+def test_stamp_and_crop():
+    ds = spec("(mode=pipe,stages=((mode=test-gen,num=2,sz=4),"
+              "(mode=stamp,t0_ns=77,dt_ns=3)))")
+    bs = read_all_blocks(ds)
+    assert [b.timestamp_ns for b in bs] == [77, 80]
+
+
+def test_batch_stacks_blocks():
+    ds = spec("(mode=batch,src=(mode=test-gen,num=7,sz=4),n=3)")
+    bs = read_all_blocks(ds)
+    assert len(bs) == 2  # 7//3, partial dropped
+    assert bs[0].nda.dims.names()[0] == "img"
+    assert bs[0].nda.v.shape == (3, 4)
+    np.testing.assert_array_equal(bs[1].nda.v[0],
+                                  np.arange(4, dtype=np.float32) + 300.0)
+
+
+def test_sinks(tmp_path):
+    out = tmp_path / "o.txt"
+    ds = spec(f"(mode=pipe,stages=((mode=test-gen,num=2),"
+              f"(mode=text-sink,fn={out})))")
+    read_all_blocks(ds)
+    lines = out.read_text().splitlines()
+    assert len(lines) == 2 and "tag=test-gen" in lines[0]
+    npy = tmp_path / "o.npy"
+    ds = spec(f"(mode=pipe,stages=((mode=test-gen,num=3,sz=2),"
+              f"(mode=npy-sink,fn={npy})))")
+    read_all_blocks(ds)
+    ds.proc_block(DataBlock())  # EOF propagates to sink -> save
+    assert np.load(npy).shape == (3, 2)
+
+
+def test_scan_mode(capsys, tmp_path):
+    from boda_tpu.core.has_main import create_and_run_has_main
+    create_and_run_has_main(
+        "(mode=scan_data_stream,stream=(mode=test-gen,num=3,sz=8))",
+        global_vars={})
+    out = capsys.readouterr().out
+    assert "block[2]:" in out
+    assert "scan-data-stream: 3 blocks, 96 bytes" in out
+
+
+def test_unknown_stream_mode_err():
+    with pytest.raises(RtErr, match="unknown mode"):
+        make_data_stream("(mode=nonexistent-stream)")
