@@ -27,6 +27,12 @@ from ..graph.modes import _NetMode
 class RunCnetBase(_NetMode):
     conv_fwd = Attr(ConvFwd, default="rtc", help="execution engine")
     out_node = Attr(str, default="", help="output node (default: single top)")
+    enable_upsamp_net = Attr(bool, default=False,
+                             help="also build the 2x-upsampled companion "
+                                  "net (folded first-conv filters; "
+                                  "caffeif.cc:185-236)")
+    conv_fwd_upsamp = Attr(ConvFwd, default="rtc",
+                           help="engine for the companion net")
 
     def setup_cnet(self):
         from ..graph.modes import _load_pipe
@@ -34,6 +40,10 @@ class RunCnetBase(_NetMode):
             self.pipe = _load_pipe(self)
             self.pipe.out_node_name = self.out_node
             self.conv_fwd.init(self.pipe)
+            if self.enable_upsamp_net:
+                from ..models.upsamp import make_upsamp_pipe
+                self.pipe_upsamp = make_upsamp_pipe(self.pipe)
+                self.conv_fwd_upsamp.init(self.pipe_upsamp)
         return self.pipe
 
     def run_one_blob_in_one_blob_out(self, blob: NDA) -> NDA:
@@ -42,6 +52,12 @@ class RunCnetBase(_NetMode):
         data_node = self.pipe.data_img_node_names[0]
         top = self.pipe.get_single_top_node().name
         return self.conv_fwd.run_fwd({data_node: blob}, [top])[top]
+
+    def run_one_blob_in_one_blob_out_upsamp(self, blob: NDA) -> NDA:
+        """reference: run_one_blob_in_one_blob_out_upsamp (caffeif.cc:105)."""
+        data_node = self.pipe_upsamp.data_img_node_names[0]
+        top = self.pipe_upsamp.get_single_top_node().name
+        return self.conv_fwd_upsamp.run_fwd({data_node: blob}, [top])[top]
 
 
 @mode("run_cnet", help="load a net and run one forward pass")

@@ -1,0 +1,195 @@
+"""Display / visualization layer (file-backed).
+
+Capability parity with the reference's viz stack — disp_util.cc (SDL2
+window + annotation overlays, disp_util.H:63-110), font-util.cc
+(stb_truetype text), data-to-img.cc (nda→image heatmaps) — re-targeted at
+files: no SDL in a TPU-VM image, so "display" renders annotated frames /
+montages to PNGs (the same annos drive both). Modes `display_test` and
+`display_pil` mirror disp_app.cc:19,48; stream stages `data-to-img` and
+`img-sink` mirror data-to-img.cc and the dumpvideo sink.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..core.config import Attr
+from ..core.error import RtErr
+from ..core.geom import Box, Pt
+from ..core.has_main import HasMain, mode
+from .data_stream import DataBlock, DataStream, register
+from .img import save_img
+
+# anno = (box(y0,x0,y1,x1) in pixel coords, label string, rgb tuple)
+DEFAULT_COLORS = [(255, 64, 64), (64, 255, 64), (64, 128, 255),
+                  (255, 255, 64), (255, 64, 255), (64, 255, 255)]
+
+
+def annotate_img(img: np.ndarray, annos: list) -> np.ndarray:
+    """Draw boxes + labels onto an RGB uint8 image (reference: the
+    disp_win_t annotation overlay path). annos: [(Box|tuple, label, rgb?)]."""
+    try:
+        from PIL import Image, ImageDraw
+    except ImportError:
+        raise RtErr("annotate_img requires PIL (feature 'pil' disabled)")
+    im = Image.fromarray(np.asarray(img, np.uint8)).convert("RGB")
+    dr = ImageDraw.Draw(im)
+    for i, anno in enumerate(annos):
+        box = anno[0]
+        label = anno[1] if len(anno) > 1 else ""
+        color = anno[2] if len(anno) > 2 else DEFAULT_COLORS[i % len(DEFAULT_COLORS)]
+        if isinstance(box, Box):
+            x0, y0, x1, y1 = box.p0.x, box.p0.y, box.p1.x, box.p1.y
+        else:
+            y0, x0, y1, x1 = box
+        x1 = max(x1, x0 + 1)
+        y1 = max(y1, y0 + 1)
+        dr.rectangle([x0, y0, x1, y1], outline=tuple(color), width=2)
+        if label:
+            dr.text((x0 + 2, max(y0 - 11, 0)), str(label), fill=tuple(color))
+    return np.asarray(im)
+
+
+def make_montage(imgs: list[np.ndarray], pad: int = 2,
+                 bg: int = 32) -> np.ndarray:
+    """Tile images into a near-square grid (the multi-image disp window)."""
+    if not imgs:
+        raise RtErr("make_montage: no images")
+    n = len(imgs)
+    cols = int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    ch = max(i.shape[0] for i in imgs)
+    cw = max(i.shape[1] for i in imgs)
+    out = np.full((rows * (ch + pad) + pad, cols * (cw + pad) + pad, 3), bg,
+                  np.uint8)
+    for k, im in enumerate(imgs):
+        r, c = divmod(k, cols)
+        y = pad + r * (ch + pad)
+        x = pad + c * (cw + pad)
+        out[y:y + im.shape[0], x:x + im.shape[1]] = np.asarray(im, np.uint8)
+    return out
+
+
+def nda_to_img(v: np.ndarray, mode: str = "gray") -> np.ndarray:
+    """Render a 2-D (or collapsible) float array as an RGB uint8 heatmap
+    (reference: data-to-img.cc nda→image viz)."""
+    v = np.asarray(v, np.float64)
+    while v.ndim > 2:
+        v = v.mean(axis=0)
+    if v.ndim == 1:
+        v = v[None, :]
+    lo, hi = float(v.min()), float(v.max())
+    norm = (v - lo) / (hi - lo) if hi > lo else np.zeros_like(v)
+    g = (norm * 255).astype(np.uint8)
+    if mode == "gray":
+        return np.stack([g, g, g], axis=-1)
+    # simple blue->red colormap
+    r = g
+    b = 255 - g
+    gr = (255 - np.abs(g.astype(np.int32) - 128) * 2).clip(0, 255).astype(np.uint8)
+    return np.stack([r, gr, b], axis=-1)
+
+
+@mode("display_test", help="render moving-box test frames to PNGs")
+class DisplayTest(HasMain):
+    """Reference: display_test (disp_app.cc:19) — synthetic frames with
+    moving annotations; here written to out_dir as frame_NNN.png."""
+
+    out_dir = Attr(str, req=True)
+    num_frames = Attr(int, default=4)
+    sz = Attr(int, default=128)
+
+    def main(self):
+        out = Path(self.out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        for f in range(self.num_frames):
+            img = np.zeros((self.sz, self.sz, 3), np.uint8)
+            img[:, :, 2] = np.linspace(0, 200, self.sz, dtype=np.uint8)[None, :]
+            p = 8 + f * (self.sz - 48) // max(self.num_frames - 1, 1)
+            ann = [((p, p, p + 32, p + 32), f"f{f}")]
+            save_img(out / f"frame_{f:03d}.png", annotate_img(img, ann))
+        print(f"display_test: wrote {self.num_frames} frames to {out}")
+
+
+@mode("display_pil", help="render PASCAL image-list images + GT boxes to PNGs")
+class DisplayPil(HasMain):
+    """Reference: display_pil (disp_app.cc:48) — cycle a PASCAL image DB
+    with ground-truth annotations."""
+
+    imgset_fn = Attr(str, req=True, help="image-set list file")
+    ann_dir = Attr(str, default="", help="VOC annotations dir")
+    img_dir = Attr(str, req=True, help="image files dir")
+    out_dir = Attr(str, req=True)
+    max_imgs = Attr(int, default=8)
+
+    def main(self):
+        from ..apps.score import load_pil
+        from .img import load_img
+        db = load_pil(self.imgset_fn, self.ann_dir or None)
+        out = Path(self.out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        n = 0
+        for img_id, info in sorted(db.items()):
+            if n >= self.max_imgs:
+                break
+            img_fn = Path(self.img_dir) / f"{img_id}.jpg"
+            if not img_fn.exists():
+                img_fn = Path(self.img_dir) / f"{img_id}.png"
+            if not img_fn.exists():
+                continue
+            img = load_img(img_fn)
+            annos = []
+            for cls, gts in info.gt.items():
+                for g in gts:
+                    x0, y0, x1, y1 = g.box
+                    annos.append(((y0, x0, y1, x1), cls))
+            save_img(out / f"{img_id}.png", annotate_img(img, annos))
+            n += 1
+        print(f"display_pil: wrote {n} annotated images to {out}")
+
+
+# ---- stream stages ----
+
+@register(DataStream, "data-to-img",
+          help="convert nda blocks to RGB heatmap image blocks")
+class DataToImg(DataStream):
+    cmap = Attr(str, default="gray", help="gray | heat")
+
+    def proc_block(self, db: DataBlock) -> DataBlock:
+        if db.valid() and db.nda is not None:
+            from ..core.dims import NDA, Dims
+            img = nda_to_img(db.nda.v, self.cmap)
+            dims = Dims([("y", img.shape[0]), ("x", img.shape[1]),
+                         ("chan", 3)], tn="uint8_t")
+            db = db.clone()
+            db.nda = NDA(dims, img)
+            db.meta = "image"
+        return db
+
+    def get_pos_info_str(self) -> str:
+        return "data-to-img"
+
+
+@register(DataStream, "img-sink",
+          help="write image blocks as numbered PNGs (dumpvideo role)")
+class ImgSink(DataStream):
+    out_dir = Attr(str, req=True)
+    prefix = Attr(str, default="img")
+
+    def data_stream_init(self):
+        self._n = 0
+        Path(self.out_dir).mkdir(parents=True, exist_ok=True)
+
+    def proc_block(self, db: DataBlock) -> DataBlock:
+        if db.valid() and db.nda is not None:
+            v = db.nda.v
+            if v.ndim == 3 and v.shape[-1] == 3:
+                save_img(Path(self.out_dir) / f"{self.prefix}_{self._n:05d}.png", v)
+                self._n += 1
+        return db
+
+    def get_pos_info_str(self) -> str:
+        return f"img-sink: wrote {self._n}"

@@ -13,6 +13,7 @@ _MODE_MODULES = [
     "boda_tpu.io.data_stream",   # scan_data_stream + stream stages
     "boda_tpu.apps.zmq_serve",   # zmq detection/classification service
     "boda_tpu.apps.eval_cls",    # test_lmdb accuracy eval + labeled sources
+    "boda_tpu.io.disp",          # display_test/display_pil + viz stages
     "boda_tpu.tune.prof",        # ops_prof
     "boda_tpu.tune.wisdom_modes",  # wis_merge, wis_ana
     "boda_tpu.tune.opinfo",      # cnn_op_info
