@@ -92,6 +92,12 @@ class RtcFwd(ConvFwd):
     keep_all_nodes = Attr(bool, default=False,
                           help="fused mode: keep every intermediate node "
                                "fetchable (for digest comparison; disables DCE)")
+    mesh_dp = Attr(int, default=0,
+                   help="data-parallel mesh size: shard the batch (img dim) "
+                        "over this many devices (0 = single device)")
+    mesh_mp = Attr(int, default=1,
+                   help="model-parallel mesh size: shard conv/fc out_chans "
+                        "over this many devices")
 
     def init(self, pipe: ConvPipe) -> None:
         self.pipe = pipe
@@ -248,6 +254,18 @@ class RtcFwd(ConvFwd):
         self._fused_fn = jax.jit(fwd)
         self._weights = {n: self.pipe.op_params[n].v for n in weight_nodes
                          if n in self.pipe.op_params}
+        # mesh execution: commit weights with named shardings; jit follows
+        # committed input shardings, GSPMD inserts the ICI collectives
+        self._mesh = None
+        self._in_sh = None
+        if self.mesh_dp:
+            from ..parallel.mesh import make_mesh, plan_shardings
+            self._mesh = make_mesh(n_devices=self.mesh_dp * self.mesh_mp,
+                                   dp=self.mesh_dp, mp=self.mesh_mp)
+            self._in_sh, w_sh = plan_shardings(self.plan, self._mesh,
+                                               shard_weights=self.mesh_mp > 1)
+            self._weights = {n: jax.device_put(v, w_sh[n])
+                             for n, v in self._weights.items()}
         missing = [n for n in weight_nodes if n not in self.pipe.op_params]
         if missing:
             raise RtErr(f"rtc_fwd init: missing weights for {sorted(missing)}")
@@ -272,6 +290,11 @@ class RtcFwd(ConvFwd):
             self._init_fused()
         with timer("run_fwd"):
             inputs = {k: v.v for k, v in to_set.items()}
+            if self._in_sh is not None:
+                import jax
+                inputs = {k: jax.device_put(v, self._in_sh[k])
+                          if k in self._in_sh else v
+                          for k, v in inputs.items()}
             t0 = time.perf_counter()
             outs, stats = self._fused_fn(inputs, self._weights)
             outs = {k: np.asarray(v) for k, v in outs.items()}

@@ -125,3 +125,14 @@ def test_stats_and_quantize():
     q = eq.run_fwd(data_for(pipe), ["prob"])["prob"].v
     base = run_engine("(engine=rtc,fuse=1)", pipe)["prob"].v
     assert not np.allclose(q, base)
+
+
+def test_mesh_sharded_inference():
+    """DP(+MP) sharded fused inference over the virtual 8-device CPU mesh
+    matches single-device output (SURVEY §2.8 TPU-native plan)."""
+    pipe = small_nin(batch=8)
+    single = run_engine("(engine=rtc,fuse=1)", pipe)["prob"].v
+    dp = run_engine("(engine=rtc,fuse=1,mesh_dp=8)", pipe)["prob"].v
+    assert mrd(single, dp) < 1e-5, f"dp mrd={mrd(single, dp)}"
+    dpmp = run_engine("(engine=rtc,fuse=1,mesh_dp=4,mesh_mp=2)", pipe)["prob"].v
+    assert mrd(single, dpmp) < 1e-5, f"dp+mp mrd={mrd(single, dpmp)}"
