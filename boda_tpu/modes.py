@@ -15,11 +15,11 @@ _MODE_MODULES = [
     "boda_tpu.apps.eval_cls",    # test_lmdb accuracy eval + labeled sources
     "boda_tpu.io.disp",          # display_test/display_pil + viz stages
     "boda_tpu.tune.prof",        # ops_prof
+    "boda_tpu.tune.plots",       # roofline_plot, wis_plot, op_eff_plot
     "boda_tpu.tune.wisdom_modes",  # wis_merge, wis_ana
     "boda_tpu.tune.opinfo",      # cnn_op_info
     "boda_tpu.apps.pyra",        # blf_pack/conv_pyra
     "boda_tpu.apps.score",       # PASCAL scoring
-    "boda_tpu.io.stream_modes",  # scan-data-stream etc.
     "boda_tpu.testing.modes",    # test_cmds etc.
 ]
 

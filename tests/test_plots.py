@@ -1,0 +1,38 @@
+"""Plot-mode tests (reference: pysrc roofline_plot.py / op-eff-plot.py /
+wis-plot.py). Checks PNG artifacts are produced; rendering details are not
+golden-diffed."""
+
+import pytest
+
+pytest.importorskip("matplotlib")
+
+from boda_tpu.core.has_main import create_and_run_has_main  # noqa: E402
+
+
+def test_roofline_plot_bound_only(tmp_path, capsys):
+    create_and_run_has_main(
+        f"(mode=roofline_plot,ops_fn=tests/data/ops/conv-tiny.txt,"
+        f"out_fn={tmp_path}/roof.png)", {})
+    assert "roofline_plot:" in capsys.readouterr().out
+    assert (tmp_path / "roof.png").stat().st_size > 1000
+
+
+def test_wis_plot(tmp_path, capsys):
+    from boda_tpu.ops.op_base import OpBase
+    from boda_tpu.tune.wisdom import OpWisdom, write_wisdom_file
+    ws = []
+    for n in (64, 128):
+        op = OpBase({"type": "sgemm", "func_name": "sgemm"})
+        op.set_u32("M", n)
+        w = OpWisdom(op)
+        tw = w.tune("(Mb=128)")
+        tw.add_run("tpu:v5e", 1e-4 * n)
+        tw.add_run("cpu:interp", 1e-2 * n)
+        ws.append(w)
+    fn = tmp_path / "t.wis"
+    write_wisdom_file(fn, ws)
+    create_and_run_has_main(
+        f"(mode=wis_plot,wis_fn={fn},out_fn={tmp_path}/wis.png)", {})
+    out = capsys.readouterr().out
+    assert "2 ops" in out and "2 series" in out
+    assert (tmp_path / "wis.png").stat().st_size > 1000
