@@ -103,7 +103,7 @@ class DisplayTest(HasMain):
     sz = Attr(int, default=128)
 
     def main(self):
-        out = Path(self.out_dir)
+        out = self.out_path(self.out_dir)
         out.mkdir(parents=True, exist_ok=True)
         for f in range(self.num_frames):
             img = np.zeros((self.sz, self.sz, 3), np.uint8)
@@ -111,7 +111,7 @@ class DisplayTest(HasMain):
             p = 8 + f * (self.sz - 48) // max(self.num_frames - 1, 1)
             ann = [((p, p, p + 32, p + 32), f"f{f}")]
             save_img(out / f"frame_{f:03d}.png", annotate_img(img, ann))
-        print(f"display_test: wrote {self.num_frames} frames to {out}")
+        print(f"display_test: wrote {self.num_frames} frames to {self.out_dir}")
 
 
 @mode("display_pil", help="render PASCAL image-list images + GT boxes to PNGs")
@@ -129,7 +129,7 @@ class DisplayPil(HasMain):
         from ..apps.score import load_pil
         from .img import load_img
         db = load_pil(self.imgset_fn, self.ann_dir or None)
-        out = Path(self.out_dir)
+        out = self.out_path(self.out_dir)
         out.mkdir(parents=True, exist_ok=True)
         n = 0
         for img_id, info in sorted(db.items()):

@@ -124,7 +124,9 @@ def init_pipe_weights(pipe: ConvPipe, seed: int = 1234, mode: str = "msra") -> N
             node = pipe.must_get_node(bname)
             if node.dims is None or bname in pipe.op_params:
                 continue
-            rng = np.random.RandomState((seed + hash(bname) % (2 ** 31)) % (2 ** 31))
+            import zlib
+            # stable per-name seed: Python's hash() is salted per process
+            rng = np.random.RandomState((seed + zlib.crc32(bname.encode())) % (2 ** 31))
             if bname.endswith("_biases") or len(node.dims) == 1:
                 v = np.zeros(node.dims.shape, dtype=node.dims.dtype)
             else:

@@ -35,13 +35,22 @@ class Pool(KernelTemplate):
     name = "pool"
     args = [adecl("in", IN, "img chan y x"), adecl("out", OUT, "img chan y x")]
     sig_nda_keys = ["kern_sz", "stride", "in_pad"]
-    sig_str_keys = ["avg_pool"]
+    sig_str_keys = ["avg_pool", "layout"]
 
     @classmethod
     def build(cls, rfs: OpBase):
         import jax
         import jax.numpy as jnp
         ind, outd, ky, kx, sy, sx, py, px, avg = _params(rfs)
+        if rfs.str_vals.get("layout") == "nhwc":
+            # feature-minor windowing; wrapping transposes cancel against
+            # the adjacent NHWC convs inside the fused program
+            inner = cls._build_nhwc(rfs)
+
+            def fn_nhwc(x):
+                xh = jnp.transpose(x, (0, 2, 3, 1))
+                return jnp.transpose(inner(xh), (0, 3, 1, 2))
+            return fn_nhwc
         oy, ox = outd["y"], outd["x"]
         # pad enough for ceil-mode windows that extend past the padded edge
         need_y = (oy - 1) * sy + ky
@@ -72,6 +81,37 @@ class Pool(KernelTemplate):
                 m = jax.lax.reduce_window(xp, neg, jax.lax.max, (1, 1, ky, kx),
                                           (1, 1, sy, sx), "valid")
                 return m[:, :, :oy, :ox]
+        return fn
+
+    @classmethod
+    def _build_nhwc(cls, rfs: OpBase):
+        import jax
+        import jax.numpy as jnp
+        ind, outd, ky, kx, sy, sx, py, px, avg = _params(rfs)
+        oy, ox = outd["y"], outd["x"]
+        need_y = (oy - 1) * sy + ky
+        need_x = (ox - 1) * sx + kx
+        extra_y = max(0, need_y - (ind["y"] + 2 * py))
+        extra_x = max(0, need_x - (ind["x"] + 2 * px))
+        if avg:
+            H, W = ind["y"], ind["x"]
+            cy = np.array([min(yy * sy - py + ky, H + py) - (yy * sy - py) for yy in range(oy)])
+            cx = np.array([min(xx * sx - px + kx, W + px) - (xx * sx - px) for xx in range(ox)])
+            cnt = np.maximum(cy[:, None] * cx[None, :], 1).astype(ind.dtype)
+
+            def fn(xh):
+                xp = jnp.pad(xh, ((0, 0), (py, py + extra_y), (px, px + extra_x), (0, 0)))
+                s = jax.lax.reduce_window(xp, 0.0, jax.lax.add, (1, ky, kx, 1),
+                                          (1, sy, sx, 1), "valid")
+                return s[:, :oy, :ox, :] / jnp.asarray(cnt)[None, :, :, None]
+        else:
+            def fn(xh):
+                neg = -jnp.inf
+                xp = jnp.pad(xh, ((0, 0), (py, py + extra_y), (px, px + extra_x), (0, 0)),
+                             constant_values=neg)
+                m = jax.lax.reduce_window(xp, neg, jax.lax.max, (1, ky, kx, 1),
+                                          (1, sy, sx, 1), "valid")
+                return m[:, :oy, :ox, :]
         return fn
 
     @classmethod

@@ -100,7 +100,11 @@ class TestCmds(HasMain):
             if not line or line.startswith("#"):
                 continue
             spec = parse_lexp(line)
-            spec.deep_inc_use_cnt()
+            # mark only the spec's own keys used — the cmd subtree's use
+            # counts belong to the command's own unused-arg checking
+            spec.use_cnt += 1
+            for _n, v in spec.iter_kids():
+                v.use_cnt += 1
             name = spec.get_kid("test_name").leaf_val
             if self.filt and self.filt not in name:
                 continue
@@ -122,8 +126,19 @@ class TestCmds(HasMain):
             cmd.add_key_val("boda_output_dir", str(out_dir))
             n_run += 1
             got_err = None
+            # cap_out=1: archive the command's stdout as a golden file too
+            cap_out = spec.get_kid("cap_out")
+            cap = cap_out is not None and cap_out.leaf_val == "1"
             try:
-                create_and_run_has_main(cmd)
+                if cap:
+                    import contextlib
+                    import io
+                    buf = io.StringIO()
+                    with contextlib.redirect_stdout(buf):
+                        create_and_run_has_main(cmd)
+                    (out_dir / "__stdout__.txt").write_text(buf.getvalue())
+                else:
+                    create_and_run_has_main(cmd)
             except RtErr as e:
                 got_err = str(e)
             except Exception as e:  # pragma: no cover

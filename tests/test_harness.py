@@ -103,3 +103,14 @@ class _HrnEcho(HasMain):
             raise RtErr("echo failing as requested")
         if self.out_fn:
             self.out_path(self.out_fn).write_text(self.msg + "\n")
+
+
+def test_checked_in_cmds_suite(tmp_path):
+    """The shipped CLI regression suite (tests/cmds/base.txt) must pass
+    against its archived goldens (tests/good_tr/) — the reference's
+    test_cmds + good_tr workflow, checked in."""
+    from pathlib import Path
+    root = Path(__file__).resolve().parents[1]
+    run_mode(f"(mode=test_cmds,cmds_fn={root}/tests/cmds/base.txt,"
+             f"good_tr_dir={root}/tests/good_tr,"
+             f"boda_output_dir={tmp_path}/out)")
