@@ -375,6 +375,30 @@ class Pipe(DataStream):
         return " | ".join(s.get_pos_info_str() for s in self.stages)
 
 
+@register(DataStream, "seq", help="concatenate sources end-to-end")
+class Seq(DataStream):
+    srcs = Attr(list[DataStream], req=True)
+
+    def data_stream_init(self):
+        for s in self.srcs:
+            s.data_stream_init()
+        self._cur = 0
+        self._ix = 0
+
+    def proc_block(self, db: DataBlock) -> DataBlock:
+        while self._cur < len(self.srcs):
+            b = self.srcs[self._cur].proc_block(DataBlock())
+            if b.valid():
+                b.frame_ix = self._ix
+                self._ix += 1
+                return b
+            self._cur += 1
+        return DataBlock()
+
+    def get_pos_info_str(self) -> str:
+        return f"seq[{self._cur}/{len(self.srcs)}]"
+
+
 @register(DataStream, "pass", help="identity stage")
 class PassStream(DataStream):
     def proc_block(self, db: DataBlock) -> DataBlock:

@@ -381,16 +381,27 @@ class TestUpsamp(_NetMode):
 
 @mode("test_all", help="run the full test suite list")
 class TestAll(HasMain):
-    cmds_fns = Attr(list[str], default=None, help="test_cmds spec files to run")
+    cmds_fns = Attr(list[str], default=None,
+                    help="test_cmds spec files (default: the shipped "
+                         "tests/cmds/*.txt suites)")
+    good_tr_dir = Attr(str, default="", help="goldens dir (default: shipped "
+                                             "tests/good_tr)")
     run_slow = Attr(bool, default=False)
 
     def main(self):
+        fns = self.cmds_fns
+        good = self.good_tr_dir
+        if not fns:
+            root = Path(__file__).resolve().parents[2]
+            fns = sorted(str(p) for p in (root / "tests" / "cmds").glob("*.txt"))
+            good = good or str(root / "tests" / "good_tr")
         fails = []
-        for fn in self.cmds_fns or []:
+        for fn in fns:
             try:
+                gtd = f",good_tr_dir={good}" if good else ""
                 create_and_run_has_main(
-                    f"(mode=test_cmds,cmds_fn={fn},run_slow={int(self.run_slow)},"
-                    f"boda_output_dir={self.boda_output_dir})")
+                    f"(mode=test_cmds,cmds_fn={fn},run_slow={int(self.run_slow)}"
+                    f"{gtd},boda_output_dir={self.boda_output_dir})")
             except RtErr as e:
                 fails.append(f"{fn}: {e}")
         if fails:

@@ -146,3 +146,11 @@ def test_scan_mode(capsys, tmp_path):
 def test_unknown_stream_mode_err():
     with pytest.raises(RtErr, match="unknown mode"):
         make_data_stream("(mode=nonexistent-stream)")
+
+
+def test_seq_concatenates():
+    ds = spec("(mode=seq,srcs=((mode=test-gen,num=2,tag=a),"
+              "(mode=test-gen,num=3,tag=b)))")
+    bs = read_all_blocks(ds)
+    assert [b.tag for b in bs] == ["a", "a", "b", "b", "b"]
+    assert [b.frame_ix for b in bs] == [0, 1, 2, 3, 4]
