@@ -111,8 +111,11 @@ def add_cnn_codegen_annotations(op: OpBase, tune: OpTune,
             fn = "ipconv"
         elif t.k1conv and fd["y"] == 1 and fd["x"] == 1:
             fn = "k1conv"
-        elif t.tconv and fd["y"] <= t.tconv_max_ksz[0] and fd["x"] <= t.tconv_max_ksz[1]:
-            fn = "conv"  # direct/tiled Pallas conv
+        elif t.tconv and sy == 1 and sx == 1 \
+                and fd["y"] <= t.tconv_max_ksz[0] and fd["x"] <= t.tconv_max_ksz[1]:
+            fn = "tconv"  # spatial-tiled Pallas conv (stride-1 bands)
+        elif fd["y"] <= t.tconv_max_ksz[0] and fd["x"] <= t.tconv_max_ksz[1]:
+            fn = "conv"  # im2col + Pallas matmul (strided/general)
         else:
             fn = "xla_conv"
         op.set_func_name(fn)

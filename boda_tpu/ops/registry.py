@@ -159,9 +159,9 @@ def _ensure_builtin_templates() -> None:
     if _builtins_loaded:
         return
     _builtins_loaded = True
-    from .pallas import (elementwise, sgemm, conv, pool, lrn, softmax,  # noqa: F401
-                         reduce as _reduce, xpose, gen_data, var_stats,
-                         quantize, bck)
+    from .pallas import (elementwise, sgemm, conv, tconv, pool, lrn,  # noqa: F401
+                         softmax, reduce as _reduce, xpose, gen_data,
+                         var_stats, quantize, bck)
 
 
 class Codegen:
