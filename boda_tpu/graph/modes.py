@@ -129,3 +129,93 @@ class CnetResizeConv(_NetMode):
         pipe.op_params[op.bots[1]] = NDA.from_array(nw, ["out_chan", "in_chan", "y", "x"])
         write_caffemodel(pipe, self.out_path(self.out_trained_fn))
         print(f"resized '{self.layer}' kernels {w.v.shape[2:]} -> {tuple(self.new_kern_sz)}")
+
+
+@mode("cnet_bpt_dump", help="dump a net's per-layer params (data stripped)")
+class CnetBptDump(_NetMode):
+    """Reference: cnet_bpt_dump (caffepb.cc:710) — print the trained net's
+    structure with blob data removed: per layer, the op signature and each
+    param blob's dims + summary stats (the inspect-a-model utility)."""
+
+    show_stats = Attr(bool, default=True, help="print min/max/avg per blob")
+
+    def main(self):
+        import numpy as np
+        pipe = _load_pipe(self)
+        for op in pipe.topo_order():
+            print(f"layer {op.tag}: type={op.type} bots={','.join(op.bots)} "
+                  f"tops={','.join(op.tops)}")
+            for b in op.bots[1:]:
+                nda = pipe.op_params.get(b)
+                if nda is None:
+                    continue
+                line = f"  blob {b}: {nda.dims.pretty()}"
+                if self.show_stats:
+                    v = np.asarray(nda.v, np.float64)
+                    line += (f" min={v.min():.6g} max={v.max():.6g} "
+                             f"avg={v.mean():.6g}")
+                print(line)
+
+
+@mode("cnet_util", help="insert an identity conv layer before a given layer")
+class CnetUtil(_NetMode):
+    """Reference: cnet_util (caffepb.cc:992) — net surgery that inserts an
+    extra conv layer initialized to identity (optionally with noise) before
+    a named layer, preserving function — used to deepen nets in place."""
+
+    add_before_ln = Attr(str, req=True, help="layer tag to insert before")
+    noise_mode = Attr(int, default=0, help="0=no noise, 1=xavier noise")
+    out_ptt_fn = Attr(str, default="out.prototxt")
+    out_trained_fn = Attr(str, default="")
+
+    def main(self):
+        import numpy as np
+        from ..core.dims import NDA, Dims
+        from .caffe_io import write_caffemodel, write_prototxt
+        from .pipe import ConvOp, ConvPipe
+        pipe = _load_pipe(self)
+        tgt = pipe.get_op(self.add_before_ln)
+        in_node = tgt.bots[0]
+        chans = pipe.must_get_node(in_node).dims["chan"]
+        new_tag = f"{self.add_before_ln}_pre_ident"
+        new_node = f"{new_tag}_out"
+        # rebuild the graph with the identity conv spliced in
+        out = ConvPipe()
+        for op in pipe.ops.values():
+            bots = list(op.bots)
+            tops = list(op.tops)
+            if op.tag == tgt.tag:
+                bots[0] = new_node
+            elif op.in_place and op.bots[0] == in_node:
+                pass  # in-place ops stay on the original node
+            c = ConvOp(op.type, op.tag, bots, tops, dict(op.params))
+            c.str_vals.update({k: v for k, v in op.str_vals.items()
+                               if k != "type"})
+            out.add_op(c)
+        out.add_op(ConvOp("Convolution", new_tag,
+                          [in_node, f"{new_tag}_filts", f"{new_tag}_biases"],
+                          [new_node],
+                          {"out_chans": chans, "kern_sz": (1, 1),
+                           "stride": (1, 1), "in_pad": (0, 0)}))
+        out.data_img_node_names = list(pipe.data_img_node_names)
+        for name, node in pipe.nodes.items():
+            if node.dims is not None and not node.top_for and name in out.nodes:
+                out.nodes[name].dims = node.dims
+        out.calc_dims()
+        out.calc_support_info()
+        out.op_params = dict(pipe.op_params)
+        w = np.zeros((chans, chans, 1, 1), np.float32)
+        w[np.arange(chans), np.arange(chans), 0, 0] = 1.0
+        if self.noise_mode == 1:
+            rng = np.random.RandomState(42)
+            w += rng.randn(*w.shape).astype(np.float32) * np.sqrt(1.0 / chans) * 0.01
+        out.op_params[f"{new_tag}_filts"] = NDA(
+            out.must_get_node(f"{new_tag}_filts").dims, w)
+        out.op_params[f"{new_tag}_biases"] = NDA(
+            out.must_get_node(f"{new_tag}_biases").dims,
+            np.zeros(chans, np.float32))
+        write_prototxt(out, self.out_path(self.out_ptt_fn))
+        if self.out_trained_fn:
+            write_caffemodel(out, self.out_path(self.out_trained_fn))
+        print(f"cnet_util: inserted identity conv '{new_tag}' before "
+              f"'{self.add_before_ln}' ({chans} chans)")

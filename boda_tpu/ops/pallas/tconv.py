@@ -79,14 +79,18 @@ def build_tconv(rfs: OpBase):
     from jax.experimental.pallas import tpu as pltpu
 
     wk = rfs.get_dims_or_none("work")
-    TY, OCb = _pick_tiles(oy, ox, W + 2 * px + kx, C, oc, ky,
+    # sublane (second-minor) slice shapes must be tile-aligned on TPU:
+    # 8 rows for f32, 16 for packed bf16 (Mosaic tiling constraint)
+    sub_al = 16 if bf16 else 8
+    OXA = _ceil_to(ox, sub_al)     # aligned out-column count per band
+    Wp = _ceil_to(OXA + kx - 1, sub_al)
+    TY, OCb = _pick_tiles(oy, OXA, Wp, C, oc, ky,
                           2 if bf16 else 4,
                           Mb=wk.get("Mb", 0) if wk else 0,
                           Nb=wk.get("Nb", 0) if wk else 0)
     ny = -(-oy // TY)
     OCp = _ceil_to(oc, OCb)
     Hp = ny * TY + ky - 1          # enough rows for every haloed band
-    Wp = ox + kx - 1
     TYI = TY + ky - 1
 
     def kern(x_hbm, w_ref, *rest):
@@ -105,22 +109,22 @@ def build_tconv(rfs: OpBase):
             cp.start()
             cp.wait()
 
-        acc = jnp.zeros((TY * ox, OCb), jnp.float32)
+        acc = jnp.zeros((TY * OXA, OCb), jnp.float32)
         for yy in range(ky):
             for xx in range(kx):
-                a = x_scr[yy:yy + TY, xx:xx + ox, :].reshape(TY * ox, C)
+                a = x_scr[yy:yy + TY, xx:xx + OXA, :].reshape(TY * OXA, C)
                 wt = w_ref[yy, xx]  # (C, OCb)
                 acc = acc + jnp.dot(a, wt, preferred_element_type=jnp.float32)
         if has_bias:
             acc = acc + b_ref[0].astype(jnp.float32)[None, :]
         if relu:
             acc = jnp.maximum(acc, 0)
-        o_ref[0] = acc.reshape(TY, ox, OCb).astype(o_ref.dtype)
+        o_ref[0] = acc.reshape(TY, OXA, OCb).astype(o_ref.dtype)
 
     grid = (n, ny, OCp // OCb)
     w_spec = pl.BlockSpec((ky, kx, C, OCb), lambda b, t, j: (0, 0, 0, j))
     b_spec = pl.BlockSpec((1, OCb), lambda b, t, j: (0, j))
-    o_spec = pl.BlockSpec((1, TY, ox, OCb), lambda b, t, j: (b, t, 0, j))
+    o_spec = pl.BlockSpec((1, TY, OXA, OCb), lambda b, t, j: (b, t, 0, j))
     in_specs = [pl.BlockSpec(memory_space=pl.ANY), w_spec]
     if has_bias:
         in_specs.append(b_spec)
@@ -130,7 +134,7 @@ def build_tconv(rfs: OpBase):
         grid=grid,
         in_specs=in_specs,
         out_specs=o_spec,
-        out_shape=jax.ShapeDtypeStruct((n, ny * TY, ox, OCp), np.dtype(out_dt)),
+        out_shape=jax.ShapeDtypeStruct((n, ny * TY, OXA, OCp), np.dtype(out_dt)),
         scratch_shapes=[pltpu.VMEM((TYI, Wp, C), cdt),
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
@@ -154,8 +158,8 @@ def build_tconv(rfs: OpBase):
         if has_bias:
             bv = jnp.pad(b.astype(cdt), (0, OCp - oc)).reshape(1, OCp)
             args.append(bv)
-        y = call(*args)  # (n, ny*TY, ox, OCp)
-        y = y[:, :oy, :, :oc]
+        y = call(*args)  # (n, ny*TY, OXA, OCp)
+        y = y[:, :oy, :ox, :oc]
         return jnp.transpose(y, (0, 3, 1, 2))
     return fn
 

@@ -130,3 +130,39 @@ def test_vgg16_flops():
 def test_googlenet_builds():
     pipe = build_model("googlenet_conv", batch=1)
     assert pipe.get_single_top_node().dims.shape == (1, 1000, 1, 1)
+
+
+def test_cnet_util_identity_preserves_function(tmp_path, capsys):
+    """cnet_util (caffepb.cc:992 role): inserting an identity 1x1 conv
+    must not change the net's outputs."""
+    import numpy as np
+    from boda_tpu.core.dims import NDA
+    from boda_tpu.core.has_main import create_and_run_has_main
+    from boda_tpu.engine.iface import make_engine
+    from boda_tpu.graph.caffe_io import read_model
+    from boda_tpu.models.zoo import build_model
+    create_and_run_has_main(
+        f"(mode=cnet_util,model=mini,add_before_ln=conv2,"
+        f"out_ptt_fn=mod.prototxt,out_trained_fn=mod.caffemodel,"
+        f"boda_output_dir={tmp_path})", {})
+    assert "inserted identity conv" in capsys.readouterr().out
+    orig = build_model("mini")
+    mod = read_model(tmp_path / "mod.prototxt", tmp_path / "mod.caffemodel",
+                     in_dims=orig.get_data_img_dims())
+    d = orig.get_data_img_dims()
+    x = NDA(d, np.random.RandomState(0).randn(*d.shape).astype(np.float32))
+    e1 = make_engine("ref")
+    e1.init(orig)
+    e2 = make_engine("ref")
+    e2.init(mod)
+    p1 = e1.run_fwd({"data": x}, ["prob"])["prob"].v
+    p2 = e2.run_fwd({"data": x}, ["prob"])["prob"].v
+    np.testing.assert_allclose(p1, p2, rtol=1e-5, atol=1e-7)
+
+
+def test_cnet_bpt_dump(capsys):
+    from boda_tpu.core.has_main import create_and_run_has_main
+    create_and_run_has_main("(mode=cnet_bpt_dump,model=mini)", {})
+    out = capsys.readouterr().out
+    assert "layer conv1: type=Convolution" in out
+    assert "blob conv1_filts: out_chan:16,in_chan:3,y:5,x:5" in out
