@@ -40,6 +40,25 @@ def boda_main(argv: list[str]) -> int:
                 print(f"unknown mode '{argv[1]}'")
                 _print_mode_list()
                 return 1
+            # hierarchical field drill-down (reference: `boda help mode
+            # field...`, boda.cc:65-80)
+            for field in argv[2:]:
+                a = cls._attrs.get(field)
+                if a is None:
+                    print(f"mode '{cls.TYPE_ID or cls.__name__}' has no "
+                          f"field '{field}'; fields: "
+                          + ",".join(sorted(cls._attrs)))
+                    return 1
+                ty = a.ty
+                if isinstance(ty, type) and issubclass(ty, Config):
+                    cls = ty
+                else:
+                    print(f"--{field} <{getattr(ty, '__name__', ty)}>"
+                          + (" REQUIRED" if a.req else "")
+                          + (f" default={a.default!r}"
+                             if a.default is not None else "")
+                          + (f"  {a.help}" if a.help else ""))
+                    return 0
             print(cls.help_str())
         else:
             _print_mode_list()
