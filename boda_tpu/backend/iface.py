@@ -235,6 +235,15 @@ class Backend(Config):
         """Seconds from begin of call b to end of call e."""
         return self._events[e][1] - self._events[b][0]
 
+    def var_device_value(self, name: str):
+        """The var's backing device value (for timing harnesses that build
+        chained-dispatch programs over stored args)."""
+        src, vdims = self._resolve(name)
+        x = self._vars[src].v
+        if vdims is not None:
+            x = x.reshape(vdims.shape)
+        return x
+
     def profile_start(self) -> None:
         pass
 

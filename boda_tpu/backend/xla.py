@@ -59,6 +59,12 @@ class XlaBackend(Backend):
         for o in outs:
             if hasattr(o, "block_until_ready"):
                 o.block_until_ready()
+        # under the axon tunnel block_until_ready() does not actually block;
+        # force a 1-element device->host read as a real completion barrier
+        if outs and self._device.platform == "tpu":
+            o = outs[-1]
+            if hasattr(o, "ndim") and o.ndim >= 0:
+                np.asarray(o[(0,) * o.ndim])
 
     def _compile_one(self, f: CompiledFunc) -> None:
         jax = self._jax

@@ -98,13 +98,18 @@ class RtcFwd(ConvFwd):
     mesh_mp = Attr(int, default=1,
                    help="model-parallel mesh size: shard conv/fc out_chans "
                         "over this many devices")
+    wisdom_fn = Attr(str, default="",
+                     help="wisdom file: per-op best tunes (from ops_prof) "
+                          "override the default op_tune on matching sigs")
 
     def init(self, pipe: ConvPipe) -> None:
         self.pipe = pipe
         self.rtc.ensure_init()
         self.codegen = Codegen(self.rtc)
         with timer("rtc_fwd_init"):
-            self.plan = lower_pipe(pipe, self.op_tune, fuse_relu=True,
+            op_tunes = self._wisdom_tunes(pipe) if self.wisdom_fn else None
+            self.plan = lower_pipe(pipe, self.op_tune, op_tunes=op_tunes,
+                                   fuse_relu=True,
                                    train_dropout=self.train_dropout)
             self._apply_quantize_hooks()
             self._apply_det_drop_seed()
@@ -118,6 +123,26 @@ class RtcFwd(ConvFwd):
                 self._init_per_call()
         self._info_log: list[str] = []
         self.stats: dict[str, NDA] = {}
+
+    def _wisdom_tunes(self, pipe: ConvPipe):
+        """wisdom file → per-op-tag tune overrides (best tune recorded for
+        this backend's platform tag; falls back to best-any-platform)."""
+        from ..ops.cnn_variants import make_op_tune
+        from ..tune.wisdom import load_tune_index, wisdom_key
+        plat = self.rtc.get_plat_tag()
+        idx = load_tune_index(self.wisdom_fn, plat)
+        idx_any = load_tune_index(self.wisdom_fn, "")
+        out = {}
+        for op in pipe.ops.values():
+            k = wisdom_key(op)
+            ts = idx.get(k) or idx_any.get(k)
+            if ts is not None:
+                out[op.tag] = make_op_tune(ts)
+        if out:
+            self._info_log = getattr(self, "_info_log", [])
+            self._info_log.append(
+                f"wisdom: tuned {len(out)} op(s) from {self.wisdom_fn}")
+        return out or None
 
     # ---- quantize / dropout hooks ----
     def _apply_quantize_hooks(self) -> None:

@@ -251,6 +251,41 @@ def build_vgg16(batch: int = 1, ysz: int = 224, xsz: int = 224,
     return b.done()
 
 
+def build_vgg19(batch: int = 1, ysz: int = 224, xsz: int = 224,
+                num_classes: int = 1000) -> ConvPipe:
+    """VGG-19 all-conv (reference: nets/vgg_19)."""
+    b = NetBuilder("vgg19-conv", batch, 3, ysz, xsz)
+    cfg = [(2, 64), (2, 128), (4, 256), (4, 512), (4, 512)]
+    for bi, (reps, ch) in enumerate(cfg, 1):
+        for ri in range(1, reps + 1):
+            b.conv(f"conv{bi}_{ri}", ch, 3, 1, 1)
+        b.pool(f"pool{bi}", 2, 2)
+    b.conv("fc6-conv", 4096, 7).dropout("drop6")
+    b.conv("fc7-conv", 4096, 1).dropout("drop7")
+    b.conv("fc8-conv", num_classes, 1, relu=False)
+    b.softmax()
+    return b.done()
+
+
+def build_firenet8_ce(batch: int = 1, ysz: int = 227, xsz: int = 227,
+                      num_classes: int = 1000, ce: float = 0.125,
+                      final_pad: bool = True) -> ConvPipe:
+    """FireNet8 with compression-expansion ratio (reference:
+    nets/firenet8-CE-0.125[-nofinalpad]): fire squeeze chans scaled by ce
+    relative to expand width."""
+    b = NetBuilder("firenet8-ce", batch, 3, ysz, xsz)
+    b.conv("conv1", 96, 7, 2, 3).pool("pool1", 3, 2, 1)
+    for i, e in enumerate((64, 64, 128, 128, 192, 192, 256, 256), 2):
+        sq = max(int(2 * e * ce), 1)
+        _fire(b, f"fire{i}", sq, e, e)
+        if i in (3, 5):
+            b.pool(f"pool{i}", 3, 2, 1)
+    b.conv("conv10", num_classes, 1, pad=1 if final_pad else 0)
+    b.pool("pool10", 0, 1, global_=True, avg=True)
+    b.softmax()
+    return b.done()
+
+
 def _res_block(b: NetBuilder, tag: str, in_node: str, chans: int, stride: int,
                project: bool) -> str:
     """Bottleneck residual block: 1x1/s → 3x3 → 1x1(4x), shortcut add.
@@ -364,7 +399,13 @@ MODEL_BUILDERS = {
     "squeezenet-1.0": build_squeezenet,
     "firenet-v0": build_firenet,
     "vgg16-conv": build_vgg16,
+    "vgg-19": build_vgg19,
     "googlenet_conv": build_googlenet_conv,
+    "googlenet_conv_no_lrn": lambda **kw: build_googlenet_conv(lrn=False, **kw),
+    "googlenet_conv_lrn": lambda **kw: build_googlenet_conv(lrn=True, **kw),
+    "firenet8-CE-0.125": lambda **kw: build_firenet8_ce(ce=0.125, **kw),
+    "firenet8-CE-0.125-nofinalpad":
+        lambda **kw: build_firenet8_ce(ce=0.125, final_pad=False, **kw),
     "resnet-50": lambda **kw: build_resnet(50, **kw),
     "resnet-101": lambda **kw: build_resnet(101, **kw),
     "resnet-152": lambda **kw: build_resnet(152, **kw),

@@ -94,7 +94,7 @@ def add_cnn_codegen_annotations(op: OpBase, tune: OpTune,
     cnn_op.cc:75 via op_tunes keyed by op type or tag)."""
     t = tune
     if op_tunes:
-        key = op.str_vals.get("tag") or op.type
+        key = getattr(op, "tag", None) or op.str_vals.get("tag") or op.type
         t = op_tunes.get(key, op_tunes.get(op.type, tune))
     if op.type in ("Convolution", "Deconvolution"):
         ind = op.get_dims("in")

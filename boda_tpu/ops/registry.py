@@ -210,9 +210,20 @@ class Codegen:
     def compile_pend(self) -> None:
         if not self.compile_pend_list:
             return
+        pend, self.compile_pend_list = self.compile_pend_list, []
         with timer("rtc_compile"):
-            self.backend.compile(self.compile_pend_list)
-        self.compile_pend_list = []
+            for cf in pend:
+                try:
+                    self.backend.compile([cf])
+                except Exception:
+                    # purge the failed instance so it can't poison later
+                    # compiles or be run_func'd; the caller sees the error
+                    # attributed to this op (tune sweeps record it and
+                    # continue — reference OOM-tagging behavior)
+                    self.sig_cache = {k: v for k, v in self.sig_cache.items()
+                                      if v != cf.name}
+                    self.instances.pop(cf.name, None)
+                    raise
 
     def run_func(self, call: RtcFuncCall) -> int:
         if not self.backend.func_exists(call.func_name):

@@ -74,12 +74,13 @@ class MatmulTiles:
 
 def solve_matmul_tiles(M: int, N: int, K: int, dtype="float32",
                        Mb: int = 0, Nb: int = 0, Kb: int = 0,
-                       vmem_budget: int = 10 * 2 ** 20) -> MatmulTiles:
+                       vmem_budget: int = 14 * 2 ** 20) -> MatmulTiles:
     """Choose MXU-aligned (Mb,Nb,Kb) blocks for an M×N×K matmul.
 
     Explicit non-zero Mb/Nb/Kb are honored (tuning override path); otherwise
-    defaults favor large MXU-aligned blocks bounded by a VMEM budget for
-    a-block + b-block + f32 accumulator.
+    defaults favor large MXU-aligned blocks bounded by a VMEM budget:
+    a/b/out blocks count double (Pallas pipeline double-buffering) plus the
+    f32 accumulator (hardware scoped-vmem limit is 16MB).
     """
     sl = sublane(dtype)
     isz = 2 if _is_bf16(dtype) else np.dtype(dtype).itemsize
@@ -88,7 +89,7 @@ def solve_matmul_tiles(M: int, N: int, K: int, dtype="float32",
     Kb = Kb or pick_block(K, 2048, LANE)
     # shrink K block first, then M/N, until VMEM fits
     def vmem(mb, nb, kb):
-        return (mb * kb + kb * nb) * isz + mb * nb * 4
+        return 2 * (mb * kb + kb * nb + mb * nb) * isz + mb * nb * 4
     while vmem(Mb, Nb, Kb) > vmem_budget and Kb > LANE:
         Kb //= 2
     while vmem(Mb, Nb, Kb) > vmem_budget and (Mb > MXU or Nb > LANE):

@@ -67,9 +67,48 @@ def profile_rcg_call(cg: Codegen, op: OpBase, run_iter: int = 5,
         best = dur if best is None else min(best, dur)
     outs = {a.name: be.copy_var_to_nda(args[a.name])
             for a in tmpl.args if a.kind in ("OUT", "INOUT") and a.name in args}
+    if getattr(be, "kind", "") == "xla" and be.get_plat_tag().startswith("xla:tpu"):
+        # under the axon tunnel per-call wall timing is unreliable (cached
+        # same-input dispatch, non-blocking readiness): re-time with
+        # iterations chained inside one XLA program (bench.py methodology)
+        fn = tmpl.build(rfs)
+        in_vals = [be.var_device_value(args[a.name])
+                   for a in tmpl.args
+                   if a.kind in ("IN", "INOUT") and a.name in args]
+        best = _chained_secs(fn, in_vals, max(run_iter, 3))
     for vn in made:
         be.release_var(vn)
     return best, outs
+
+
+def _chained_secs(fn, in_vals, iters: int) -> float:
+    """Per-iteration seconds for fn(*in_vals) with a serial dependency
+    between iterations (defeats dispatch caching; scalar readback is the
+    completion barrier)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    def chained(args, m):
+        x0 = args[0]
+
+        def body(c, _):
+            a0 = x0 + c.astype(x0.dtype) if jnp.issubdtype(
+                x0.dtype, jnp.floating) or x0.dtype == jnp.bfloat16 else x0
+            outs = fn(a0, *args[1:])
+            o = outs[0] if isinstance(outs, (tuple, list)) else outs
+            s = o.ravel()[0].astype(jnp.float32)
+            return c + s * 1e-30, s
+
+        c, ys = jax.lax.scan(body, jnp.float32(0), None, length=m)
+        return ys.sum()
+
+    ch = jax.jit(chained, static_argnums=1)
+    float(ch(in_vals, iters))  # compile + warm
+    t0 = time.perf_counter()
+    float(ch(in_vals, iters))
+    return (time.perf_counter() - t0) / iters
 
 
 def auto_sweep_tunes(op: OpBase, max_tunes: int) -> list[tuple[str, OpTune]]:
@@ -136,8 +175,14 @@ class OpsProf(HasMain):
                     try:
                         add_codegen_annotations(top, tune)
                         secs, outs = profile_rcg_call(cg, top, self.run_iter)
-                    except RtErr as e:
-                        print(f"OP {op.type} tune={tname} be={be_name}: ERROR {e}")
+                    except Exception as e:
+                        # compile failures (e.g. VMEM OOM from an oversized
+                        # tune) are recorded, not fatal — the reference
+                        # tagged OOM compile failures the same way
+                        # (cnn-prof.cc:99-110)
+                        msg = str(e).splitlines()[0][:200]
+                        print(f"OP {op.type} tune={tname} be={be_name}: "
+                              f"ERROR {type(e).__name__}: {msg}")
                         n_err += 1
                         continue
                     ftol = (self.func_mrd_toler or {}).get(top.func_name, self.mrd_toler)

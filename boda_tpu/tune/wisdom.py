@@ -157,3 +157,36 @@ def merge_wisdoms(streams: list[list[OpWisdom]]) -> list[OpWisdom]:
                 by_sig[key] = w
                 order.append(w)
     return order
+
+
+# ---- engine integration: wisdom-driven per-op tune selection ----
+
+_TUNE_KEYS = ("func_name", "work", "prec", "layout")
+
+
+def wisdom_key(op: OpBase) -> str:
+    """Canonical lookup key for an op signature: the compact lexp with
+    tune-dependent annotations (func_name/work/prec/layout) stripped, so a
+    graph op matches the same op profiled under any tune."""
+    c = op.copy()
+    for k in _TUNE_KEYS:
+        c.str_vals.pop(k, None)
+        c.nda_vals.pop(k, None)
+    return str(c.to_compact_lexp())
+
+
+def load_tune_index(path, plat: str = "") -> dict[str, str]:
+    """wisdom file → {wisdom_key: best tune spec} for a platform tag
+    (empty plat: best across all platforms)."""
+    out: dict[str, str] = {}
+    for w in read_wisdom_file(path):
+        best = None
+        for ts, tw in w.tunes.items():
+            for p, secs in tw.runs.items():
+                if plat and p != plat:
+                    continue
+                if best is None or secs < best[1]:
+                    best = (ts, secs)
+        if best is not None:
+            out[wisdom_key(w.op)] = best[0]
+    return out

@@ -131,3 +131,27 @@ def test_cnn_op_info_mode(tmp_path, capsys):
         f"(mode=cnn_op_info,ops_fn={OPS_DIR}/conv-tiny.txt)", global_vars={})
     out = capsys.readouterr().out
     assert "AI" in out
+
+
+def test_wisdom_drives_engine_tunes(tmp_path):
+    """ops_prof wisdom feeds back into the rtc engine: matching op sigs get
+    the recorded best tune (the reference's wisdom->engine loop)."""
+    from boda_tpu.engine.iface import make_engine
+    from boda_tpu.models.zoo import build_model
+    from boda_tpu.tune.wisdom import (OpWisdom, load_tune_index,
+                                      wisdom_key, write_wisdom_file)
+    pipe = build_model("mini", batch=1, ysz=32, xsz=32)
+    conv2 = pipe.get_op("conv2")  # 3x3 s1 -> default variant is tconv
+    w = OpWisdom(conv2.copy())
+    tw = w.tune("(use_culibs=1)")  # recorded best: vendor xla_conv
+    tw.add_run("xla:cpu", 1e-4)
+    fn = tmp_path / "t.wis"
+    write_wisdom_file(fn, [w])
+    # index round-trip matches the graph op's key
+    idx = load_tune_index(fn, "")
+    assert wisdom_key(conv2) in idx
+    eng = make_engine(f"(engine=rtc,fuse=0,wisdom_fn={fn})")
+    eng.init(pipe)
+    funcs = {s.call_tag: s.func_name for s in eng.plan.steps}
+    assert funcs["conv2"] == "xla_conv"      # overridden by wisdom
+    assert funcs["cccp1"] == "k1conv"        # untouched ops keep defaults
