@@ -74,13 +74,14 @@ class MatmulTiles:
 
 def solve_matmul_tiles(M: int, N: int, K: int, dtype="float32",
                        Mb: int = 0, Nb: int = 0, Kb: int = 0,
-                       vmem_budget: int = 14 * 2 ** 20) -> MatmulTiles:
+                       vmem_budget: int = 8 * 2 ** 20) -> MatmulTiles:
     """Choose MXU-aligned (Mb,Nb,Kb) blocks for an M×N×K matmul.
 
     Explicit non-zero Mb/Nb/Kb are honored (tuning override path); otherwise
     defaults favor large MXU-aligned blocks bounded by a VMEM budget:
     a/b/out blocks count double (Pallas pipeline double-buffering) plus the
-    f32 accumulator (hardware scoped-vmem limit is 16MB).
+    f32 accumulator (the 16MB scoped-vmem hardware cap minus compiler temporaries — Kb=1024+
+    f32 blocks were observed to OOM at 14MB estimates).
     """
     sl = sublane(dtype)
     isz = 2 if _is_bf16(dtype) else np.dtype(dtype).itemsize
