@@ -28,7 +28,16 @@ class XlaBackend(Backend):
 
     def init(self) -> None:
         import jax
-        devs = jax.devices(self.platform) if self.platform else jax.devices()
+        import os
+        plat = self.platform
+        if not plat:
+            # honor JAX_PLATFORMS from the environment: the axon TPU plugin
+            # stays the default backend even when JAX_PLATFORMS=cpu is set,
+            # so an explicit devices() query is needed to actually get CPU
+            envp = os.environ.get("JAX_PLATFORMS", "")
+            if envp and "," not in envp:
+                plat = envp
+        devs = jax.devices(plat) if plat else jax.devices()
         if self.device_ordinal >= len(devs):
             raise RtErr(f"device ordinal {self.device_ordinal} out of range "
                         f"({len(devs)} devices)")
@@ -71,7 +80,10 @@ class XlaBackend(Backend):
         specs = [jax.ShapeDtypeStruct(d.shape, d.dtype) for _n, d in f.in_specs]
         jitted = jax.jit(f.fn)
         try:
-            lowered = jitted.lower(*specs)
+            # pin lowering to this backend's device — the process default
+            # may be a different platform (axon TPU plugin vs forced CPU)
+            with jax.default_device(self._device):
+                lowered = jitted.lower(*specs)
         except Exception as e:
             raise RtErr(f"compile of '{f.name}' failed at lowering: {e}") from e
         if self.gen_src:

@@ -112,7 +112,10 @@ def add_cnn_codegen_annotations(op: OpBase, tune: OpTune,
         elif t.k1conv and fd["y"] == 1 and fd["x"] == 1:
             fn = "k1conv"
         elif t.tconv and sy == 1 and sx == 1 \
-                and fd["y"] <= t.tconv_max_ksz[0] and fd["x"] <= t.tconv_max_ksz[1]:
+                and fd["y"] <= t.tconv_max_ksz[0] and fd["x"] <= t.tconv_max_ksz[1] \
+                and fd["in_chan"] % 128 == 0:
+            # lane dim is in_chan: Mosaic compiles cleanly only for
+            # 128-multiples; smaller channel counts take the im2col path
             fn = "tconv"  # spatial-tiled Pallas conv (stride-1 bands)
         elif fd["y"] <= t.tconv_max_ksz[0] and fd["x"] <= t.tconv_max_ksz[1]:
             fn = "conv"  # im2col + Pallas matmul (strided/general)

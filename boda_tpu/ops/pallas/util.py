@@ -13,13 +13,33 @@ Default: real on TPU, fallback elsewhere.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import os
+
+# set by Codegen while building kernels for a specific backend device:
+# under the axon tunnel jax.default_backend() stays "tpu" even when a
+# backend explicitly targets CPU devices, so the global default lies
+_platform_hint: contextvars.ContextVar = contextvars.ContextVar(
+    "boda_pallas_platform_hint", default=None)
+
+
+@contextlib.contextmanager
+def platform_hint(platform):
+    tok = _platform_hint.set(platform)
+    try:
+        yield
+    finally:
+        _platform_hint.reset(tok)
 
 
 def pallas_mode() -> str:
     env = os.environ.get("BODA_PALLAS_MODE")
     if env in ("real", "interpret", "fallback"):
         return env
+    hint = _platform_hint.get()
+    if hint is not None:
+        return "real" if hint == "tpu" else "fallback"
     import jax
     try:
         return "real" if jax.default_backend() == "tpu" else "fallback"

@@ -196,7 +196,16 @@ class Codegen:
             elif kind == "remote":
                 fn = None  # built worker-side from the shipped signature
             else:
-                fn = tmpl.build(rfs)
+                # build for the backend's actual device platform (the
+                # process-global default backend may differ under the
+                # axon tunnel — see pallas/util.platform_hint)
+                from .pallas.util import platform_hint
+                plat = None
+                dev = getattr(self.backend, "_device", None)
+                if dev is not None:
+                    plat = dev.platform
+                with platform_hint(plat):
+                    fn = tmpl.build(rfs)
         cf = CompiledFunc(inst, fn, tmpl.in_args(), tmpl.out_args(), tmpl.io_args(),
                           flops=tmpl.flops(rfs))
         cf.sig_meta = (tname, rfs)

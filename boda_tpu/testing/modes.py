@@ -407,3 +407,52 @@ class TestAll(HasMain):
         if fails:
             raise RtErr("test_all: " + "; ".join(fails))
         print("test_all PASSED")
+
+
+@mode("gen_test_compute_tests",
+      help="generate a test_cmds spec: models x engines matrix")
+class GenTestComputeTests(HasMain):
+    """Reference: gen_test_compute_tests (test_compute.cc:216-276) — emit
+    test_cmds entries running test_compute_multi over a model x engine x
+    variant matrix; test_all regenerates and runs them."""
+
+    out_fn = Attr(str, default="gen_test_compute_tests.txt")
+    models = Attr(list[str], default="mini",
+                  help="zoo models to cover (space-separated)")
+    in_sz = Attr(int, default=64, help="input spatial size")
+
+    def main(self):
+        lines = []
+        for m in self.models:
+            sz = self.in_sz if m == "mini" else max(self.in_sz, 192)
+            base = (f"mode=test_compute_multi,model={m},batch=1,"
+                    f"in_dims=(dims=(img=1,chan=3,y={sz},x={sz}))")
+            lines.append(f"(test_name=comp_{m},cap_out=1,cmd=({base}))")
+            lines.append(
+                f"(test_name=comp_{m}_engines,cap_out=1,cmd=({base},"
+                f"engines=(ref=(engine=ref),fused=(engine=rtc,fuse=1),"
+                f"percall=(engine=rtc,fuse=0))))")
+        p = self.out_path(self.out_fn)
+        p.write_text("\n".join(lines) + "\n")
+        print(f"gen_test_compute_tests: {len(lines)} tests -> {self.out_fn}")
+
+
+@mode("gen_ops_prof_tests",
+      help="generate a test_cmds spec: ops_prof sweeps over op-sig files")
+class GenOpsProfTests(HasMain):
+    """Reference: gen_ops_prof_tests (rtc_prof.cc:460)."""
+
+    out_fn = Attr(str, default="gen_ops_prof_tests.txt")
+    ops_fns = Attr(list[str], default="%(boda_test_dir)/ops/sgemm-tiny.txt "
+                                      "%(boda_test_dir)/ops/conv-tiny.txt")
+
+    def main(self):
+        lines = []
+        for fn in self.ops_fns:
+            name = Path(fn).stem.replace("-", "_")
+            lines.append(f"(test_name=ops_prof_{name},cap_out=1,"
+                         f"cmd=(mode=ops_prof,ops_fn={fn},run_iter=2,"
+                         f"rtcs=(interp=(be=interp))))")
+        p = self.out_path(self.out_fn)
+        p.write_text("\n".join(lines) + "\n")
+        print(f"gen_ops_prof_tests: {len(lines)} tests -> {self.out_fn}")

@@ -55,10 +55,14 @@ def test_tconv_ty_tiling(monkeypatch):
 
 def test_tconv_selected_by_variant_gate():
     from boda_tpu.ops.cnn_variants import add_cnn_codegen_annotations, make_op_tune
-    op = make_conv_op(1, 16, 14, 14, 32, 3, 3, 1, 1, 1, 1)
+    op = make_conv_op(1, 128, 14, 14, 32, 3, 3, 1, 1, 1, 1)
     add_cnn_codegen_annotations(op, make_op_tune("()"))
     assert op.func_name == "tconv"
     # strided conv falls back to the im2col path
-    op2 = make_conv_op(1, 16, 14, 14, 32, 3, 3, 2, 2, 1, 1)
+    op2 = make_conv_op(1, 128, 14, 14, 32, 3, 3, 2, 2, 1, 1)
     add_cnn_codegen_annotations(op2, make_op_tune("()"))
     assert op2.func_name == "conv"
+    # lane dim (in_chan) must be a 128-multiple for the Mosaic kernel
+    op3 = make_conv_op(1, 16, 14, 14, 32, 3, 3, 1, 1, 1, 1)
+    add_cnn_codegen_annotations(op3, make_op_tune("()"))
+    assert op3.func_name == "conv"
