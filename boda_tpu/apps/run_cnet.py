@@ -18,7 +18,7 @@ from ..core.config import Attr
 from ..core.digest import nda_digest
 from ..core.dims import NDA, Dims
 from ..core.error import RtErr
-from ..core.has_main import HasMain, mode
+from ..core.has_main import mode
 from ..core.timers import timer
 from ..engine.iface import ConvFwd
 from ..graph.modes import _NetMode

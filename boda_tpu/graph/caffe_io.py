@@ -32,7 +32,7 @@ from ..core.dims import NDA, Dims
 from ..core.error import RtErr
 from .pbtext import PbNode, parse_pbtext, print_pbtext
 from .pbwire import (WireNode, decode_wire, enc_field_bytes, enc_field_packed_floats,
-                     enc_field_packed_varints, enc_field_string, enc_field_varint)
+                     enc_field_packed_varints, enc_field_string)
 from .pipe import ConvOp, ConvPipe
 
 # V1 enum name → V2 string type

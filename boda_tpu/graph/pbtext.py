@@ -14,7 +14,7 @@ Repeated fields accumulate in order. '#' comments are stripped.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Union
+from typing import Iterator, Union
 
 from ..core.error import RtErr
 

@@ -14,7 +14,7 @@ import numpy as np
 
 from ..op_base import OpBase
 from ..registry import IN, OUT, KernelTemplate, adecl, template
-from .conv import conv_flops
+
 
 
 def _bck_conv_params(rfs: OpBase):

@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..op_base import OpBase
-from ..registry import IN, OUT, KernelTemplate, ArgDecl, adecl, template
+from ..registry import IN, OUT, KernelTemplate, adecl, template
 from ...core.dims import Dims
 
 

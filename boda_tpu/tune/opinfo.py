@@ -51,6 +51,8 @@ class CnnOpInfo(HasMain):
     run_iter = Attr(int, default=5)
     peak_flops = Attr(float, default=0.0, help="peak FLOP/s (0=auto from device)")
     mrd_toler = Attr(float, default=5e-4)
+    latex_fn = Attr(str, default="", help="also write a LaTeX table here "
+                    "(reference: conv_op_info_to_latex_t, latex-util.H:22)")
 
     def main(self):
         from .prof import profile_rcg_call
@@ -63,6 +65,7 @@ class CnnOpInfo(HasMain):
         print(f"{'op':58s} {'func':12s} {'Mflops':>10s} {'MB':>8s} {'AI':>7s}"
               + (f" {'secs':>11s} {'GF/s':>9s} {'%peak':>6s}" if self.run else ""))
         n_err = 0
+        rows = []
         for op in ops:
             top = op.copy()
             add_codegen_annotations(top, self.op_tune)
@@ -72,10 +75,12 @@ class CnnOpInfo(HasMain):
             by = op_bytes(rfs)
             line = (f"{str(op.to_compact_lexp())[:58]:58s} {top.func_name:12s} "
                     f"{fl / 1e6:10.1f} {by / 1e6:8.2f} {fl / max(by, 1):7.1f}")
+            secs_gfs = None
             if self.run:
                 try:
                     secs, outs = profile_rcg_call(cg, top, self.run_iter)
                     gfs = fl / secs / 1e9 if secs > 0 else 0.0
+                    secs_gfs = (secs, gfs)
                     line += f" {secs:11.3e} {gfs:9.1f} {100 * gfs * 1e9 / peak:6.2f}"
                     if self.comp_tune is not None:
                         cop = op.copy()
@@ -90,5 +95,22 @@ class CnnOpInfo(HasMain):
                     line += f" ERROR {e}"
                     n_err += 1
             print(line)
+            rows.append((top.func_name, fl, by,
+                         secs_gfs if self.run else None))
+        if self.latex_fn:
+            with open(self.out_path(self.latex_fn), "w") as f:
+                cols = "l r r r" + (" r r" if self.run else "")
+                f.write("\\begin{tabular}{%s}\n" % cols)
+                hdr = "op & MFLOPs & MB & AI"
+                if self.run:
+                    hdr += " & GF/s & \\%peak"
+                f.write(hdr + " \\\\\n\\hline\n")
+                for fn_name, fl, by, sg in rows:
+                    r = f"{fn_name} & {fl/1e6:.1f} & {by/1e6:.2f} & {fl/max(by,1):.1f}"
+                    if self.run and sg:
+                        r += f" & {sg[1]:.1f} & {100*sg[1]*1e9/peak:.2f}"
+                    f.write(r + " \\\\\n")
+                f.write("\\end{tabular}\n")
+            print(f"wrote latex table to {self.latex_fn}")
         if n_err:
             raise RtErr(f"cnn_op_info: {n_err} errors")
