@@ -754,3 +754,85 @@ class ScanDataStream(HasMain):
             last_ts = db.timestamp_ns
         print(f"scan-data-stream: {n} blocks, {tot_bytes} bytes, "
               f"last_ts={last_ts} pos=[{self.stream.get_pos_info_str()}]")
+
+
+@register(DataStream, "hash-check",
+          help="digest each block; record to or verify against a file")
+class HashCheck(DataStream):
+    """Reference: the hash-check stream stage (data-stream.cc type_id
+    'hash-check') — content-integrity checking over a stream, rebuilt on
+    the nda-digest machinery."""
+
+    fn = Attr(str, req=True, help="digest file (one lexp per block)")
+    write = Attr(bool, default=False, help="record mode (else verify)")
+    mrd_toler = Attr(float, default=0.0, help="0 = exact qhash match")
+
+    def data_stream_init(self):
+        self._n = 0
+        self._fails = 0
+        if self.write:
+            self._f = open(self.fn, "w")
+            self._want = None
+        else:
+            from ..core.digest import Digest
+            self._want = [Digest.from_lexp(ln) for ln in
+                          Path(self.fn).read_text().splitlines() if ln.strip()]
+
+    def proc_block(self, db: DataBlock) -> DataBlock:
+        from ..core.digest import nda_digest
+        if db.valid() and db.nda is not None:
+            d = nda_digest(db.nda)
+            if self.write:
+                self._f.write(str(d) + "\n")
+                self._f.flush()
+            else:
+                if self._n >= len(self._want):
+                    raise RtErr(f"hash-check: block {self._n} beyond recorded "
+                                f"digests ({len(self._want)})")
+                err = self._want[self._n].comp(d, self.mrd_toler)
+                if err is not None:
+                    raise RtErr(f"hash-check: block {self._n} mismatch: {err}")
+            self._n += 1
+        return db
+
+    def get_pos_info_str(self) -> str:
+        return f"hash-check: {self._n} blocks " + \
+            ("recorded" if self.write else "verified")
+
+
+@register(DataStream, "img-dir-src",
+          help="image blocks from files in a directory (sorted)")
+class ImgDirSrc(DataStream):
+    dir = Attr(str, req=True, help="directory of image files")
+    glob = Attr(str, default="*.jpg *.jpeg *.png", help="patterns")
+    tag = Attr(str, default="image")
+
+    def data_stream_init(self):
+        d = Path(self.dir)
+        files: list[Path] = []
+        for pat in self.glob.split():
+            files += d.glob(pat)
+        self._files = sorted(set(files))
+        if not self._files:
+            raise RtErr(f"img-dir-src: no images matching '{self.glob}' "
+                        f"in '{self.dir}'")
+        self._ix = 0
+
+    def proc_block(self, db: DataBlock) -> DataBlock:
+        from .img import load_img
+        if self._ix >= len(self._files):
+            return DataBlock()
+        v = load_img(self._files[self._ix])
+        dims = Dims([("y", v.shape[0]), ("x", v.shape[1]), ("chan", 3)],
+                    tn="uint8_t")
+        ret = DataBlock(NDA(dims, np.ascontiguousarray(v)), tag=self.tag,
+                        meta="image", frame_ix=self._ix, timestamp_ns=self._ix)
+        self._ix += 1
+        return ret
+
+    def seek_to_block(self, frame_ix: int) -> bool:
+        self._ix = min(frame_ix, len(self._files))
+        return True
+
+    def get_pos_info_str(self) -> str:
+        return f"img-dir-src: {self._ix}/{len(self._files)}"

@@ -154,3 +154,32 @@ def test_seq_concatenates():
     bs = read_all_blocks(ds)
     assert [b.tag for b in bs] == ["a", "a", "b", "b", "b"]
     assert [b.frame_ix for b in bs] == [0, 1, 2, 3, 4]
+
+
+def test_hash_check_roundtrip(tmp_path):
+    fn = tmp_path / "h.digests"
+    # record
+    read_all_blocks(spec(f"(mode=pipe,stages=((mode=test-gen,num=3,sz=8),"
+                         f"(mode=hash-check,fn={fn},write=1)))"))
+    assert len(fn.read_text().splitlines()) == 3
+    # verify passes on identical stream
+    read_all_blocks(spec(f"(mode=pipe,stages=((mode=test-gen,num=3,sz=8),"
+                         f"(mode=hash-check,fn={fn})))"))
+    # verify fails on altered stream content (different block shape)
+    with pytest.raises(RtErr, match="hash-check: block 0 mismatch"):
+        read_all_blocks(spec(
+            f"(mode=pipe,stages=((mode=test-gen,num=3,sz=9),"
+            f"(mode=hash-check,fn={fn})))"))
+
+
+def test_img_dir_src(tmp_path):
+    pytest.importorskip("PIL")
+    from boda_tpu.io.img import save_img
+    import numpy as np
+    for i in range(3):
+        save_img(tmp_path / f"im{i}.png",
+                 np.full((8, 8, 3), i * 40, np.uint8))
+    bs = read_all_blocks(spec(f"(mode=img-dir-src,dir={tmp_path})"))
+    assert len(bs) == 3
+    assert bs[0].nda.dims.names() == ("y", "x", "chan")
+    assert bs[1].nda.v[0, 0, 0] == 40
