@@ -145,7 +145,10 @@ def add_codegen_annotations(op: OpBase, tune: OpTune) -> None:
     cnn_op.cc:334-380): pick sgemm/xla_sgemm + work dims."""
     if op.type == "sgemm":
         if "func_name" not in op.str_vals:
-            op.set_func_name("xla_sgemm" if tune.use_culibs else "sgemm")
+            if tune.prec == "int8":
+                op.set_func_name("sgemm_int8")
+            else:
+                op.set_func_name("xla_sgemm" if tune.use_culibs else "sgemm")
         if tune.Mb or tune.Nb or tune.Kb:
             op.set_dims("work", Dims.make(tn="none", Mb=tune.Mb, Nb=tune.Nb, Kb=tune.Kb))
         if tune.prec:

@@ -155,3 +155,36 @@ def test_wisdom_drives_engine_tunes(tmp_path):
     funcs = {s.call_tag: s.func_name for s in eng.plan.steps}
     assert funcs["conv2"] == "xla_conv"      # overridden by wisdom
     assert funcs["cccp1"] == "k1conv"        # untouched ops keep defaults
+
+
+def test_sgemm_int8_quantized_matmul(monkeypatch):
+    """int8 MXU matmul path (prec=int8): quantization error bounded, kernel
+    body exercised in interpret mode, variant selected by the tune."""
+    import numpy as np
+    from boda_tpu.ops.cnn_variants import add_codegen_annotations, make_op_tune
+    from boda_tpu.ops.pallas.sgemm import make_sgemm_op
+    from boda_tpu.ops.registry import get_template
+    from boda_tpu.ops.op_base import OpBase
+    from boda_tpu.core.dims import Dims
+    op = OpBase({"type": "sgemm"})  # no func_name: let the tune pick
+    op.set_dims("a", Dims.make(M=64, K=32))
+    op.set_dims("b", Dims.make(K=32, N=48))
+    op.set_dims("c", Dims.make(M=64, N=48))
+    add_codegen_annotations(op, make_op_tune("(prec=int8)"))
+    assert op.func_name == "sgemm_int8"
+    tmpl = get_template("sgemm_int8")
+    rfs = tmpl.check_args(op)
+    rng = np.random.RandomState(0)
+    a = rng.randn(64, 32).astype(np.float32)
+    b = rng.randn(32, 48).astype(np.float32)
+    exact = a @ b
+    ref = tmpl.ref_impl(rfs, a, b)
+    # quantization error vs exact: bounded by int8 resolution
+    scale = np.abs(exact).max()
+    assert np.abs(ref - exact).max() / scale < 0.05
+    monkeypatch.setenv("BODA_PALLAS_MODE", "interpret")
+    got = np.asarray(tmpl.build(rfs)(a, b))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+    monkeypatch.setenv("BODA_PALLAS_MODE", "fallback")
+    got_fb = np.asarray(tmpl.build(rfs)(a, b))
+    np.testing.assert_allclose(got_fb, ref, rtol=1e-5, atol=1e-4)
