@@ -1,0 +1,79 @@
+"""Device-side batched image preprocessing with host→HBM prefetch.
+
+BASELINE.json north star: "image preprocessing — decode, resize, and
+pyramid packing — fuses into device-side batched transforms with
+host→HBM prefetch". Decode stays host-side (PIL); everything after the
+raw uint8 image — resize, RGB→BGR, mean-subtract, HWC→CHW — runs as one
+jitted XLA program on device, and `PrefetchFeeder` overlaps the next
+batch's H2D transfer with the current batch's compute (jax transfers are
+async; dispatch-before-use gives the overlap).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..core.dims import NDA, Dims
+from .img import DEFAULT_MEAN_BGR
+
+
+def make_device_preproc(out_y: int, out_x: int, bgr: bool = True,
+                        mean: Optional[tuple] = DEFAULT_MEAN_BGR,
+                        dtype="float32"):
+    """Jitted (B,y,x,3) uint8 → (B,3,out_y,out_x) float preprocessing."""
+    import jax
+    import jax.numpy as jnp
+
+    mean_v = None if mean is None else jnp.asarray(mean, jnp.float32)
+
+    @jax.jit
+    def preproc(imgs):
+        x = imgs.astype(jnp.float32)
+        b, h, w, _c = x.shape
+        if (h, w) != (out_y, out_x):
+            x = jax.image.resize(x, (b, out_y, out_x, 3), method="bilinear")
+        if bgr:
+            x = x[..., ::-1]
+        if mean_v is not None:
+            x = x - mean_v
+        return jnp.transpose(x, (0, 3, 1, 2)).astype(dtype)
+
+    return preproc
+
+
+class PrefetchFeeder:
+    """Iterate preprocessed device batches with one-batch H2D prefetch.
+
+    source: iterator of (B,y,x,3) uint8 numpy batches. The next batch is
+    device_put (async) while the caller consumes the current one."""
+
+    def __init__(self, source: Iterator[np.ndarray], out_y: int, out_x: int,
+                 **preproc_kw):
+        self._src = iter(source)
+        self._preproc = make_device_preproc(out_y, out_x, **preproc_kw)
+        self._pending = None
+
+    def _stage(self):
+        import jax
+        try:
+            host = next(self._src)
+        except StopIteration:
+            return None
+        return self._preproc(jax.device_put(np.ascontiguousarray(host)))
+
+    def __iter__(self):
+        self._pending = self._stage()
+        while self._pending is not None:
+            cur = self._pending
+            self._pending = self._stage()  # overlaps with consumer compute
+            yield cur
+
+
+def preprocess_batch_nda(imgs: np.ndarray, dims: Dims, bgr: bool = True,
+                         mean: Optional[tuple] = DEFAULT_MEAN_BGR) -> NDA:
+    """One-shot helper: uint8 (B,y,x,3) → NDA matching a net's data dims."""
+    fn = make_device_preproc(dims["y"], dims["x"], bgr=bgr, mean=mean,
+                             dtype=dims.dtype)
+    return NDA(dims, np.asarray(fn(imgs)).reshape(dims.shape))

@@ -183,3 +183,24 @@ def test_img_dir_src(tmp_path):
     assert len(bs) == 3
     assert bs[0].nda.dims.names() == ("y", "x", "chan")
     assert bs[1].nda.v[0, 0, 0] == 40
+
+
+def test_device_preproc_and_prefetch():
+    """Device-side batched preprocessing (resize+BGR+mean+CHW in one jit)
+    matches the host path; PrefetchFeeder yields all batches."""
+    import numpy as np
+    from boda_tpu.core.dims import Dims
+    from boda_tpu.io.device_preproc import (PrefetchFeeder,
+                                            preprocess_batch_nda)
+    from boda_tpu.io.img import img_to_chw
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (2, 32, 32, 3), np.uint8)
+    d = Dims.make(img=2, chan=3, y=32, x=32)
+    got = preprocess_batch_nda(imgs, d)
+    want = np.stack([img_to_chw(im) for im in imgs])
+    np.testing.assert_allclose(got.v, want, atol=1e-4)
+    # resize path + prefetch iteration
+    batches = [rng.randint(0, 255, (2, 48, 40, 3), np.uint8) for _ in range(3)]
+    feeder = PrefetchFeeder(iter(batches), out_y=32, out_x=32)
+    outs = [np.asarray(b) for b in feeder]
+    assert len(outs) == 3 and outs[0].shape == (2, 3, 32, 32)
