@@ -150,6 +150,11 @@ def create_pipe_from_param(net: PbNode, in_dims: Optional[Dims] = None,
         name = str(l.get("name", ltype))
         bots = [resolve(str(b)) for b in l.get_all("bottom")]
         tops = [str(t) for t in l.get_all("top")]
+        if ltype == "SoftmaxWithLoss":
+            # inference import drops loss caps (reference: caffepb.cc:256-262
+            # warns and ignores SoftmaxWithLoss when add_bck_ops==0); the
+            # gradient path adds its own properly-wired loss op
+            continue
         if ltype in _SKIP_TYPES:
             if ltype == "Data" and not seen_data and tops:
                 seen_data = True

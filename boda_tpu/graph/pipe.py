@@ -470,9 +470,15 @@ class ConvPipe:
         csi_out = out.csi
         if csi_out.valid():
             raise RtErr(f"unhandled: node with multiple writers: {out.name}")
-        if op.type in ("BckConv", "Spreading", "Split", "Reduce", "BckLRN",
-                       "InnerProduct"):
-            return  # no support info for bck/fc ops (reference behavior)
+        if op.type in ("BckConv", "Spreading", "Split", "Reduce", "BckLRN"):
+            return  # no support info for bck ops (reference behavior)
+        if op.type == "InnerProduct":
+            # fc consumes the whole input: global support (support_sz zeros)
+            csi_in = self.must_get_node(op.bots[0]).csi
+            csi_out.support_sz = Pt(0, 0)
+            csi_out.support_stride = csi_in.support_stride
+            csi_out.eff_tot_pad = csi_in.eff_tot_pad
+            return
         if op.type == "SoftmaxWithLoss":
             csi_out.eff_tot_pad = self.must_get_node(op.bots[0]).csi.eff_tot_pad
             loss = self.must_get_node(op.tops[1])
