@@ -112,3 +112,40 @@ def test_rtc_test_over_ipc(capsys):
     out = capsys.readouterr().out
     assert "rtc_test PASSED plat=ipc:interp:numpy" in out
     assert "cs_test_master PASSED" in out
+
+
+def test_ipc_tcp_remote_worker():
+    """TCP transport end-to-end: worker listens (the manual-launch /
+    remote-machine workflow, rtc_ipc.cc:98-140 print-command path), master
+    connects by address — the 'drive a remote TPU host' pattern."""
+    import random
+    import subprocess
+    import sys
+    import time
+
+    port = random.randint(20000, 40000)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "boda_tpu", "ipc_compute_worker",
+         f"--boda-parent-addr=tcp-listen:{port}", "--rtc=interp"])
+    try:
+        deadline = time.time() + 120
+        be = None
+        while time.time() < deadline:
+            try:
+                be = make_backend(f"(be=ipc,boda_parent_addr=tcp:127.0.0.1:{port})")
+                be.init()
+                break
+            except RtErr:
+                time.sleep(1.0)
+        assert be is not None and be._initialized, "worker never came up"
+        assert be.get_plat_tag() == "ipc:interp:numpy"
+        d = Dims.make(y=2, x=3)
+        be.create_var_with_dims("v", d)
+        x = np.arange(6, dtype=np.float32).reshape(2, 3)
+        be.copy_nda_to_var("v", NDA(d, x))
+        np.testing.assert_array_equal(be.copy_var_to_nda("v").v, x)
+        be.quit_worker()
+        assert proc.wait(timeout=30) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
