@@ -117,7 +117,8 @@ def _phase_ok(l: PbNode, phase: str) -> bool:
 
 def create_pipe_from_param(net: PbNode, in_dims: Optional[Dims] = None,
                            phase: str = "TEST",
-                           out_node_name: str = "") -> ConvPipe:
+                           out_node_name: str = "",
+                           add_bck_ops: bool = False) -> ConvPipe:
     """NetParameter (parsed prototxt) → ConvPipe (ref: caffepb.cc:166-328)."""
     pipe = ConvPipe()
     pipe.out_node_name = out_node_name
@@ -151,9 +152,20 @@ def create_pipe_from_param(net: PbNode, in_dims: Optional[Dims] = None,
         bots = [resolve(str(b)) for b in l.get_all("bottom")]
         tops = [str(t) for t in l.get_all("top")]
         if ltype == "SoftmaxWithLoss":
-            # inference import drops loss caps (reference: caffepb.cc:256-262
-            # warns and ignores SoftmaxWithLoss when add_bck_ops==0); the
-            # gradient path adds its own properly-wired loss op
+            if not add_bck_ops:
+                # inference import drops loss caps (reference:
+                # caffepb.cc:256-262 warns and ignores SoftmaxWithLoss when
+                # add_bck_ops==0)
+                continue
+            # gradient import: prepend the fwd-top gradient output
+            # (reference: caffepb.cc:264); legacy layers may declare no top
+            loss_tops = tops if tops else [name]
+            op = ConvOp("SoftmaxWithLoss", name, bots,
+                        [bots[0] + "_grad_loss"] + loss_tops, {})
+            op.str_vals["caffe_name"] = name
+            pipe.add_op(op)
+            if bots[1:]:
+                pipe.data_label_node_names = [bots[1]]
             continue
         if ltype in _SKIP_TYPES:
             if ltype == "Data" and not seen_data and tops:
@@ -362,19 +374,27 @@ def fold_bn_scale(pipe: ConvPipe, blobs_by_layer: dict[str, list[NDA]],
 
 
 def read_model(prototxt_path, caffemodel_path=None, in_dims: Optional[Dims] = None,
-               out_node_name: str = "") -> ConvPipe:
-    """Full import path: prototxt (+ optional weights) → calc'd ConvPipe."""
+               out_node_name: str = "", add_bck_ops: bool = False) -> ConvPipe:
+    """Full import path: prototxt (+ optional weights) → calc'd ConvPipe.
+    add_bck_ops=True keeps the net's SoftmaxWithLoss cap and synthesizes
+    the backward ops (reference: create_pipe_from_param + add_bck_ops,
+    caffepb.cc:297)."""
     try:
         txt = Path(prototxt_path).read_text()
     except UnicodeDecodeError:
         raise RtErr(f"'{prototxt_path}' is not a text prototxt (binary file? "
                     "pass caffemodels via --trained-fn)")
     net = parse_pbtext(txt)
-    pipe = create_pipe_from_param(net, in_dims=in_dims, out_node_name=out_node_name)
+    pipe = create_pipe_from_param(net, in_dims=in_dims,
+                                  out_node_name=out_node_name,
+                                  phase="TRAIN" if add_bck_ops else "TEST",
+                                  add_bck_ops=add_bck_ops)
     blobs = {}
     if caffemodel_path is not None:
         blobs = extract_layer_blobs(read_binary_net_param(caffemodel_path))
     pipe.calc_dims()
+    if add_bck_ops:
+        pipe.add_bck_ops()
     pipe.calc_support_info()
     if caffemodel_path is not None:
         copy_matching_layer_blobs_to_pipe(pipe, blobs)

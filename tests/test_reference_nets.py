@@ -81,3 +81,34 @@ def test_reference_nin_runs_end_to_end():
     b = e2.run_fwd({"data": x}, [top])[top].v
     scale = np.abs(a).max() + 1e-30
     assert np.abs(a - b).max() / scale < 5e-4
+
+
+def test_reference_nin_gradient_import():
+    """TRAIN-phase import with add_bck_ops: the reference NiN prototxt's
+    SoftmaxWithLoss cap is kept and the full backward graph synthesizes
+    (the reference's gradient-testing flow, conv_util.cc:718 running
+    test case)."""
+    from boda_tpu.core.dims import NDA, Dims
+    from boda_tpu.engine.iface import make_engine
+    from boda_tpu.graph.caffe_io import read_model
+    from boda_tpu.models.zoo import init_pipe_weights
+    fn = REF_NETS / "nin_imagenet_nopad" / "train_val.prototxt"
+    if not fn.exists():
+        pytest.skip(f"{fn} missing")
+    pipe = read_model(fn, in_dims=Dims.make(img=1, chan=3, y=128, x=128),
+                      add_bck_ops=True)
+    assert pipe.has_bck_ops
+    assert "data_grad_loss" in pipe.nodes
+    assert "conv1_filts_grad_loss" in pipe.nodes
+    init_pipe_weights(pipe)
+    eng = make_engine("ref")
+    eng.init(pipe)
+    d = pipe.get_data_img_dims()
+    ld = pipe.must_get_node(pipe.data_label_node_names[0]).dims
+    rng = np.random.RandomState(0)
+    feeds = {"data": NDA(d, rng.randn(*d.shape).astype(np.float32) * 0.05),
+             pipe.data_label_node_names[0]:
+                 NDA(ld, rng.randint(0, 1000, ld.shape).astype(ld.dtype))}
+    out = eng.run_fwd(feeds, ["conv1_filts_grad_loss"])
+    g = out["conv1_filts_grad_loss"].v
+    assert np.isfinite(g).all() and np.abs(g).sum() > 0
