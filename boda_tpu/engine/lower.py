@@ -96,9 +96,89 @@ def lower_pipe(pipe: ConvPipe, tune: Optional[OpTune] = None,
                     and out_node.in_place_ops[0] is ip:
                 continue  # fused into the conv step
             steps += _lower_in_place(pipe, ip, train_dropout)
+    if getattr(tune, "fuse_resblock", False):
+        steps = _fuse_resblocks(steps, node_dims, set(output_nodes), tune)
     for s in steps:
         node_dims.update(s.temps)
     return Plan(steps, node_dims, input_nodes, weight_nodes, output_nodes)
+
+
+def _fuse_resblocks(steps: list[Step], node_dims, outputs: set,
+                    tune) -> list[Step]:
+    """Fuse [conv1x1+relu, conv3x3s1p1+relu, conv1x1, eltwise-add, relu]
+    step runs into one `resblock` step (identity-shortcut bottlenecks;
+    see ops/pallas/resblock.py). Interior nodes must be single-use."""
+    # consumer counts over all steps (interior nodes must only feed the chain)
+    uses: dict[str, int] = {}
+    for s in steps:
+        for a, node in s.arg_nodes.items():
+            uses[node] = uses.get(node, 0) + 1
+
+    def is_conv(s, k, pad, relu):
+        if s.func_name not in ("xla_conv", "conv", "tconv", "k1conv"):
+            return False
+        ks = s.sig.get_dims_or_none("kern_sz")
+        st = s.sig.get_dims_or_none("stride")
+        pd = s.sig.get_dims_or_none("in_pad")
+        if ks is None or ks["y"] != k or ks["x"] != k:
+            return False
+        if st is not None and (st["y"] != 1 or st["x"] != 1):
+            return False
+        if (pd["y"] if pd is not None else 0) != pad:
+            return False
+        return (s.sig.get_u32_or("conv_has_relu", 0) == 1) == relu
+
+    out: list[Step] = []
+    i = 0
+    while i < len(steps):
+        win = steps[i:i + 5]
+        ok = False
+        if len(win) == 5:
+            s1, s2, s3, s4, s5 = win
+            ok = (is_conv(s1, 1, 0, True) and is_conv(s2, 3, 1, True)
+                  and is_conv(s3, 1, 0, False)
+                  and s4.func_name == "eltwise"
+                  and s4.sig.str_vals.get("ew_op", "SUM") == "SUM"
+                  and s5.func_name == "relu")
+            if ok:
+                x = s1.arg_nodes["in"]
+                u, v, w_node = (s1.arg_nodes["out"], s2.arg_nodes["out"],
+                                s3.arg_nodes["out"])
+                ok = (s2.arg_nodes["in"] == u and s3.arg_nodes["in"] == v
+                      and {s4.arg_nodes["a"], s4.arg_nodes["b"]} == {x, w_node}
+                      and s5.arg_nodes["inout"] == s4.arg_nodes["out"]
+                      and node_dims[x].shape == node_dims[s4.arg_nodes["out"]].shape
+                      and all(uses.get(nd, 0) == 2 and nd not in outputs
+                              for nd in (u, v, w_node)))
+                # u/v/w each appear twice: once as producer out, once as input
+        if ok:
+            s1, s2, s3, s4, s5 = win
+            sig = OpBase({"type": "resblock", "func_name": "resblock"})
+            sig.set_dims("in", node_dims[s1.arg_nodes["in"]])
+            sig.set_dims("w1", node_dims[s1.arg_nodes["filts"]])
+            sig.set_dims("b1", node_dims[s1.arg_nodes["biases"]])
+            sig.set_dims("w2", node_dims[s2.arg_nodes["filts"]])
+            sig.set_dims("b2", node_dims[s2.arg_nodes["biases"]])
+            sig.set_dims("w3", node_dims[s3.arg_nodes["filts"]])
+            sig.set_dims("b3", node_dims[s3.arg_nodes["biases"]])
+            sig.set_dims("out", node_dims[s4.arg_nodes["out"]])
+            sig.set_u32("relu_out", 1)
+            if tune.prec:
+                sig.str_vals["prec"] = tune.prec
+            out.append(Step(sig, {"in": s1.arg_nodes["in"],
+                                  "w1": s1.arg_nodes["filts"],
+                                  "b1": s1.arg_nodes["biases"],
+                                  "w2": s2.arg_nodes["filts"],
+                                  "b2": s2.arg_nodes["biases"],
+                                  "w3": s3.arg_nodes["filts"],
+                                  "b3": s3.arg_nodes["biases"],
+                                  "out": s4.arg_nodes["out"]},
+                            s4.call_tag + "__resblock"))
+            i += 5
+        else:
+            out.append(steps[i])
+            i += 1
+    return out
 
 
 def _lower_op(pipe: ConvPipe, op: ConvOp, tune: OpTune, fuse_relu: bool,

@@ -39,6 +39,10 @@ class OpTune(Config):
     layout = Attr(str, default="", help="'' (nchw) or 'nhwc' internal conv "
                   "layout (TPU prefers feature-minor; transposes at op edges "
                   "cancel inside the fused XLA program)")
+    fuse_resblock = Attr(bool, default=False,
+                         help="fuse identity-shortcut bottlenecks "
+                              "(1x1-3x3-1x1+add+relu) into one Pallas "
+                              "kernel (VMEM-resident block)")
 
     def to_lexp(self) -> Lexp:
         l = Lexp.empty_list()

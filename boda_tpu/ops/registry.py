@@ -161,7 +161,7 @@ def _ensure_builtin_templates() -> None:
     _builtins_loaded = True
     from .pallas import (elementwise, sgemm, conv, tconv, pool, lrn,  # noqa: F401
                          softmax, reduce as _reduce, xpose, gen_data,
-                         var_stats, quantize, qsgemm, bck)
+                         var_stats, quantize, qsgemm, resblock, bck)
 
 
 class Codegen:
