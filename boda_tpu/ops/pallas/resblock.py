@@ -71,61 +71,92 @@ def build_resblock(rfs: OpBase):
     from jax.experimental.pallas import tpu as pltpu
 
     sub_al = 16 if bf16 else 8
+    isz = 2 if bf16 else 4
     WA = _ceil_to(W, sub_al)        # aligned interior width
     WP = _ceil_to(WA + 2, sub_al)   # padded plane width (halo + alignment)
-    HP = H + 2
-    M = H * WA                      # matmul rows per plane
+    # y-band the plane so the working set fits scoped VMEM (whole 56x56
+    # stage-2 planes at C=256 OOM the 16MB limit)
+    TY = H
+    def _vmem_est(ty):
+        tyi = ty + 2
+        return (tyi * WP * (C + Cm) * isz          # xp + h1 scratches
+                + 2 * ty * WA * C * isz            # double-buffered out
+                + tyi * WP * max(C, Cm) * 4        # f32 dot intermediates
+                + ty * WA * (C + Cm) * 4)          # acc + y
+    while TY > 4 and _vmem_est(TY) > 9 * 2 ** 20:
+        TY = -(-TY // 2)
+    ny = -(-H // TY)
+    HP = ny * TY + 2                # banded plane rows incl. halo
+    TYI = TY + 2
+    M = TY * WA                     # matmul rows per band
 
-    def kern(xp_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
-             b3_ref, o_ref, h1_scr):
-        # conv1 (1x1) over the WHOLE padded plane, border-masked so the
-        # 3x3 sees zero padding; h1p stays in VMEM
-        xp = xp_ref[0]                                   # (HP, WP, C)
-        a = xp.reshape(HP * WP, C)
+    def kern(x_hbm, m_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+             b3_ref, o_ref, xp_scr, h1_scr, sem):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(t * TY, TYI)], xp_scr, sem)
+        cp.start()
+        cp.wait()
+        cp2 = pltpu.make_async_copy(
+            m_hbm.at[0, pl.ds(t * TY, TYI)], h1_scr.at[0:TYI, :, 0:1], sem)
+        # mask is tiny; reuse h1 scratch channel 0 would clobber — use a
+        # direct masked compute instead: recompute mask rows from indices
+        del cp2
+        # conv1 (1x1) over the band (masked so the 3x3 sees zero padding)
+        xp = xp_scr[:]
+        a = xp.reshape(TYI * WP, C)
         h1 = jnp.dot(a, w1_ref[:], preferred_element_type=jnp.float32)
         h1 = jnp.maximum(h1 + b1_ref[0].astype(jnp.float32)[None, :], 0)
-        h1 = h1.reshape(HP, WP, Cm) * mask_ref[0]
+        h1 = h1.reshape(TYI, WP, Cm)
+        # border mask: global row index in [1, H], col in [1, W]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TYI, WP, 1), 0) + t * TY
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TYI, WP, 1), 1)
+        valid = ((rows >= 1) & (rows <= H) & (cols >= 1) & (cols <= W))
+        h1 = h1 * valid.astype(h1.dtype)
         h1_scr[:] = h1.astype(cdt)
-        # conv2 (3x3) tap accumulation over the interior
+        # conv2 (3x3) tap accumulation over the band interior
         acc = jnp.zeros((M, Cm), jnp.float32)
         for yy in range(3):
             for xx in range(3):
-                t = h1_scr[yy:yy + H, xx:xx + WA, :].reshape(M, Cm)
-                acc = acc + jnp.dot(t, w2_ref[yy, xx],
+                tt = h1_scr[yy:yy + TY, xx:xx + WA, :].reshape(M, Cm)
+                acc = acc + jnp.dot(tt, w2_ref[yy, xx],
                                     preferred_element_type=jnp.float32)
         h2 = jnp.maximum(acc + b2_ref[0].astype(jnp.float32)[None, :], 0)
         # conv3 (1x1) + shortcut + relu
         y = jnp.dot(h2.astype(cdt), w3_ref[:],
                     preferred_element_type=jnp.float32)
         y = y + b3_ref[0].astype(jnp.float32)[None, :]
-        sc = xp[1:1 + H, 1:1 + WA, :].reshape(M, C)
+        sc = xp_scr[1:1 + TY, 1:1 + WA, :].reshape(M, C)
         y = y + sc.astype(jnp.float32)
         if relu_out:
             y = jnp.maximum(y, 0)
-        o_ref[0] = y.reshape(H, WA, C).astype(o_ref.dtype)
+        o_ref[0] = y.reshape(TY, WA, C).astype(o_ref.dtype)
 
-    grid = (n,)
+    grid = (n, ny)
     call = pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, HP, WP, C), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, HP, WP, 1), lambda b: (0, 0, 0, 0)),
-            pl.BlockSpec((C, Cm), lambda b: (0, 0)),
-            pl.BlockSpec((1, Cm), lambda b: (0, 0)),
-            pl.BlockSpec((3, 3, Cm, Cm), lambda b: (0, 0, 0, 0)),
-            pl.BlockSpec((1, Cm), lambda b: (0, 0)),
-            pl.BlockSpec((Cm, C), lambda b: (0, 0)),
-            pl.BlockSpec((1, C), lambda b: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((C, Cm), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, Cm), lambda b, t: (0, 0)),
+            pl.BlockSpec((3, 3, Cm, Cm), lambda b, t: (0, 0, 0, 0)),
+            pl.BlockSpec((1, Cm), lambda b, t: (0, 0)),
+            pl.BlockSpec((Cm, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, t: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, H, WA, C), lambda b: (b, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, H, WA, C), np.dtype(out_dt)),
-        scratch_shapes=[pltpu.VMEM((HP, WP, Cm), cdt)],
+        out_specs=pl.BlockSpec((1, TY, WA, C), lambda b, t: (b, t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, ny * TY, WA, C), np.dtype(out_dt)),
+        scratch_shapes=[pltpu.VMEM((TYI, WP, C), cdt),
+                        pltpu.VMEM((TYI, WP, Cm), cdt),
+                        pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * H * W * (C * Cm + 9 * Cm * Cm + Cm * C),
-            bytes_accessed=2 * n * HP * WP * C * (2 if bf16 else 4),
+            bytes_accessed=2 * n * HP * WP * C * isz,
             transcendentals=0),
     )
 
@@ -147,8 +178,8 @@ def build_resblock(rfs: OpBase):
                 if w3.ndim == 4 else
                 jnp.transpose(w3.astype(cdt), (1, 0)).reshape(Cm, C),
                 b3.astype(cdt).reshape(1, C)]
-        y = call(*args)                       # (n, H, WA, C)
-        y = y[:, :, :W, :]
+        y = call(*args)                       # (n, ny*TY, WA, C)
+        y = y[:, :H, :W, :]
         return jnp.transpose(y, (0, 3, 1, 2))
     return fn
 
