@@ -90,7 +90,7 @@ def build_resblock(rfs: OpBase):
     TYI = TY + 2
     M = TY * WA                     # matmul rows per band
 
-    def kern(x_hbm, m_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+    def kern(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
              b3_ref, o_ref, xp_scr, h1_scr, sem):
         b = pl.program_id(0)
         t = pl.program_id(1)
@@ -98,11 +98,6 @@ def build_resblock(rfs: OpBase):
             x_hbm.at[b, pl.ds(t * TY, TYI)], xp_scr, sem)
         cp.start()
         cp.wait()
-        cp2 = pltpu.make_async_copy(
-            m_hbm.at[0, pl.ds(t * TY, TYI)], h1_scr.at[0:TYI, :, 0:1], sem)
-        # mask is tiny; reuse h1 scratch channel 0 would clobber — use a
-        # direct masked compute instead: recompute mask rows from indices
-        del cp2
         # conv1 (1x1) over the band (masked so the 3x3 sees zero padding)
         xp = xp_scr[:]
         a = xp.reshape(TYI * WP, C)
@@ -139,7 +134,6 @@ def build_resblock(rfs: OpBase):
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((C, Cm), lambda b, t: (0, 0)),
             pl.BlockSpec((1, Cm), lambda b, t: (0, 0)),
             pl.BlockSpec((3, 3, Cm, Cm), lambda b, t: (0, 0, 0, 0)),
@@ -160,14 +154,11 @@ def build_resblock(rfs: OpBase):
             transcendentals=0),
     )
 
-    mask = np.zeros((1, HP, WP, 1), np.float32)
-    mask[0, 1:1 + H, 1:1 + W, 0] = 1.0
-
     def fn(x, w1, b1, w2, b2, w3, b3):
         xc = x.astype(cdt)
         xh = jnp.transpose(xc, (0, 2, 3, 1))  # NHWC
         xp = jnp.pad(xh, ((0, 0), (1, HP - H - 1), (1, WP - W - 1), (0, 0)))
-        args = [xp, jnp.asarray(mask, cdt),
+        args = [xp,
                 jnp.transpose(w1.astype(cdt), (1, 0)).reshape(C, Cm)
                 if w1.ndim == 2 else
                 jnp.transpose(w1.astype(cdt), (2, 3, 1, 0)).reshape(C, Cm),
