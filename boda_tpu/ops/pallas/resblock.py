@@ -110,13 +110,14 @@ def build_resblock(rfs: OpBase):
         valid = ((rows >= 1) & (rows <= H) & (cols >= 1) & (cols <= W))
         h1 = h1 * valid.astype(h1.dtype)
         h1_scr[:] = h1.astype(cdt)
-        # conv2 (3x3) tap accumulation over the band interior
-        acc = jnp.zeros((M, Cm), jnp.float32)
-        for yy in range(3):
-            for xx in range(3):
-                tt = h1_scr[yy:yy + TY, xx:xx + WA, :].reshape(M, Cm)
-                acc = acc + jnp.dot(tt, w2_ref[yy, xx],
-                                    preferred_element_type=jnp.float32)
+        # conv2 (3x3): fold all 9 taps into K — one (M, 9*Cm) x (9*Cm, Cm)
+        # MXU matmul instead of 9 skinny K=Cm dots (which underuse the
+        # MXU badly when Cm=64)
+        cols = [h1_scr[yy:yy + TY, xx:xx + WA, :].reshape(M, Cm)
+                for yy in range(3) for xx in range(3)]
+        a2 = jnp.concatenate(cols, axis=1)              # (M, 9*Cm)
+        acc = jnp.dot(a2, w2_ref[:].reshape(9 * Cm, Cm),
+                      preferred_element_type=jnp.float32)
         h2 = jnp.maximum(acc + b2_ref[0].astype(jnp.float32)[None, :], 0)
         # conv3 (1x1) + shortcut + relu
         y = jnp.dot(h2.astype(cdt), w3_ref[:],
