@@ -30,7 +30,13 @@ CASES = [
     ("resnet-50", 64),
     ("resnet-101", 64),
     ("resnet-152", 64),
+    ("stratosnet-conv", 32),
+    ("bconv_strides_1", 96),
+    ("alexnet_ng_conv_nd_nl", 96),
 ]
+# not covered: nets/rrc (SSD-style detection: MultiBoxLoss/PriorBox/
+# Permute layer types — outside the reference's own rtc_fwd op set too)
+# and alexnet_ng_conv_mutated_for_testing (intentionally-broken fixture)
 
 
 def _first_conv(pipe):
