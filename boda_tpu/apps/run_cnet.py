@@ -97,6 +97,9 @@ class CnetPredict(RunCnetBase):
     top_k = Attr(int, default=5)
     filt_rate = Attr(float, default=0.0,
                      help="temporal prob filtering rate (streaming use)")
+    anno_fn = Attr(str, default="", help="write the input image annotated "
+                   "with the top-1 label here (reference: cnet_predict "
+                   "annotated output, caffeif.H:159-160)")
 
     def base_setup(self):
         self._filt_prob = None
@@ -131,3 +134,12 @@ class CnetPredict(RunCnetBase):
         preds = self.do_predict(out.v[0])
         for rank, (idx, p, lbl) in enumerate(preds, 1):
             print(f"#{rank}: {lbl} (class {idx}) p={p:.5f}")
+        if self.anno_fn and preds:
+            from ..io.disp import annotate_img
+            from ..io.img import save_img
+            idx, p, lbl = preds[0]
+            h, w = img.shape[0], img.shape[1]
+            anno = annotate_img(img, [((2, 2, h - 3, w - 3),
+                                       f"{lbl} {p:.3f}")])
+            save_img(self.out_path(self.anno_fn), anno)
+            print(f"wrote annotated image to {self.anno_fn}")
