@@ -31,6 +31,8 @@ class WisAna(HasMain):
     ref_tune_contains = Attr(str, default="use_culibs",
                              help="substring marking the reference tune")
     csv_fn = Attr(str, default="", help="also write CSV here")
+    latex_fn = Attr(str, default="", help="also write a LaTeX table here "
+                    "(reference: wis-ana latex output, op-tuner.cc:205+)")
 
     def main(self):
         ws = read_wisdom_file(self.wisdom_in_fn)
@@ -63,3 +65,15 @@ class WisAna(HasMain):
                 for r in rows:
                     f.write(",".join(str(x).replace(",", ";") for x in r) + "\n")
             print(f"wrote {len(rows)} rows to {self.csv_fn}")
+        if self.latex_fn:
+            with open(self.out_path(self.latex_fn), "w") as f:
+                f.write("\\begin{tabular}{l l l r r r}\n")
+                f.write("op & plat & best tune & secs & ref secs & speedup "
+                        "\\\\\n\\hline\n")
+                for op_s, plat, tune_s, secs, ref_s, spd in rows:
+                    esc = lambda t: t.replace("_", "\\_")[:40]
+                    f.write(f"{esc(op_s)} & {esc(plat)} & {esc(tune_s)} & "
+                            f"{secs:.3e} & {ref_s:.3e} & {spd:.2f} "
+                            "\\\\\n")
+                f.write("\\end{tabular}\n")
+            print(f"wrote latex table to {self.latex_fn}")
