@@ -38,6 +38,9 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from boda_tpu.backend.xla import enable_compilation_cache
+    enable_compilation_cache()
+
     from boda_tpu.engine.lower import lower_pipe
     from boda_tpu.engine.rtc_fwd import build_fused_forward
     from boda_tpu.models.zoo import build_model

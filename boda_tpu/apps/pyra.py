@@ -218,7 +218,20 @@ class ConvPyra(_NetMode):
     min_sz = Attr(int, default=32)
     zero_trash = Attr(bool, default=True)
     digest_fn = Attr(str, default="")
+    plane_digest_fn = Attr(str, default="", help="also digest the whole "
+                           "(zero_trash-masked) feature planes")
     frames = Attr(int, default=1, help="repeat count (streaming simulation)")
+    predict = Attr(bool, default=False,
+                   help="run the dense multi-scale prediction path "
+                        "(per-scale regions -> NMS grid -> annos; "
+                        "caffeif.cc do_predict)")
+    label_fn = Attr(str, default="", help="label names, one per line")
+    anno_fn = Attr(str, default="", help="write box-annotated input image")
+    filt_show_thresh = Attr(float, default=0.02)
+    filt_drop_thresh = Attr(float, default=0.005)
+    max_num_disp = Attr(int, default=20)
+    nms_grid_pels = Attr(list[int], default="25 25")
+    nms_core_rat = Attr(float, default=0.75)
 
     def main(self):
         from ..core.digest import nda_digest
@@ -257,6 +270,7 @@ class ConvPyra(_NetMode):
             make_test_pattern_img(in_sz.y, in_sz.x, 2)
         data_node = bpipe.data_img_node_names[0]
         bcsi = bpipe.must_get_node(out_node.name).csi
+        predictor = None
         for frame in range(self.frames):
             packed = pp.scale_and_pack_img_into_bins(img)
             batch = np.stack([img_to_chw(packed[b]) for b in range(pp.num_bins)])
@@ -264,18 +278,60 @@ class ConvPyra(_NetMode):
             feats = self.conv_fwd.run_fwd({data_node: blob}, [out_node.name])[out_node.name]
             fv = np.array(feats.v)
             per_scale = []
+            valid_boxes = []
             for i, si in enumerate(pp.scales):
                 ob = in_box_to_out_box(si.place, CM_VALID, bcsi)
                 ob = ob.clip_to(Box(Pt(0, 0), Pt(fv.shape[2], fv.shape[3])))
                 if not ob.is_strictly_normalized():
                     per_scale.append(None)
+                    valid_boxes.append(None)
                     continue
                 sf = fv[si.bin_ix, :, ob.p0.y:ob.p1.y, ob.p0.x:ob.p1.x]
                 per_scale.append(sf)
+                valid_boxes.append(ob)
             if self.zero_trash:
-                # zero features whose valid-support box isn't fully inside a
-                # scale's placement (conservative inter-scale isolation)
-                pass  # per-scale extraction above already uses valid boxes
+                # real trash masking (conv_pyra.cc:65-77 semantics): keep
+                # only features inside some scale's valid box; pixels whose
+                # support straddles scale placements (or lives in unused
+                # plane area) are zeroed so downstream consumers of the
+                # whole planes can't read inter-scale garbage
+                vm = np.zeros((fv.shape[0], fv.shape[2], fv.shape[3]),
+                              fv.dtype)
+                for si, ob in zip(pp.scales, valid_boxes):
+                    if ob is not None:
+                        vm[si.bin_ix, ob.p0.y:ob.p1.y, ob.p0.x:ob.p1.x] = 1
+                fv = fv * vm[:, None, :, :]
+            if self.predict:
+                if predictor is None:
+                    from .predict import DensePredictor
+                    from pathlib import Path
+                    labels = (Path(self.label_fn).read_text().splitlines()
+                              if self.label_fn else
+                              [f"class_{i}" for i in range(fv.shape[1])])
+                    predictor = DensePredictor(
+                        labels,
+                        filt_show_thresh=self.filt_show_thresh,
+                        filt_drop_thresh=self.filt_drop_thresh,
+                        max_num_disp=self.max_num_disp,
+                        nms_grid_pels=Pt(*self.nms_grid_pels),
+                        nms_core_rat=self.nms_core_rat)
+                    predictor.setup_scale_infos(
+                        bcsi, self.interval,
+                        sizes=[si.sz for si in pp.scales],
+                        placements=[(si.bin_ix, si.place.p0) for si in pp.scales],
+                        nominal_in_sz=in_sz, num_chans=fv.shape[1],
+                        feat_sz=Pt(fv.shape[2], fv.shape[3]))
+                annos = predictor.do_predict(fv, print_to_terminal=True)
+                if self.anno_fn and frame == self.frames - 1:
+                    from ..io.disp import annotate_img
+                    from ..io.img import save_img
+                    h, w = img.shape[0], img.shape[1]
+                    draw = [(tuple(np.clip(a.box, 0, [h, w, h, w])),
+                             a.str.splitlines()[0] if a.str else "")
+                            for a in annos]
+                    save_img(self.out_path(self.anno_fn),
+                             annotate_img(img, draw))
+                    print(f"wrote {len(annos)} annos to {self.anno_fn}")
             if frame == 0:
                 print(f"conv_pyra: {len(pp.scales)} scales in {pp.num_bins} "
                       f"bins of {bin_sz}; feature node '{out_node.name}' "
@@ -291,3 +347,8 @@ class ConvPyra(_NetMode):
                     digs = {f"scale_{i}": NDA.from_array(sf, ["chan", "y", "x"])
                             for i, sf in enumerate(per_scale) if sf is not None}
                     write_digest_stream(self.out_path(self.digest_fn), digs)
+                if self.plane_digest_fn:
+                    from ..testing.comp import write_digest_stream
+                    write_digest_stream(
+                        self.out_path(self.plane_digest_fn),
+                        {"planes": NDA.from_array(fv, ["img", "chan", "y", "x"])})

@@ -100,9 +100,19 @@ class CnetPredict(RunCnetBase):
     anno_fn = Attr(str, default="", help="write the input image annotated "
                    "with the top-1 label here (reference: cnet_predict "
                    "annotated output, caffeif.H:159-160)")
+    dense = Attr(bool, default=False,
+                 help="use the dense prediction path (scale_infos + NMS "
+                      "grid + per-region annos; reference default — "
+                      "caffeif.cc setup_scale_infos single-scale case)")
+    filt_show_thresh = Attr(float, default=0.02)
+    filt_drop_thresh = Attr(float, default=0.005)
+    max_num_disp = Attr(int, default=20)
+    nms_grid_pels = Attr(list[int], default="25 25")
+    nms_core_rat = Attr(float, default=0.75)
 
     def base_setup(self):
         self._filt_prob = None
+        self._dense_pred = None
 
     def load_labels(self, n: int) -> list[str]:
         if self.label_fn and Path(self.label_fn).exists():
@@ -125,12 +135,46 @@ class CnetPredict(RunCnetBase):
         return [(int(i), float(p[i]), labels[i] if i < len(labels) else str(i))
                 for i in top]
 
+    def do_predict_dense(self, pipe, out) -> list:
+        """Single-scale dense path (reference cnet_predict default):
+        whole-feature-map region → pred_state → NMS grid → annos."""
+        from ..core.geom import Pt
+        from .predict import DensePredictor
+        if self._dense_pred is None:
+            d = pipe.get_data_img_dims()
+            top = pipe.get_single_top_node()
+            labels = self.load_labels(out.v.shape[1])
+            self._dense_pred = DensePredictor(
+                labels,
+                filt_rate=self.filt_rate if self.filt_rate > 0 else 0.2,
+                filt_show_thresh=self.filt_show_thresh,
+                filt_drop_thresh=self.filt_drop_thresh,
+                max_num_disp=self.max_num_disp,
+                nms_grid_pels=Pt(*self.nms_grid_pels),
+                nms_core_rat=self.nms_core_rat)
+            self._dense_pred.setup_single_scale(
+                top.csi, Pt(out.v.shape[2], out.v.shape[3]),
+                Pt(d["y"], d["x"]), out.v.shape[1])
+        return self._dense_pred.do_predict(out.v, print_to_terminal=True)
+
     def main(self):
         from ..io.img import img_to_batch, load_img, make_test_pattern_img
         pipe = self.setup_cnet()
         d = pipe.get_data_img_dims()
         img = load_img(self.img_fn) if self.img_fn else make_test_pattern_img(d["y"], d["x"])
         out = self.run_one_blob_in_one_blob_out(img_to_batch(img, d))
+        if self.dense:
+            annos = self.do_predict_dense(pipe, out)
+            if self.anno_fn:
+                from ..io.disp import annotate_img
+                from ..io.img import save_img
+                h, w = img.shape[0], img.shape[1]
+                draw = [(tuple(np.clip(a.box, 0, [h, w, h, w])),
+                         a.str.splitlines()[0] if a.str else "")
+                        for a in annos]
+                save_img(self.out_path(self.anno_fn), annotate_img(img, draw))
+                print(f"wrote {len(annos)} annos to {self.anno_fn}")
+            return
         preds = self.do_predict(out.v[0])
         for rank, (idx, p, lbl) in enumerate(preds, 1):
             print(f"#{rank}: {lbl} (class {idx}) p={p:.5f}")

