@@ -10,8 +10,11 @@ TFLOP/s).
 
 Timing methodology: under the axon tunnel, block_until_ready() does NOT
 block and repeated same-input dispatches hit a cache, so iterations are
-chained *inside one XLA program* via lax.scan (each step's input depends on
-the previous step's output) and the clock stops on a scalar readback.
+chained *inside one XLA program* via a dynamic-length fori_loop (each
+step's input depends on the previous step's output) and the clock stops on
+a scalar readback. The per-iteration time is the SLOPE between two chain
+lengths (median of 3), cancelling the ~35 ms fixed tunnel dispatch cost
+that plain total/iters folds in.
 """
 
 from __future__ import annotations
@@ -61,27 +64,41 @@ def main() -> None:
 
     def chained(w, x, n):
         # serial dependency between steps defeats dispatch caching and makes
-        # wall-clock = n * single-forward time (+1 negligible add per step)
-        def body(c, _):
+        # wall-clock = n * single-forward time (+1 negligible add per step).
+        # fori_loop with a *traced* n: ONE compiled program serves every
+        # chain length (a scan would recompile per length — 110-300 s each
+        # through the tunnel).
+        def body(_i, carry):
+            c, acc = carry
             p = fwd({"data": c}, w)["prob"]
-            c2 = c + p.sum() * 1e-12
-            return c2, p[0, 0, 0, 0]
-        c, ps = jax.lax.scan(body, x, None, length=n)
-        return ps.sum()
+            return c + p.sum() * 1e-12, acc + p[0, 0, 0, 0]
+        _c, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
+        return acc
 
-    fn = jax.jit(chained, static_argnums=2)
+    fn = jax.jit(chained)
     dev = jax.devices()[0]
     w_dev = {k: jax.device_put(v, dev) for k, v in weights.items()}
     x_dev = jax.device_put(x, dev)
 
     t0 = time.perf_counter()
-    float(fn(w_dev, x_dev, 1))  # compile (n=1) + warm transfer path
+    float(fn(w_dev, x_dev, 1))  # compile + warm transfer path
     compile_s = time.perf_counter() - t0
 
-    float(fn(w_dev, x_dev, iters))  # compile the n=iters program
-    t0 = time.perf_counter()
-    float(fn(w_dev, x_dev, iters))  # timed: scalar readback = real barrier
-    dt = time.perf_counter() - t0
+    # slope timing: the tunnel adds a ~35 ms fixed dispatch+readback cost
+    # per call; (T(iters) - T(n1)) / (iters - n1) cancels it (median of 3)
+    import statistics
+    n1 = max(2, iters // 5)
+    float(fn(w_dev, x_dev, n1))  # warm
+    float(fn(w_dev, x_dev, iters))
+    slopes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fn(w_dev, x_dev, n1))
+        t1 = time.perf_counter()
+        float(fn(w_dev, x_dev, iters))  # scalar readback = real barrier
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (iters - n1))
+    dt = statistics.median(slopes) * iters
 
     imgs_per_sec = batch * iters / dt
     flops_per_batch, _ = pipe.total_flops_and_bytes()

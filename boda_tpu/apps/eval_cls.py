@@ -19,7 +19,7 @@ import numpy as np
 from ..core.config import Attr
 from ..core.dims import NDA, Dims
 from ..core.error import RtErr
-from ..core.has_main import mode
+from ..core.has_main import HasMain, mode
 from ..core.timers import timer
 from ..io.data_stream import DataBlock, DataStream, register
 from .run_cnet import RunCnetBase
@@ -83,8 +83,32 @@ class LabeledNpySrc(DataStream):
         return f"labeled-npy-src: {self._ix}/{self._imgs.shape[0]}"
 
 
+def encode_datum(img_u8: np.ndarray, label: int) -> bytes:
+    """Serialize a caffe Datum (caffe.proto fields: 1=channels 2=height
+    3=width 4=data 5=label) for LMDB fixtures/benches."""
+    from ..graph.pbwire import enc_field_bytes, enc_field_varint
+    c, y, x = img_u8.shape
+    return (enc_field_varint(1, c) + enc_field_varint(2, y)
+            + enc_field_varint(3, x)
+            + enc_field_bytes(4, np.ascontiguousarray(img_u8, np.uint8).tobytes())
+            + enc_field_varint(5, int(label)))
+
+
+def open_lmdb_kv_iter(fn: str):
+    """(key, value) iterator over an LMDB env: the real `lmdb` module when
+    installed, else the built-in pure-Python reader (utils/lmdbmini.py)."""
+    try:
+        import lmdb
+        env = lmdb.open(fn, readonly=True, lock=False)
+        txn = env.begin()
+        return iter(txn.cursor())
+    except ImportError:
+        from ..utils.lmdbmini import LmdbMini
+        return LmdbMini(fn).items()
+
+
 @register(DataStream, "lmdb-src",
-          help="labeled blocks from a caffe-Datum LMDB (feature 'lmdb')")
+          help="labeled blocks from a caffe-Datum LMDB")
 class LmdbSrc(DataStream):
     """Reference: lmdb_parse_datums_t + parse_datum (lmdbif.cc,
     caffepb.H:39). Datum wire fields: 1=channels 2=height 3=width
@@ -95,15 +119,7 @@ class LmdbSrc(DataStream):
     mean = Attr(float, default=0.0, help="scalar mean subtracted from pixels")
 
     def data_stream_init(self):
-        try:
-            import lmdb
-        except ImportError:
-            raise RtErr("lmdb-src requires the lmdb module (feature 'lmdb' "
-                        "disabled)")
-        self._env = lmdb.open(self.fn, readonly=True, lock=False)
-        self._txn = self._env.begin()
-        self._cur = self._txn.cursor()
-        self._iter = iter(self._cur)
+        self._iter = open_lmdb_kv_iter(self.fn)
         self._ix = 0
 
     def proc_block(self, db: DataBlock) -> DataBlock:
@@ -173,3 +189,100 @@ class TestLmdb(RunCnetBase):
         top_1_acc = num_pos / max(num_test, 1)
         acc_tag = "top_1_acc" if self.top_k == 1 else f"top_{self.top_k}_acc"
         print(f"{acc_tag}={top_1_acc:g} num_pos={num_pos} num_test={num_test}")
+
+
+@mode("lmdb_bench", help="scan an LMDB: count entries/bytes, datum stats")
+class LmdbBench(HasMain):
+    """Reference: lmdb_bench_t (lmdbif.cc:13-38 — full-scan read bench)."""
+
+    fn = Attr(str, req=True, help="lmdb directory (or data.mdb file)")
+    parse_datums = Attr(bool, default=True, help="also decode caffe Datums")
+    max_entries = Attr(int, default=0, help="stop after N (0: all)")
+
+    def main(self):
+        import time
+        from ..graph.pbwire import decode_wire
+        t0 = time.perf_counter()
+        n = 0
+        key_bytes = val_bytes = 0
+        label_hist: dict[int, int] = {}
+        dims_seen = set()
+        for k, v in open_lmdb_kv_iter(self.fn):
+            n += 1
+            key_bytes += len(k)
+            val_bytes += len(v)
+            if self.parse_datums:
+                d = decode_wire(v)
+                dims_seen.add((d.varint(1, 0), d.varint(2, 0), d.varint(3, 0)))
+                lab = d.varint(5, 0)
+                label_hist[lab] = label_hist.get(lab, 0) + 1
+            if self.max_entries and n >= self.max_entries:
+                break
+        dt = time.perf_counter() - t0
+        print(f"lmdb_bench: entries={n} key_bytes={key_bytes} "
+              f"val_bytes={val_bytes}")
+        if self.parse_datums:
+            print(f"datum dims (chan,y,x): {sorted(dims_seen)}; "
+                  f"labels: {len(label_hist)} distinct")
+        print(f"scan took {dt:.3f}s "
+              f"({(key_bytes + val_bytes) / max(dt, 1e-9) / 1e6:.1f} MB/s)")
+
+
+@mode("display_lmdb", help="render LMDB datums to a montage image")
+class DisplayLmdb(HasMain):
+    """Reference: lmdb_caffe_disp.cc:14 (display datums as they stream);
+    file-backed here (no display stack in a TPU VM): first N datums are
+    tiled into one PNG."""
+
+    fn = Attr(str, req=True, help="lmdb directory")
+    num_imgs = Attr(int, default=16)
+    out_fn = Attr(str, default="lmdb_montage.png")
+
+    def main(self):
+        from ..graph.pbwire import decode_wire
+        from ..io.disp import make_montage
+        from ..io.img import save_img
+        imgs = []
+        for _k, v in open_lmdb_kv_iter(self.fn):
+            d = decode_wire(v)
+            c, y, x = d.varint(1, 0), d.varint(2, 0), d.varint(3, 0)
+            u8 = np.frombuffer(d.bytes_field(4), np.uint8).reshape(c, y, x)
+            imgs.append(np.transpose(u8, (1, 2, 0)))
+            if len(imgs) >= self.num_imgs:
+                break
+        if not imgs:
+            raise RtErr(f"display_lmdb: no datums in '{self.fn}'")
+        out = self.out_path(self.out_fn)
+        save_img(out, make_montage(imgs))
+        print(f"display_lmdb: wrote {len(imgs)} datums to {self.out_fn}")
+
+
+@mode("gen_lmdb", help="generate a labeled test-pattern Datum LMDB")
+class GenLmdb(HasMain):
+    """Fixture generator (the role scripts filled upstream by converting
+    ImageNet with caffe's convert_imageset): deterministic test-pattern
+    images + labels, written via the built-in LMDB writer."""
+
+    out_dir = Attr(str, req=True, help="lmdb env directory to create")
+    num_imgs = Attr(int, default=16)
+    chan = Attr(int, default=3)
+    ysz = Attr(int, default=32)
+    xsz = Attr(int, default=32)
+    num_classes = Attr(int, default=10)
+    seed = Attr(int, default=42)
+
+    def main(self):
+        from ..utils.lmdbmini import write_lmdb
+        rng = np.random.RandomState(self.seed)
+        kvs = []
+        for i in range(self.num_imgs):
+            label = i % self.num_classes
+            img = rng.randint(0, 256, size=(self.chan, self.ysz, self.xsz),
+                              dtype=np.uint8)
+            # bias a band by the label so accuracy isn't pure chance for
+            # nets trained on the same generator
+            img[:, label % self.ysz, :] = 255
+            kvs.append((b"%08d" % i, encode_datum(img, label)))
+        st = write_lmdb(self.out_dir, kvs)
+        print(f"gen_lmdb: wrote {st['entries']} datums "
+              f"(depth={st['depth']}, last_pg={st['last_pg']}) to {self.out_dir}")

@@ -25,7 +25,9 @@ def is_feature_enabled(name: str) -> bool:
     if name == "pil":
         return importlib.util.find_spec("PIL") is not None
     if name == "lmdb":
-        return importlib.util.find_spec("lmdb") is not None
+        # the pure-Python LMDB format layer (utils/lmdbmini.py) makes the
+        # LMDB paths always available; the real module is used when present
+        return True
     if name == "protobuf":
         return importlib.util.find_spec("google.protobuf") is not None
     if name == "zmq":

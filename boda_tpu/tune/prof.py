@@ -84,7 +84,14 @@ def profile_rcg_call(cg: Codegen, op: OpBase, run_iter: int = 5,
 def _chained_secs(fn, in_vals, iters: int) -> float:
     """Per-iteration seconds for fn(*in_vals) with a serial dependency
     between iterations (defeats dispatch caching; scalar readback is the
-    completion barrier)."""
+    completion barrier).
+
+    Timing is SLOPE-BASED: run the chain at two lengths n1 < n2 and take
+    median (T(n2)-T(n1))/(n2-n1). The axon tunnel adds a large fixed
+    per-dispatch cost (~35 ms measured) that total/iters folds into every
+    op — round-1's flat '51 TF/s pallas ceiling' was exactly that artifact
+    (xla+pallas sgemm both measure 140-190 TF/s slope-timed)."""
+    import statistics
     import time
 
     import jax
@@ -104,11 +111,20 @@ def _chained_secs(fn, in_vals, iters: int) -> float:
         c, ys = jax.lax.scan(body, jnp.float32(0), None, length=m)
         return ys.sum()
 
+    n2 = max(iters, 8)
+    n1 = max(2, n2 // 5)
     ch = jax.jit(chained, static_argnums=1)
-    float(ch(in_vals, iters))  # compile + warm
-    t0 = time.perf_counter()
-    float(ch(in_vals, iters))
-    return (time.perf_counter() - t0) / iters
+    float(ch(in_vals, n1))  # compile + warm
+    float(ch(in_vals, n2))
+    slopes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(ch(in_vals, n1))
+        t1 = time.perf_counter()
+        float(ch(in_vals, n2))
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+    return statistics.median(slopes)
 
 
 def auto_sweep_tunes(op: OpBase, max_tunes: int) -> list[tuple[str, OpTune]]:
