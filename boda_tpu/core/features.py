@@ -32,6 +32,8 @@ def is_feature_enabled(name: str) -> bool:
         return importlib.util.find_spec("google.protobuf") is not None
     if name == "zmq":
         return importlib.util.find_spec("zmq") is not None
+    if name == "video":  # OpenCV VideoCapture/VideoWriter (ffmpeg role)
+        return importlib.util.find_spec("cv2") is not None
     if name == "cpp":  # native C++ core library built and loadable
         from ..utils.cpplib import cpp_available
         return cpp_available()
@@ -39,5 +41,6 @@ def is_feature_enabled(name: str) -> bool:
 
 
 def enabled_features() -> list[str]:
-    return [f for f in ("xla", "tpu", "pallas", "pil", "lmdb", "protobuf", "cpp", "zmq")
+    return [f for f in ("xla", "tpu", "pallas", "pil", "lmdb", "protobuf",
+                        "cpp", "zmq", "video")
             if is_feature_enabled(f)]
