@@ -144,7 +144,7 @@ def test_box_iou_and_ap():
             ("im2", 0.8, (0, 0, 10, 10)),     # TP
             ("im2", 0.7, (0, 0, 10, 10)),     # FP (dup)
             ("im2", 0.6, (21, 21, 30, 30))]   # TP
-    ap, (rec, prec, _s) = score_results_for_class(db, "dog", dets)
+    ap, (rec, prec, _s, _tp) = score_results_for_class(db, "dog", dets)
     assert rec[-1] == pytest.approx(1.0)
     assert 0.8 < ap <= 1.0
 
@@ -167,6 +167,66 @@ def test_score_mode(tmp_path, capsys):
     assert "dog: AP=1.0000" in out and "mAP=1.0000" in out
     assert (tmp_path / "sum.txt").exists()
     assert (tmp_path / "prc-dog.png").exists()
+
+
+def _mk_voc_db(tmp_path, n_imgs=3):
+    (tmp_path / "imgset.txt").write_text(
+        "\n".join(f"im{i}" for i in range(1, n_imgs + 1)) + "\n")
+    ann = tmp_path / "ann"
+    ann.mkdir(exist_ok=True)
+    xml = """<annotation>
+      <object><name>dog</name><difficult>0</difficult>
+      <bndbox><xmin>0</xmin><ymin>0</ymin><xmax>10</xmax><ymax>10</ymax></bndbox></object>
+      <object><name>cat</name><difficult>0</difficult>
+      <bndbox><xmin>20</xmin><ymin>20</ymin><xmax>40</xmax><ymax>40</ymax></bndbox></object>
+      </annotation>"""
+    for i in range(1, n_imgs + 1):
+        (ann / f"im{i}.xml").write_text(xml)
+    return ann
+
+
+def test_score_files_mode(tmp_path, capsys):
+    """score_files: %s pattern over classes + prc txt/png per class
+    (reference score-files, results_io.cc:470)."""
+    ann = _mk_voc_db(tmp_path)
+    (tmp_path / "dog_test.txt").write_text(
+        "im1 0.9 0 0 10 10\nim2 0.8 0 0 10 10\nim3 0.3 50 50 60 60\n")
+    (tmp_path / "cat_test.txt").write_text(
+        "im1 0.7 20 20 40 40\nim2 0.6 0 0 5 5\n")
+    run_mode(f"(mode=score_files,imgset_fn={tmp_path}/imgset.txt,"
+             f"ann_dir={ann},res_fn_pat={tmp_path}/%s_test.txt,"
+             f"boda_output_dir={tmp_path},summary_fn=summary.txt,"
+             f"prc_txt_fn=prc_{{cls}}.txt,prc_png_fn=mAP_{{cls}}.png)")
+    out = capsys.readouterr().out
+    assert "dog: AP=" in out and "cat: AP=" in out and "mAP=" in out
+    summ = (tmp_path / "summary.txt").read_text()
+    assert "mAP=" in summ
+    prc = (tmp_path / "prc_dog.txt").read_text()
+    assert prc.startswith("---BEGIN--- class_name=dog tot_num_class=3")
+    assert "---END---" in prc and "final_map=" in prc
+    assert (tmp_path / "mAP_cat.png").stat().st_size > 0
+
+
+def test_ham_ana_mode(tmp_path, capsys):
+    """ham_ana: two-detector matched-GT diff summary
+    (reference hamming_analysis_t, results_io.cc:645)."""
+    ann = _mk_voc_db(tmp_path)
+    # hamming CSVs (1-based closed coords): im1+im2 hit, im3 miss
+    for ix, hit in ((1, True), (2, True), (3, False)):
+        row = "1,1,10,10,0.9" if hit else "50,50,60,60,0.9"
+        (tmp_path / f"dog_boxes_{ix}.csv").write_text(row + "\n")
+    # dpm hits im1 only
+    (tmp_path / "dog_test.txt").write_text("im1 0.8 0 0 10 10\n")
+    run_mode(f"(mode=ham_ana,imgset_fn={tmp_path}/imgset.txt,ann_dir={ann},"
+             f"ham_fn_pat={tmp_path}/%s_boxes_%s.csv,"
+             f"dpm_fn_pat={tmp_path}/%s_test.txt,classes=dog,"
+             f"boda_output_dir={tmp_path})")
+    out = capsys.readouterr().out
+    assert "dog (hamming)" in out and "dog (DPM)" in out
+    summ = (tmp_path / "diff_summ.csv").read_text().splitlines()
+    assert summ[0].startswith("class_name,num_tot,ham_only,dpm_only")
+    # 3 GT dogs: ham matched 2, dpm matched 1 (both on im1)
+    assert summ[1] == "dog,3,1,0,2,1,1,2,1,"
 
 
 def test_run_cnet_mode(tmp_path, capsys):
