@@ -54,7 +54,6 @@ class XlaBackend(Backend):
     def init(self) -> None:
         import jax
         import os
-        enable_compilation_cache()
         plat = self.platform
         if not plat:
             # honor JAX_PLATFORMS from the environment: the axon TPU plugin
@@ -64,6 +63,11 @@ class XlaBackend(Backend):
             if envp and "," not in envp:
                 plat = envp
         devs = jax.devices(plat) if plat else jax.devices()
+        if devs and devs[0].platform == "tpu":
+            # TPU only: XLA:CPU AOT cache entries reload with machine-feature
+            # mismatch warnings (SIGILL risk); TPU entries are the ones worth
+            # 100-300 s of tunnel compile anyway
+            enable_compilation_cache()
         if self.device_ordinal >= len(devs):
             raise RtErr(f"device ordinal {self.device_ordinal} out of range "
                         f"({len(devs)} devices)")

@@ -157,6 +157,21 @@ class TestCmds(HasMain):
             if got_err is not None:
                 fails.append(f"{name}: unexpected error: {got_err}")
                 continue
+            scrub = spec.get_kid("scrub")
+            if scrub is not None:
+                # normalize run-varying text (timings, rates) before
+                # archiving/diffing — the reference's test_cmds filtered
+                # timing output the same way (test_cmds.cc diff filters)
+                import re as _re
+                pat = _re.compile(scrub.leaf_val)
+                for f in out_dir.rglob("*"):
+                    if not f.is_file():
+                        continue
+                    try:
+                        txt = f.read_text()
+                    except (UnicodeDecodeError, OSError):
+                        continue
+                    f.write_text(pat.sub("SCRUBBED", txt))
             good = Path(self.good_tr_dir) / name
             if not good.exists():
                 if self.update_failing:
