@@ -43,6 +43,11 @@ class OpTune(Config):
                          help="fuse identity-shortcut bottlenecks "
                               "(1x1-3x3-1x1+add+relu) into one Pallas "
                               "kernel (VMEM-resident block)")
+    s2d = Attr(bool, default=True,
+               help="space-to-depth first-layer transform: stride-2 "
+                    "thin-channel convs (conv1 7x7 s2 C<=4) run as "
+                    "stride-1 convs over 2x2-phase-stacked input "
+                    "(exact; thin channels waste the MXU)")
 
     def to_lexp(self) -> Lexp:
         l = Lexp.empty_list()
@@ -105,7 +110,12 @@ def add_cnn_codegen_annotations(op: OpBase, tune: OpTune,
         fd = op.get_dims("filts")
         st = op.get_dims_or_none("stride")
         sy, sx = (st["y"], st["x"]) if st else (1, 1)
-        if t.use_culibs or op.type == "Deconvolution":
+        if op.type != "Deconvolution" and t.s2d and sy == 2 and sx == 2 \
+                and fd["in_chan"] <= 4 and fd["y"] >= 3 and fd["x"] >= 3:
+            # first-layer transform beats both hand and vendor paths on
+            # TPU regardless of use_culibs (it lowers to an XLA conv)
+            fn = "s2d_conv"
+        elif t.use_culibs or op.type == "Deconvolution":
             fn = "xla_conv"
         elif t.ipconv and fd["y"] == ind["y"] and fd["x"] == ind["x"] \
                 and op.get_dims("out")["y"] == 1 and op.get_dims("out")["x"] == 1 \

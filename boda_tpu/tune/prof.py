@@ -105,7 +105,10 @@ def _chained_secs(fn, in_vals, iters: int) -> float:
                 x0.dtype, jnp.floating) or x0.dtype == jnp.bfloat16 else x0
             outs = fn(a0, *args[1:])
             o = outs[0] if isinstance(outs, (tuple, list)) else outs
-            s = o.ravel()[0].astype(jnp.float32)
+            # consume the WHOLE output: a single-element readback lets
+            # XLA's simplifier slice through elementwise producers and
+            # dead-code-eliminate the very work being timed
+            s = o.ravel().astype(jnp.float32).sum()
             return c + s * 1e-30, s
 
         c, ys = jax.lax.scan(body, jnp.float32(0), None, length=m)
