@@ -128,8 +128,10 @@ def add_cnn_codegen_annotations(op: OpBase, tune: OpTune,
         elif t.tconv and sy == 1 and sx == 1 \
                 and fd["y"] <= t.tconv_max_ksz[0] and fd["x"] <= t.tconv_max_ksz[1] \
                 and fd["in_chan"] % 128 == 0:
-            # lane dim is in_chan: Mosaic compiles cleanly only for
-            # 128-multiples; smaller channel counts take the im2col path
+            # default gate: lane-exact channel counts (no padding waste).
+            # tconv itself now lane-pads any in_chan to 128-multiples, so
+            # tuning sweeps (ops_prof) can try it on every sig and per-op
+            # wisdom can override this default
             fn = "tconv"  # spatial-tiled Pallas conv (stride-1 bands)
         elif fd["y"] <= t.tconv_max_ksz[0] and fd["x"] <= t.tconv_max_ksz[1]:
             fn = "conv"  # im2col + Pallas matmul (strided/general)

@@ -82,6 +82,13 @@ def build_tconv(rfs: OpBase):
     # sublane (second-minor) slice shapes must be tile-aligned on TPU:
     # 8 rows for f32, 16 for packed bf16 (Mosaic tiling constraint)
     sub_al = 16 if bf16 else 8
+    # lane-dim (in_chan) padding: Mosaic fails to compile this kernel for
+    # C % 128 != 0 (tunnel-side tpu_compile crash, round-2 sweep); pad the
+    # band + filters to the next 128-multiple so the tuner can sweep tconv
+    # on every sig (VERDICT r1 #6) — wasted lanes, but e.g. C=256 tconv
+    # still beat xla_conv 2x, so the tradeoff is per-op wisdom's call
+    Cl = C
+    C = _ceil_to(C, 128)
     OXA = _ceil_to(ox, sub_al)     # aligned out-column count per band
     Wp = _ceil_to(OXA + kx - 1, sub_al)
     TY, OCb = _pick_tiles(oy, OXA, Wp, C, oc, ky,
@@ -151,9 +158,10 @@ def build_tconv(rfs: OpBase):
         xc = x.astype(cdt)
         # NHWC band layout, padded to (Hp, Wp); conv padding included
         xh = jnp.transpose(xc, (0, 2, 3, 1))
-        xh = jnp.pad(xh, ((0, 0), (py, Hp - H - py), (px, Wp - W - px), (0, 0)))
+        xh = jnp.pad(xh, ((0, 0), (py, Hp - H - py), (px, Wp - W - px),
+                          (0, C - Cl)))
         wh = jnp.transpose(w.astype(cdt), (2, 3, 1, 0))  # (ky,kx,C,oc)
-        wh = jnp.pad(wh, ((0, 0), (0, 0), (0, 0), (0, OCp - oc)))
+        wh = jnp.pad(wh, ((0, 0), (0, 0), (0, C - Cl), (0, OCp - oc)))
         args = [xh, wh]
         if has_bias:
             bv = jnp.pad(b.astype(cdt), (0, OCp - oc)).reshape(1, OCp)

@@ -114,20 +114,29 @@ def _chained_secs(fn, in_vals, iters: int) -> float:
         c, ys = jax.lax.scan(body, jnp.float32(0), None, length=m)
         return ys.sum()
 
-    n2 = max(iters, 8)
-    n1 = max(2, n2 // 5)
     ch = jax.jit(chained, static_argnums=1)
-    float(ch(in_vals, n1))  # compile + warm
-    float(ch(in_vals, n2))
-    slopes = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(ch(in_vals, n1))
-        t1 = time.perf_counter()
+
+    def measure(n1, n2, reps=3):
+        float(ch(in_vals, n1))  # compile + warm
         float(ch(in_vals, n2))
-        t2 = time.perf_counter()
-        slopes.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
-    return statistics.median(slopes)
+        slopes = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(ch(in_vals, n1))
+            t1 = time.perf_counter()
+            float(ch(in_vals, n2))
+            t2 = time.perf_counter()
+            slopes.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+        return statistics.median(slopes)
+
+    n2 = max(iters, 8)
+    s = measure(max(2, n2 // 5), n2)
+    # adaptive: sub-ms ops drown in dispatch jitter (~1-2 ms) at short
+    # chains — lengthen until the span covers >= ~25 ms of device work
+    if s * n2 < 25e-3:
+        n2 = min(4096, max(n2 + 1, int(25e-3 / max(s, 1e-7))))
+        s = measure(max(2, n2 // 5), n2)
+    return s
 
 
 def auto_sweep_tunes(op: OpBase, max_tunes: int) -> list[tuple[str, OpTune]]:
