@@ -55,6 +55,7 @@ class Anno:
     str: str = ""
     item_cnt: int = 0
     seen_label_ixs: set = field(default_factory=set)
+    top_prob: float = 0.0           # best filtered prob among its labels
 
 
 def _ceil_sqrt(v: int) -> int:
@@ -298,6 +299,7 @@ class DensePredictor:
             cp = float(st.cur_prob[c, y, x])
             line = f"{lbl:<20} -- filt_p={fp:<10.5f} p={cp:<10.5f}"
             anno.str += line + "\n"
+            anno.top_prob = max(anno.top_prob, fp)
             anno.item_cnt += 1
             lines.append(line)
             num_disp += 1

@@ -128,7 +128,6 @@ class ZmqClsServer(_DetServerBase):
     in_sz = Attr(int, default=227, help="net input spatial size")
 
     def base_setup(self):
-        super().base_setup()
         from ..engine.iface import make_engine
         from ..models.zoo import build_model
         self.pipe = build_model(self.model, batch=1, ysz=self.in_sz,
@@ -158,6 +157,95 @@ class ZmqClsServer(_DetServerBase):
         rows[:, 4] = p[ix]
         rows[:, 0] = ix  # class index in the X slot (documented extension)
         return NDA(_box_dims(len(ix)), rows)
+
+
+@mode("zmq_det_server",
+      help="real detection service: pyramid dense inference + NMS annos")
+class ZmqDetServer(_DetServerBase):
+    """The service the reference's zmq protocol fronted (zmq-util.cc:101-150
+    expected an external detector): multi-scale conv_pyra dense inference
+    through the rtc engine, per-scale prediction regions + NMS grid
+    (apps/predict.py), boxes returned as X,Y,W,H,Conf rows in input-image
+    coordinates."""
+
+    model = Attr(str, default="mini", help="zoo model name")
+    out_node = Attr(str, default="", help="feature node (default net top)")
+    in_sz = Attr(int, default=64, help="nominal input size (pyramid base)")
+    bin_sz = Attr(int, default=128, help="pyramid bin size")
+    interval = Attr(int, default=2)
+    min_sz = Attr(int, default=24)
+    filt_show_thresh = Attr(float, default=0.02)
+    max_num_disp = Attr(int, default=20)
+
+    def base_setup(self):
+        from ..core.geom import Pt
+        from ..engine.iface import make_engine
+        from ..graph.support import CM_VALID, in_box_to_out_box
+        from ..models.zoo import build_model
+        from .predict import DensePredictor
+        from .pyra import ImgPyraPack
+        pipe0 = build_model(self.model, ysz=self.in_sz, xsz=self.in_sz)
+        if self.out_node:
+            pipe0 = pipe0.pruned_to(self.out_node)
+        out_node = (pipe0.must_get_node(self.out_node) if self.out_node
+                    else pipe0.get_single_top_node())
+        csi = out_node.csi
+        if not csi.valid() or csi.support_sz.is_zeros():
+            raise RtErr("zmq_det_server: output node needs finite support; "
+                        "pick a conv feature node via --out-node")
+        pad = Pt(max(csi.support_sz.y, 1), max(csi.support_sz.x, 1))
+        self.pp = ImgPyraPack(Pt(self.in_sz, self.in_sz),
+                              Pt(self.bin_sz, self.bin_sz),
+                              self.interval, self.min_sz, pad)
+        self.pipe = build_model(self.model, batch=self.pp.num_bins,
+                                ysz=self.bin_sz, xsz=self.bin_sz)
+        self.pipe.op_params = pipe0.op_params
+        if self.out_node:
+            self.pipe = self.pipe.pruned_to(self.out_node)
+        self.eng = make_engine("(engine=rtc,keep_all_nodes=1)")
+        self.eng.init(self.pipe)
+        self.out_name = out_node.name
+        bcsi = self.pipe.must_get_node(self.out_name).csi
+        od = self.pipe.must_get_node(self.out_name).dims
+        self.predictor = DensePredictor(
+            [f"class_{i}" for i in range(od["chan"])],
+            filt_rate=1.0,  # stateless service: no temporal filtering
+            filt_show_thresh=self.filt_show_thresh,
+            max_num_disp=self.max_num_disp)
+        self.predictor.setup_scale_infos(
+            bcsi, self.interval,
+            sizes=[si.sz for si in self.pp.scales],
+            placements=[(si.bin_ix, si.place.p0) for si in self.pp.scales],
+            nominal_in_sz=Pt(self.in_sz, self.in_sz),
+            num_chans=od["chan"], feat_sz=Pt(od["y"], od["x"]))
+
+    def detect(self, opts: Lexp, image: NDA) -> NDA:
+        from ..io.img import decode_img_bytes, img_to_chw, resample_to_size
+        d = self.pipe.get_data_img_dims()
+        if image.dims.names() == ("v",):  # encoded file bytes
+            img = decode_img_bytes(image.v.tobytes())
+        else:
+            v = image.v.reshape(image.dims.shape)
+            img = np.transpose(v, (1, 2, 0)).astype(np.uint8)
+        ih, iw = img.shape[0], img.shape[1]
+        img = resample_to_size(img, self.in_sz, self.in_sz)
+        packed = self.pp.scale_and_pack_img_into_bins(img)
+        batch = np.stack([img_to_chw(packed[b])
+                          for b in range(self.pp.num_bins)])
+        data_node = self.pipe.data_img_node_names[0]
+        feats = self.eng.run_fwd({data_node: NDA(d, batch.astype(d.dtype))},
+                                 [self.out_name])[self.out_name]
+        annos = self.predictor.do_predict(np.asarray(feats.v))
+        rows = np.zeros((len(annos), 5), np.float32)
+        for i, a in enumerate(annos):
+            y0, x0, y1, x1 = a.box
+            # scale nominal-in-sz coords back to the client's image
+            rows[i, 0] = x0 * iw / self.in_sz
+            rows[i, 1] = y0 * ih / self.in_sz
+            rows[i, 2] = (x1 - x0) * iw / self.in_sz
+            rows[i, 3] = (y1 - y0) * ih / self.in_sz
+            rows[i, 4] = a.top_prob
+        return NDA(_box_dims(len(annos)), rows)
 
 
 @mode("zmq_det_client", help="detection inference test client")

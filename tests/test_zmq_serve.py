@@ -79,3 +79,26 @@ def test_nda_wire_roundtrip(tmp_path):
     a.close()
     b.close()
     ctx.term()
+
+
+def test_zmq_det_server_real_detections(tmp_path, capsys):
+    """The real pyramid-dense-inference service (zmq_det_server): a test
+    image must come back with >= 1 box in client-image coordinates."""
+    from boda_tpu.io.img import make_test_pattern_img, save_img
+    ep = _ep(tmp_path, "realdet")
+    img_fn = tmp_path / "in.png"
+    save_img(img_fn, make_test_pattern_img(96, 80, 2))
+    t = _serve_in_thread(
+        f"(mode=zmq_det_server,endpoint={ep},num_req=1,model=mini,"
+        f"out_node=conv2,in_sz=48,bin_sz=96,min_sz=24,"
+        f"filt_show_thresh=0.05)")
+    create_and_run_has_main(
+        f"(mode=zmq_det_client,endpoint={ep},image_fn={img_fn})", {})
+    t.join(timeout=120)
+    out = capsys.readouterr().out
+    boxes = [ln for ln in out.splitlines() if ln.startswith("box:")]
+    assert boxes, out
+    # coords scaled back to the 96x80 client image
+    for ln in boxes:
+        w = float(ln.split("w=")[1].split()[0])
+        assert 0 < w <= 80 + 1
