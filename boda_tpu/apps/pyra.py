@@ -225,6 +225,11 @@ class ConvPyra(_NetMode):
                    help="run the dense multi-scale prediction path "
                         "(per-scale regions -> NMS grid -> annos; "
                         "caffeif.cc do_predict)")
+    enable_upsamp_net = Attr(bool, default=False,
+                             help="predict the first octave from the 2x-"
+                                  "upsampled companion net (folded first-"
+                                  "conv; conv_pyra.cc upsamp octave)")
+    conv_fwd_upsamp = Attr(ConvFwd, default="(engine=rtc,keep_all_nodes=1)")
     label_fn = Attr(str, default="", help="label names, one per line")
     anno_fn = Attr(str, default="", help="write box-annotated input image")
     filt_show_thresh = Attr(float, default=0.02)
@@ -270,6 +275,12 @@ class ConvPyra(_NetMode):
             make_test_pattern_img(in_sz.y, in_sz.x, 2)
         data_node = bpipe.data_img_node_names[0]
         bcsi = bpipe.must_get_node(out_node.name).csi
+        upipe = ucsi = None
+        if self.enable_upsamp_net:
+            from ..models.upsamp import make_upsamp_pipe
+            upipe = make_upsamp_pipe(bpipe)
+            self.conv_fwd_upsamp.init(upipe)
+            ucsi = upipe.must_get_node(out_node.name).csi
         predictor = None
         for frame in range(self.frames):
             packed = pp.scale_and_pack_img_into_bins(img)
@@ -277,6 +288,11 @@ class ConvPyra(_NetMode):
             blob = NDA(Dims.make(img=pp.num_bins, chan=3, y=bin_sz.y, x=bin_sz.x), batch)
             feats = self.conv_fwd.run_fwd({data_node: blob}, [out_node.name])[out_node.name]
             fv = np.array(feats.v)
+            fv_up = None
+            if upipe is not None:
+                ufeats = self.conv_fwd_upsamp.run_fwd(
+                    {data_node: blob}, [out_node.name])[out_node.name]
+                fv_up = np.array(ufeats.v)
             per_scale = []
             valid_boxes = []
             for i, si in enumerate(pp.scales):
@@ -320,8 +336,11 @@ class ConvPyra(_NetMode):
                         sizes=[si.sz for si in pp.scales],
                         placements=[(si.bin_ix, si.place.p0) for si in pp.scales],
                         nominal_in_sz=in_sz, num_chans=fv.shape[1],
-                        feat_sz=Pt(fv.shape[2], fv.shape[3]))
-                annos = predictor.do_predict(fv, print_to_terminal=True)
+                        feat_sz=Pt(fv.shape[2], fv.shape[3]),
+                        csi_upsamp=ucsi,
+                        upsamp_feat_sz=(Pt(fv_up.shape[2], fv_up.shape[3])
+                                        if fv_up is not None else None))
+                annos = predictor.do_predict(fv, fv_up, print_to_terminal=True)
                 if self.anno_fn and frame == self.frames - 1:
                     from ..io.disp import annotate_img
                     from ..io.img import save_img

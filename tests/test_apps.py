@@ -123,6 +123,19 @@ def test_conv_pyra_zero_trash_and_predict(tmp_path, capsys):
             == (tmp_path / "scales_raw.boda").read_text())
 
 
+def test_conv_pyra_upsamp_predict(tmp_path, capsys):
+    """First-octave predictions from the 2x-upsampled companion net
+    (conv_pyra.cc upsamp octave; scale_infos with from_upsamp_net=1)."""
+    run_mode(f"(mode=conv_pyra,model=mini,"
+             f"in_dims=(dims=(img=1,chan=3,y=48,x=48)),out_node=conv2,"
+             f"bin_sz=96 96,interval=2,min_sz=24,predict=1,"
+             f"enable_upsamp_net=1,filt_show_thresh=0.05,"
+             f"boda_output_dir={tmp_path})")
+    out = capsys.readouterr().out
+    assert "---- frame -----" in out
+    assert "conv_pyra:" in out
+
+
 def test_cnet_predict_dense_mode(tmp_path, capsys):
     run_mode(f"(mode=cnet_predict,model=mini,dense=1,"
              f"boda_output_dir={tmp_path},anno_fn=anno.png)")
