@@ -86,7 +86,12 @@ class RooflinePlot(HasMain):
         ax.legend(fontsize=8)
         ax.grid(True, which="both", alpha=0.2)
         fig.savefig(self.out_path(self.out_fn), dpi=110, bbox_inches="tight")
-        print(f"roofline_plot: {len(ops)} ops -> {self.out_fn}")
+        knee = peak / bw  # AI where the memory roof meets the compute roof
+        print(f"roofline_plot: {len(ops)} ops -> {self.out_fn} "
+              f"(knee AI={knee:.2f} FLOP/B)")
+        for ai, gf, lb in zip(ais, gfs, labels):
+            print(f"  {lb}: ai={ai:.2f} {'meas' if self.run else 'bound'}"
+                  f"={gf:.1f} GF/s")
 
 
 @mode("wis_plot", help="per-op runtime across tunes/platforms from wisdom")

