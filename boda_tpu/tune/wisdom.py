@@ -39,6 +39,8 @@ class OpTuneWisdom:
         self.runs: dict[str, float] = {}
 
     def add_run(self, plat: str, secs: float, keep_best: bool = True) -> None:
+        if secs <= 0:
+            return  # non-positive = timing-noise artifact; never record
         if keep_best and plat in self.runs:
             self.runs[plat] = min(self.runs[plat], secs)
         else:
@@ -64,7 +66,7 @@ class OpWisdom:
         best = None
         for ts, tw in self.tunes.items():
             s = tw.runs.get(plat)
-            if s is not None and (best is None or s < best[1]):
+            if s is not None and s > 0 and (best is None or s < best[1]):
                 best = (ts, s)
         return best
 
@@ -185,6 +187,8 @@ def load_tune_index(path, plat: str = "") -> dict[str, str]:
             for p, secs in tw.runs.items():
                 if plat and p != plat:
                     continue
+                if secs <= 0:
+                    continue  # guard stored files w/ noise artifacts
                 if best is None or secs < best[1]:
                     best = (ts, secs)
         if best is not None:

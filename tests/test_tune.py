@@ -188,3 +188,15 @@ def test_sgemm_int8_quantized_matmul(monkeypatch):
     monkeypatch.setenv("BODA_PALLAS_MODE", "fallback")
     got_fb = np.asarray(tmpl.build(rfs)(a, b))
     np.testing.assert_allclose(got_fb, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_wisdom_ignores_nonpositive_secs():
+    """Timing-noise artifacts (secs <= 0) must never be recorded or win
+    best-tune selection (seen once in the r2 autotune sweep)."""
+    from boda_tpu.ops.op_base import OpBase
+    from boda_tpu.tune.wisdom import OpWisdom
+    w = OpWisdom(OpBase({"type": "sgemm", "func_name": "sgemm"}))
+    w.tune("(a=1)").add_run("p", -1e-4)
+    w.tune("(b=1)").add_run("p", 5e-4)
+    assert w.best_tune("p") == ("(b=1)", 5e-4)
+    assert "p" not in w.tune("(a=1)").runs
