@@ -54,7 +54,12 @@ def main() -> None:
     iters = 30  # large enough to amortize the ~30ms fixed tunnel dispatch latency
     pipe = build_model("resnet-50", batch=batch)
     # layout=nhwc: convs+pools run feature-minor inside the fused program
-    plan = lower_pipe(pipe, make_op_tune(f"(use_culibs=1,prec={prec},layout=nhwc)"))
+    # fused_storage: whole program runs NHWC with bf16 edges (storage pass).
+    # s2d=0: under NHWC storage the plain 7x7s2 conv1 beats the
+    # space-to-depth transform (its phase-split concat of the 77MB input
+    # costs more than the MXU win: 8.82 vs 9.23 ms measured, ROUND2_NOTES)
+    plan = lower_pipe(pipe, make_op_tune(
+        f"(use_culibs=1,prec={prec},layout=nhwc,s2d=0)"), fused_storage=True)
     fwd = build_fused_forward(plan)
     weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
 

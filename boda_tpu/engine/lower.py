@@ -50,6 +50,11 @@ class Plan:
     input_nodes: list[str]           # data/label nodes to be fed
     weight_nodes: list[str]          # nodes fed from pipe.op_params
     output_nodes: list[str]          # sink nodes
+    # fused-storage pass state: when storage_nhwc, every 4-d activation
+    # edge inside the fused program is stored NHWC (edge_prec: its dtype,
+    # "" = logical node dtype); boundaries convert once (rtc_fwd fwd)
+    storage_nhwc: bool = False
+    edge_prec: str = ""
 
 
 def _sig_from_op(op: ConvOp, arg_map: dict[str, str], pipe: ConvPipe,
@@ -69,7 +74,8 @@ def _sig_from_op(op: ConvOp, arg_map: dict[str, str], pipe: ConvPipe,
 def lower_pipe(pipe: ConvPipe, tune: Optional[OpTune] = None,
                op_tunes: Optional[dict[str, OpTune]] = None,
                fuse_relu: bool = True,
-               train_dropout: bool = False) -> Plan:
+               train_dropout: bool = False,
+               fused_storage: bool = False) -> Plan:
     tune = tune or OpTune.init_from_lexp("()")
     steps: list[Step] = []
     node_dims = {n: nd.dims for n, nd in pipe.nodes.items() if nd.dims is not None}
@@ -100,7 +106,29 @@ def lower_pipe(pipe: ConvPipe, tune: Optional[OpTune] = None,
         steps = _fuse_resblocks(steps, node_dims, set(output_nodes), tune)
     for s in steps:
         node_dims.update(s.temps)
-    return Plan(steps, node_dims, input_nodes, weight_nodes, output_nodes)
+    plan = Plan(steps, node_dims, input_nodes, weight_nodes, output_nodes)
+    if fused_storage and tune.layout == "nhwc":
+        _apply_fused_storage(plan, tune)
+    return plan
+
+
+def _apply_fused_storage(plan: Plan, tune) -> None:
+    """Storage pass: mark every step io_layout=nhwc (+ edge_prec) so the
+    fused program keeps activations NHWC in compute dtype end-to-end —
+    no per-op wrapping transposes, no f32 edge round-trips. Only applies
+    when every template in the plan declares nhwc_ok (else the plan keeps
+    the wrapper-transpose behavior, which is always correct)."""
+    if not all(get_template(s.func_name).nhwc_ok for s in plan.steps):
+        return
+    ep = ""
+    if tune.prec == "bf16" and getattr(tune, "edge_prec", "") != "f32":
+        ep = "bf16"
+    for s in plan.steps:
+        s.sig.str_vals["io_layout"] = "nhwc"
+        if ep:
+            s.sig.str_vals["edge_prec"] = ep
+    plan.storage_nhwc = True
+    plan.edge_prec = ep
 
 
 def _fuse_resblocks(steps: list[Step], node_dims, outputs: set,

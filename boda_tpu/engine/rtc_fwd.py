@@ -36,11 +36,43 @@ from .iface import ConvFwd
 from .lower import Plan, Step, lower_pipe
 
 
+def _storage_in(v, plan: Plan):
+    """Logical (NCHW, node-dtype) input -> fused-program storage form."""
+    import jax.numpy as jnp
+    if not plan.storage_nhwc or getattr(v, "ndim", 0) != 4:
+        return v
+    if plan.edge_prec == "bf16" and jnp.issubdtype(v.dtype, jnp.floating):
+        v = v.astype(jnp.bfloat16)
+    return jnp.transpose(v, (0, 2, 3, 1))
+
+
+def _storage_out(v, dims, plan: Plan):
+    """Fused-program storage tensor -> logical (NCHW, node-dtype) output."""
+    import jax.numpy as jnp
+    if plan.storage_nhwc and getattr(v, "ndim", 0) == 4:
+        v = jnp.transpose(v, (0, 3, 1, 2))
+    return v.astype(dims.dtype)
+
+
+def _storage_zeros(dims, plan: Plan):
+    import jax.numpy as jnp
+    shape, dt = dims.shape, dims.dtype
+    if plan.storage_nhwc and len(shape) == 4:
+        shape = (shape[0], shape[2], shape[3], shape[1])
+        if plan.edge_prec == "bf16":
+            dt = jnp.bfloat16
+    return jnp.zeros(shape, dt)
+
+
 def build_fused_forward(plan: Plan, keep_all_nodes: bool = False):
     """Build the pure whole-net function fwd(inputs: dict, weights: dict) ->
     outputs dict from a lowered Plan. Standalone (no engine/backend) so it
     can be jitted/grad-ed/sharded directly (graft entry, multi-chip dryrun,
-    training-step composition)."""
+    training-step composition).
+
+    Inputs/outputs are always LOGICAL (NCHW, node dtype); when the plan's
+    fused-storage pass is active (plan.storage_nhwc) the conversions happen
+    once at the program boundary and every interior edge is NHWC/edge_prec."""
     fns = []
     for s in plan.steps:
         tmpl = get_template(s.sig.func_name)
@@ -50,17 +82,15 @@ def build_fused_forward(plan: Plan, keep_all_nodes: bool = False):
     node_dims = plan.node_dims
 
     def fwd(inputs: dict, weights: dict):
-        import jax.numpy as jnp
         vals = dict(weights)
-        vals.update(inputs)
+        vals.update({n: _storage_in(v, plan) for n, v in inputs.items()})
         for fn, tmpl, s in fns:
             ins = []
             for an in tmpl.in_args() + tmpl.io_args():
                 if an in s.arg_nodes:
                     node = s.arg_nodes[an]
                     if node not in vals:  # INOUT target first touch
-                        d = node_dims[node]
-                        vals[node] = jnp.zeros(d.shape, d.dtype)
+                        vals[node] = _storage_zeros(node_dims[node], plan)
                     ins.append(vals[node])
             outs = fn(*ins)
             if not isinstance(outs, (tuple, list)):
@@ -69,9 +99,11 @@ def build_fused_forward(plan: Plan, keep_all_nodes: bool = False):
                 if an in s.arg_nodes:
                     vals[s.arg_nodes[an]] = ov
         if keep_all_nodes:
-            return {n: v for n, v in vals.items()
-                    if n not in weights and n not in inputs}
-        return {n: vals[n] for n in out_nodes if n in vals}
+            return {n: _storage_out(v, node_dims[n], plan)
+                    for n, v in vals.items()
+                    if n not in weights and n not in inputs and n in node_dims}
+        return {n: _storage_out(vals[n], node_dims[n], plan)
+                for n in out_nodes if n in vals}
 
     return fwd
 
@@ -110,7 +142,8 @@ class RtcFwd(ConvFwd):
             op_tunes = self._wisdom_tunes(pipe) if self.wisdom_fn else None
             self.plan = lower_pipe(pipe, self.op_tune, op_tunes=op_tunes,
                                    fuse_relu=True,
-                                   train_dropout=self.train_dropout)
+                                   train_dropout=self.train_dropout,
+                                   fused_storage=self.fuse)
             self._apply_quantize_hooks()
             self._apply_det_drop_seed()
             if self.write_op_sigs_fn:
@@ -248,10 +281,11 @@ class RtcFwd(ConvFwd):
 
         node_dims = self.plan.node_dims
 
+        plan = self.plan
+
         def fwd(inputs: dict, weights: dict):
-            import jax.numpy as jnp
             vals = dict(weights)
-            vals.update(inputs)
+            vals.update({n: _storage_in(v, plan) for n, v in inputs.items()})
             stats = {}
             for fn, tmpl, s in fns:
                 ins = []
@@ -259,8 +293,7 @@ class RtcFwd(ConvFwd):
                     if an in s.arg_nodes:
                         node = s.arg_nodes[an]
                         if node not in vals:  # INOUT target first touch (e.g. concat out)
-                            d = node_dims[node]
-                            vals[node] = jnp.zeros(d.shape, d.dtype)
+                            vals[node] = _storage_zeros(node_dims[node], plan)
                         ins.append(vals[node])
                 outs = fn(*ins)
                 if not isinstance(outs, (tuple, list)):
@@ -272,9 +305,12 @@ class RtcFwd(ConvFwd):
                         if self.enable_stats and node in stats_fns:
                             stats[node] = stats_fns[node](ov)
             if self.keep_all_nodes:
-                return {n: v for n, v in vals.items()
-                        if n not in weights and n not in inputs}, stats
-            return {n: vals[n] for n in out_nodes if n in vals}, stats
+                return {n: _storage_out(v, node_dims[n], plan)
+                        for n, v in vals.items()
+                        if n not in weights and n not in inputs
+                        and n in node_dims}, stats
+            return {n: _storage_out(vals[n], node_dims[n], plan)
+                    for n in out_nodes if n in vals}, stats
 
         self._fused_fn = jax.jit(fwd)
         self._weights = {n: self.pipe.op_params[n].v for n in weight_nodes

@@ -37,8 +37,13 @@ class OpTune(Config):
     Kb = Attr(int, default=0, help="matmul K block (0=auto)")
     prec = Attr(str, default="", help="'' (f32) or 'bf16' compute precision")
     layout = Attr(str, default="", help="'' (nchw) or 'nhwc' internal conv "
-                  "layout (TPU prefers feature-minor; transposes at op edges "
-                  "cancel inside the fused XLA program)")
+                  "layout; in the fused whole-program path nhwc enables the "
+                  "storage pass: every inter-op edge is stored NHWC with NO "
+                  "per-op transposes (TPU convs are feature-minor)")
+    edge_prec = Attr(str, default="", help="inter-op edge storage dtype in "
+                     "the fused nhwc path: '' = follow prec (bf16 edges when "
+                     "prec=bf16 — halves HBM traffic on memory-bound nets); "
+                     "'f32' forces f32 edges")
     fuse_resblock = Attr(bool, default=False,
                          help="fuse identity-shortcut bottlenecks "
                               "(1x1-3x3-1x1+add+relu) into one Pallas "
@@ -62,6 +67,8 @@ class OpTune(Config):
             l.add_key_val("prec", self.prec)
         if self.layout:
             l.add_key_val("layout", self.layout)
+        if self.edge_prec:
+            l.add_key_val("edge_prec", self.edge_prec)
         return l
 
     def __str__(self):

@@ -44,15 +44,18 @@ class Copy(KernelTemplate):
     args = [adecl("in", IN, "img chan y x"),
             adecl("out", INOUT, "img chan y x")]
     sig_nda_keys = ["ocix"]
+    nhwc_ok = True
 
     @classmethod
     def build(cls, rfs: OpBase):
         import jax
         ocix = rfs.get_u32_or("ocix", 0)
         cn = rfs.get_dims("in")["chan"]
+        nhwc = rfs.str_vals.get("io_layout") == "nhwc"
 
         def fn(x, out):
-            return jax.lax.dynamic_update_slice(out, x.astype(out.dtype), (0, ocix, 0, 0))
+            at = (0, 0, 0, ocix) if nhwc else (0, ocix, 0, 0)
+            return jax.lax.dynamic_update_slice(out, x.astype(out.dtype), at)
         return fn
 
     @classmethod
@@ -72,14 +75,16 @@ class SplitCopy(KernelTemplate):
     args = [adecl("in", IN, "img chan y x"),
             adecl("out", OUT, "img chan y x")]
     sig_nda_keys = ["icix"]
+    nhwc_ok = True
 
     @classmethod
     def build(cls, rfs: OpBase):
         icix = rfs.get_u32_or("icix", 0)
         cn = rfs.get_dims("out")["chan"]
+        nhwc = rfs.str_vals.get("io_layout") == "nhwc"
 
         def fn(x):
-            return x[:, icix:icix + cn]
+            return x[..., icix:icix + cn] if nhwc else x[:, icix:icix + cn]
         return fn
 
     @classmethod
@@ -96,6 +101,7 @@ class Relu(KernelTemplate):
 
     name = "relu"
     args = [adecl("inout", INOUT, "img chan y x")]
+    nhwc_ok = True  # elementwise: storage-layout agnostic
 
     @classmethod
     def build(cls, rfs: OpBase):
@@ -142,6 +148,7 @@ class Eltwise(KernelTemplate):
     args = [adecl("a", IN, "img chan y x"), adecl("b", IN, "img chan y x"),
             adecl("out", OUT, "img chan y x")]
     sig_str_keys = ["ew_op"]
+    nhwc_ok = True  # elementwise: storage-layout agnostic
 
     @classmethod
     def build(cls, rfs: OpBase):
@@ -173,15 +180,19 @@ class Scale(KernelTemplate):
     args = [adecl("in", IN, "img chan y x"), adecl("scales", IN, "chan"),
             adecl("biases", IN, "chan", opt=True),
             adecl("out", OUT, "img chan y x")]
+    nhwc_ok = True
 
     @classmethod
     def build(cls, rfs: OpBase):
         has_bias = "biases" in rfs.nda_vals
+        nhwc = rfs.str_vals.get("io_layout") == "nhwc"
 
         def fn(x, s, b=None):
-            y = x * s[None, :, None, None]
+            sh = s[None, None, None, :] if nhwc else s[None, :, None, None]
+            y = x * sh.astype(x.dtype)
             if has_bias and b is not None:
-                y = y + b[None, :, None, None]
+                bh = b[None, None, None, :] if nhwc else b[None, :, None, None]
+                y = y + bh.astype(x.dtype)
             return y
         return fn
 
@@ -202,6 +213,8 @@ class Dropout(KernelTemplate):
 
     name = "dropout"
     args = [adecl("inout", INOUT, "img chan y x")]
+    nhwc_ok = True  # elementwise; det mask is index-based (layout-stable
+    # per storage shape — train-mode masks are sig-keyed on io_layout)
     sig_nda_keys = ["dropout_ratio", "det_drop_seed"]
     sig_str_keys = ["drop_mode"]
 

@@ -24,6 +24,7 @@ def _params(rfs: OpBase):
 @template
 class Lrn(KernelTemplate):
     name = "lrn"
+    nhwc_ok = True
     args = [adecl("in", IN, "img chan y x"), adecl("out", OUT, "img chan y x")]
     sig_nda_keys = ["local_size", "alpha", "beta", "k"]
     sig_str_keys = ["emit_out_scale_base"]
@@ -34,15 +35,20 @@ class Lrn(KernelTemplate):
         import jax.numpy as jnp
         n, alpha, beta, k = _params(rfs)
         pre = n // 2
+        nhwc = rfs.str_vals.get("io_layout") == "nhwc"
 
         def fn(x):
-            sq = x * x
+            xf = x.astype(jnp.float32)
+            sq = xf * xf
             # window-sum over chan via reduce_window with half-window padding
-            sqp = jnp.pad(sq, ((0, 0), (pre, n - 1 - pre), (0, 0), (0, 0)))
-            ssum = jax.lax.reduce_window(sqp, 0.0, jax.lax.add, (1, n, 1, 1),
+            cpad = (pre, n - 1 - pre)
+            pad = ((0, 0), (0, 0), (0, 0), cpad) if nhwc                 else ((0, 0), cpad, (0, 0), (0, 0))
+            win = (1, 1, 1, n) if nhwc else (1, n, 1, 1)
+            sqp = jnp.pad(sq, pad)
+            ssum = jax.lax.reduce_window(sqp, 0.0, jax.lax.add, win,
                                          (1, 1, 1, 1), "valid")
             scale = k + (alpha / n) * ssum
-            return x * jnp.power(scale, -beta)
+            return (xf * jnp.power(scale, -beta)).astype(x.dtype)
         return fn
 
     @classmethod

@@ -36,12 +36,23 @@ class Pool(KernelTemplate):
     args = [adecl("in", IN, "img chan y x"), adecl("out", OUT, "img chan y x")]
     sig_nda_keys = ["kern_sz", "stride", "in_pad"]
     sig_str_keys = ["avg_pool", "layout"]
+    nhwc_ok = True
 
     @classmethod
     def build(cls, rfs: OpBase):
         import jax
         import jax.numpy as jnp
         ind, outd, ky, kx, sy, sx, py, px, avg = _params(rfs)
+        if rfs.str_vals.get("io_layout") == "nhwc":
+            # storage-NHWC: input/output are NHWC tensors — no wrappers.
+            # avg pooling accumulates in f32 (bf16 window sums lose bits),
+            # output returns in the input's (edge) dtype.
+            inner = cls._build_nhwc(rfs)
+
+            def fn_store(xh):
+                return inner(xh.astype(jnp.float32)).astype(xh.dtype) \
+                    if avg else inner(xh)
+            return fn_store
         if rfs.str_vals.get("layout") == "nhwc":
             # feature-minor windowing; wrapping transposes cancel against
             # the adjacent NHWC convs inside the fused program

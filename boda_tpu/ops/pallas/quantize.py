@@ -23,6 +23,7 @@ def _params(rfs: OpBase):
 @template
 class Quantize(KernelTemplate):
     name = "quantize"
+    nhwc_ok = True  # whole-tensor reduction/elementwise: layout agnostic
     args = [adecl("inout", INOUT, "img chan y x")]
     sig_nda_keys = ["max_val", "keep_bits"]
 

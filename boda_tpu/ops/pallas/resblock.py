@@ -32,7 +32,7 @@ def build_resblock(rfs: OpBase):
     import jax
     import jax.numpy as jnp
 
-    from .util import pallas_call, pallas_mode
+    from .util import pallas_call, pallas_mode, storage_io
 
     xd = rfs.get_dims("in")
     w2d = rfs.get_dims("w2")
@@ -41,10 +41,13 @@ def build_resblock(rfs: OpBase):
     relu_out = rfs.get_u32_or("relu_out", 1) == 1
     bf16 = rfs.str_vals.get("prec") == "bf16"
     cdt = jnp.bfloat16 if bf16 else jnp.float32
-    out_dt = xd.dtype
+    io_nhwc, edt = storage_io(rfs)
+    out_dt = (edt or xd.dtype) if io_nhwc else xd.dtype
 
     def fallback(x, w1, b1, w2, b2, w3, b3):
         from .sgemm import _dot_precision
+        if io_nhwc:  # storage-NHWC edges: view as logical NCHW for the math
+            x = jnp.transpose(x, (0, 3, 1, 2))
         xc = x.astype(cdt)
         prec = _dot_precision(xc.dtype)
 
@@ -62,6 +65,8 @@ def build_resblock(rfs: OpBase):
         y = y + x.astype(jnp.float32)
         if relu_out:
             y = jnp.maximum(y, 0)
+        if io_nhwc:
+            return jnp.transpose(y, (0, 2, 3, 1)).astype(out_dt)
         return y.astype(out_dt)
 
     if pallas_mode() == "fallback":
@@ -157,7 +162,7 @@ def build_resblock(rfs: OpBase):
 
     def fn(x, w1, b1, w2, b2, w3, b3):
         xc = x.astype(cdt)
-        xh = jnp.transpose(xc, (0, 2, 3, 1))  # NHWC
+        xh = xc if io_nhwc else jnp.transpose(xc, (0, 2, 3, 1))  # NHWC
         xp = jnp.pad(xh, ((0, 0), (1, HP - H - 1), (1, WP - W - 1), (0, 0)))
         args = [xp,
                 jnp.transpose(w1.astype(cdt), (1, 0)).reshape(C, Cm)
@@ -172,6 +177,8 @@ def build_resblock(rfs: OpBase):
                 b3.astype(cdt).reshape(1, C)]
         y = call(*args)                       # (n, ny*TY, WA, C)
         y = y[:, :H, :W, :]
+        if io_nhwc:
+            return y.astype(out_dt)
         return jnp.transpose(y, (0, 3, 1, 2))
     return fn
 
@@ -181,6 +188,7 @@ class ResBlock(KernelTemplate):
     """Fused identity-shortcut bottleneck (see module docstring)."""
 
     name = "resblock"
+    nhwc_ok = True
     args = [adecl("in", IN, "img chan y x"),
             adecl("w1", IN, "out_chan in_chan y x"),
             adecl("b1", IN, "out_chan"),

@@ -23,13 +23,18 @@ def _np_softmax(x):
 class Softmax(KernelTemplate):
     name = "softmax"
     args = [adecl("in", IN, "img chan y x"), adecl("out", OUT, "img chan y x")]
+    nhwc_ok = True
 
     @classmethod
     def build(cls, rfs: OpBase):
         import jax
+        import jax.numpy as jnp
+        ax = -1 if rfs.str_vals.get("io_layout") == "nhwc" else 1
 
         def fn(x):
-            return jax.nn.softmax(x, axis=1)
+            # stabilized softmax in f32 regardless of edge dtype
+            y = jax.nn.softmax(x.astype(jnp.float32), axis=ax)
+            return y.astype(x.dtype)
         return fn
 
     @classmethod

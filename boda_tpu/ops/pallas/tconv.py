@@ -48,6 +48,8 @@ def build_tconv(rfs: OpBase):
 
     from .util import pallas_call, pallas_mode
 
+    from .util import storage_io
+
     ind, outd, fd, sy, sx, py, px, relu = conv_params(rfs)
     assert sy == 1 and sx == 1, "tconv requires stride 1"
     n, C, H, W = ind.shape
@@ -56,13 +58,26 @@ def build_tconv(rfs: OpBase):
     has_bias = "biases" in rfs.nda_vals
     bf16 = rfs.str_vals.get("prec") == "bf16"
     cdt = jnp.bfloat16 if bf16 else jnp.float32
-    out_dt = outd.dtype
+    io_nhwc, edt = storage_io(rfs)
+    out_dt = (edt or outd.dtype) if io_nhwc else outd.dtype
 
     if pallas_mode() == "fallback":
         # off-TPU whole-net CI path: same math via XLA conv
         def fb(x, w, b=None):
             xc = x.astype(cdt)
             wc = w.astype(cdt)
+            if io_nhwc:
+                y = jax.lax.conv_general_dilated(
+                    xc, jnp.transpose(wc, (2, 3, 1, 0)), window_strides=(1, 1),
+                    padding=((py, py), (px, px)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32,
+                    precision=_dot_precision(xc.dtype))
+                if has_bias and b is not None:
+                    y = y + b.astype(y.dtype)[None, None, None, :]
+                if relu:
+                    y = jnp.maximum(y, 0)
+                return y.astype(out_dt)
             y = jax.lax.conv_general_dilated(
                 xc, wc, window_strides=(1, 1), padding=((py, py), (px, px)),
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
@@ -157,7 +172,7 @@ def build_tconv(rfs: OpBase):
     def fn(x, w, b=None):
         xc = x.astype(cdt)
         # NHWC band layout, padded to (Hp, Wp); conv padding included
-        xh = jnp.transpose(xc, (0, 2, 3, 1))
+        xh = xc if io_nhwc else jnp.transpose(xc, (0, 2, 3, 1))
         xh = jnp.pad(xh, ((0, 0), (py, Hp - H - py), (px, Wp - W - px),
                           (0, C - Cl)))
         wh = jnp.transpose(w.astype(cdt), (2, 3, 1, 0))  # (ky,kx,C,oc)
@@ -168,6 +183,8 @@ def build_tconv(rfs: OpBase):
             args.append(bv)
         y = call(*args)  # (n, ny*TY, OXA, OCp)
         y = y[:, :oy, :ox, :oc]
+        if io_nhwc:
+            return y.astype(out_dt)
         return jnp.transpose(y, (0, 3, 1, 2))
     return fn
 
@@ -177,6 +194,7 @@ class TConv(_ConvBase):
     """Spatial-tiled direct conv (see module docstring)."""
 
     name = "tconv"
+    nhwc_ok = True
 
     @classmethod
     def build(cls, rfs: OpBase):

@@ -18,6 +18,7 @@ class VarStats(KernelTemplate):
     """stats = [min, max, avg, sum_of_squares] of `in` (4-vector out)."""
 
     name = "var_stats"
+    nhwc_ok = True  # whole-tensor reduction/elementwise: layout agnostic
     args = [adecl("in", IN, ""), adecl("stats", OUT, "n")]
     sig_nda_keys = ["in"]
 

@@ -63,6 +63,11 @@ class KernelTemplate:
     args: list[ArgDecl] = []
     sig_nda_keys: list[str] = []   # extra nda_vals kept in reduced sig (scalars, work dims)
     sig_str_keys: list[str] = []   # extra str_vals kept in reduced sig
+    # template consumes/produces NHWC-storage tensors when the fused-program
+    # storage pass (engine/lower.py lower_pipe(fused_storage=1)) sets
+    # io_layout=nhwc on its sig; templates that never saw the pass keep the
+    # default and the pass disables itself for the whole plan
+    nhwc_ok: bool = False
 
     # ---- signature reduction (reference: check_args rtc_func_gen.cc:126) ----
     @classmethod
@@ -91,7 +96,9 @@ class KernelTemplate:
         for k in cls.sig_nda_keys:
             if k in op.nda_vals:
                 rfs.nda_vals[k] = op.nda_vals[k]
-        for k in cls.sig_str_keys:
+        # io_layout/edge_prec are framework-level storage keys (set by the
+        # fused-storage lowering pass) — always part of the reduced sig
+        for k in cls.sig_str_keys + ["io_layout", "edge_prec"]:
             if k in op.str_vals:
                 rfs.str_vals[k] = op.str_vals[k]
         return rfs
