@@ -57,9 +57,10 @@ class CompNdas(HasMain):
         print("comp_ndas PASSED")
 
 
-def _dir_diff(got: Path, want: Path) -> list[str]:
+def _dir_diff(got: Path, want: Path, ignore_pat=None) -> list[str]:
     """Directory diff (reference: dtl-based diff_file, test_nesi.cc:569-639):
-    missing/extra/differing files, with text diffs for small text files."""
+    missing/extra/differing files, with text diffs for small text files.
+    Files matching ignore_pat are existence-checked but not content-diffed."""
     errs = []
     got_files = {p.relative_to(got) for p in got.rglob("*") if p.is_file()}
     want_files = {p.relative_to(want) for p in want.rglob("*") if p.is_file()}
@@ -68,6 +69,8 @@ def _dir_diff(got: Path, want: Path) -> list[str]:
     for f in sorted(got_files - want_files):
         errs.append(f"EXTRA output file: {f}")
     for f in sorted(got_files & want_files):
+        if ignore_pat is not None and ignore_pat.search(str(f)):
+            continue
         gb = (got / f).read_bytes()
         wb = (want / f).read_bytes()
         if gb == wb:
@@ -157,13 +160,22 @@ class TestCmds(HasMain):
             if got_err is not None:
                 fails.append(f"{name}: unexpected error: {got_err}")
                 continue
+            ignore = spec.get_kid("ignore")
+            ignore_pat = None
+            if ignore is not None:
+                # files matching this regex are existence-checked only
+                # (timing-dependent content, e.g. measured-perf plot images)
+                import re as _re
+                ignore_pat = _re.compile(ignore.leaf_val)
             scrub = spec.get_kid("scrub")
             if scrub is not None:
                 # normalize run-varying text (timings, rates) before
                 # archiving/diffing — the reference's test_cmds filtered
                 # timing output the same way (test_cmds.cc diff filters)
                 import re as _re
-                pat = _re.compile(scrub.leaf_val)
+                # MULTILINE: ^/$ anchor per line (raw-number lines in
+                # wisdom files are timing records)
+                pat = _re.compile(scrub.leaf_val, _re.MULTILINE)
                 for f in out_dir.rglob("*"):
                     if not f.is_file():
                         continue
@@ -182,7 +194,7 @@ class TestCmds(HasMain):
                     fails.append(f"{name}: no known-good dir '{good}' "
                                  "(run with update_failing=1 to create)")
                 continue
-            errs = _dir_diff(out_dir, good)
+            errs = _dir_diff(out_dir, good, ignore_pat)
             if errs:
                 if self.update_failing:
                     shutil.rmtree(good)

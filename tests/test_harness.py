@@ -105,12 +105,13 @@ class _HrnEcho(HasMain):
             self.out_path(self.out_fn).write_text(self.msg + "\n")
 
 
-def test_checked_in_cmds_suite(tmp_path):
-    """The shipped CLI regression suite (tests/cmds/base.txt) must pass
-    against its archived goldens (tests/good_tr/) — the reference's
+@pytest.mark.parametrize("cmds", ["base.txt", "modes.txt"])
+def test_checked_in_cmds_suite(tmp_path, cmds):
+    """The shipped CLI regression suites (tests/cmds/*.txt) must pass
+    against their archived goldens (tests/good_tr/) — the reference's
     test_cmds + good_tr workflow, checked in."""
     from pathlib import Path
     root = Path(__file__).resolve().parents[1]
-    run_mode(f"(mode=test_cmds,cmds_fn={root}/tests/cmds/base.txt,"
+    run_mode(f"(mode=test_cmds,cmds_fn={root}/tests/cmds/{cmds},"
              f"good_tr_dir={root}/tests/good_tr,"
              f"boda_output_dir={tmp_path}/out)")
