@@ -1,0 +1,280 @@
+"""Async host concurrency: dynamic-batching inference service.
+
+Reference parity: the asio event-loop layer (`asio_util.H`,
+`cap_app.cc`'s multiplexed fd/stream handling; SURVEY §2.5 "asio host
+concurrency") — redesigned TPU-first: an asyncio TCP server multiplexes
+MANY concurrent clients onto ONE engine, and coalesces their requests
+into batches (a bounded batching window) before dispatch. On TPU,
+per-client batch-1 calls waste the MXU; dynamic batching is the
+idiomatic serving shape (the reference's asio loop solved the same
+"many slow producers, one fast consumer" problem for capture devices).
+
+Wire protocol: the framed-stream format of parallel/transport.py
+(4-byte LE length prefix per frame), so the existing sync `Stream` /
+native csrc/stream.cc peers interoperate:
+
+  request = [opts lexp frame, dims lexp frame, raw bytes frame]
+            opts: (op=classify[,top_k=K])  or  (op=quit) [no nda frames]
+  reply   = [opts lexp frame, dims lexp frame, raw bytes frame]
+            opts: (batch=B) — the realized engine batch (coalescing proof)
+            nda:  float (obj=top_k, cls_prob=2) rows of [class, prob]
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..core.config import Attr
+from ..core.dims import NDA, Dims
+from ..core.error import RtErr
+from ..core.has_main import mode
+from ..core.lexp import Lexp, parse_lexp
+from .run_cnet import RunCnetBase
+
+_LEN = struct.Struct("<I")
+
+
+async def _read_frame(reader) -> bytes:
+    hdr = await reader.readexactly(4)
+    (n,) = _LEN.unpack(hdr)
+    return await reader.readexactly(n)
+
+
+def _frame(payload: bytes) -> bytes:
+    return _LEN.pack(len(payload)) + payload
+
+
+@mode("aio_cls_server", help="asyncio dynamic-batching classification server")
+class AioClsServer(RunCnetBase):
+    port = Attr(int, req=True, help="TCP port to listen on (127.0.0.1)")
+    max_batch = Attr(int, default=8, help="engine batch = coalescing cap")
+    batch_window_ms = Attr(float, default=20.0,
+                           help="wait this long after the first queued "
+                                "request for more to coalesce")
+    top_k = Attr(int, default=3)
+    num_requests = Attr(int, default=0,
+                        help="serve this many classify requests then exit "
+                             "(0 = until a (op=quit) request)")
+    _started_cb = None   # test hook: called with the bound port
+
+    def setup(self):
+        self.batch = self.max_batch
+        pipe = self.setup_cnet()
+        d = pipe.get_data_img_dims()
+        self._img_dims = (d["chan"], d["y"], d["x"])
+        self._data_dims = d
+        self._served = 0
+        self._batch_sizes: list[int] = []
+
+    def classify_batch(self, imgs: list[np.ndarray], top_k: int) -> list[np.ndarray]:
+        """Pad to max_batch, one engine call, per-request top-k rows."""
+        x = np.zeros(self._data_dims.shape, self._data_dims.dtype)
+        for i, im in enumerate(imgs):
+            x[i] = im
+        out = self.run_one_blob_in_one_blob_out(NDA(self._data_dims, x))
+        probs = np.asarray(out.v).reshape(self._data_dims["img"], -1)
+        res = []
+        for i in range(len(imgs)):
+            idx = np.argsort(-probs[i])[:top_k]
+            res.append(np.stack([idx.astype(np.float32),
+                                 probs[i][idx].astype(np.float32)], axis=1))
+        return res
+
+    async def _serve(self):
+        import asyncio
+        queue: asyncio.Queue = asyncio.Queue()
+        done = asyncio.Event()
+        loop = asyncio.get_running_loop()
+
+        async def batcher():
+            while not done.is_set():
+                get = asyncio.create_task(queue.get())
+                dn = asyncio.create_task(done.wait())
+                await asyncio.wait({get, dn}, return_when=asyncio.FIRST_COMPLETED)
+                if not get.done():
+                    get.cancel()
+                    return
+                dn.cancel()
+                batch = [get.result()]
+                deadline = loop.time() + self.batch_window_ms / 1e3
+                while len(batch) < self.max_batch:
+                    timeout = deadline - loop.time()
+                    if timeout <= 0:
+                        break
+                    try:
+                        batch.append(await asyncio.wait_for(queue.get(), timeout))
+                    except asyncio.TimeoutError:
+                        break
+                imgs = [b[0] for b in batch]
+                tk = max(b[1] for b in batch)
+                # engine call is blocking: run off the event loop so new
+                # requests keep queuing for the next batch
+                try:
+                    res = await loop.run_in_executor(
+                        None, self.classify_batch, imgs, tk)
+                except Exception as e:  # propagate to waiting clients
+                    import traceback
+                    traceback.print_exc()
+                    for (_, _k, fut) in batch:
+                        if not fut.done():
+                            fut.set_exception(RtErr(f"engine error: {e}"))
+                    done.set()
+                    return
+                self._batch_sizes.append(len(batch))
+                for (_, k, fut), r in zip(batch, res):
+                    if not fut.done():
+                        fut.set_result((len(batch), r[:k]))
+                self._served += len(batch)
+                if self.num_requests and self._served >= self.num_requests:
+                    done.set()
+                    return
+
+        async def handle(reader, writer):
+            try:
+                while True:
+                    opts = parse_lexp((await _read_frame(reader)).decode())
+                    opts.deep_inc_use_cnt()
+                    op = opts.get_kid("op").leaf_val if opts.get_kid("op") else ""
+                    if op == "quit":
+                        writer.write(_frame(b"(ok=1)"))
+                        await writer.drain()
+                        done.set()
+                        return
+                    if op != "classify":
+                        writer.write(_frame(f"(err=unknown op '{op}')".encode()))
+                        await writer.drain()
+                        continue
+                    tk = int(opts.get_kid("top_k").leaf_val) \
+                        if opts.get_kid("top_k") else self.top_k
+                    dims = Dims.from_lexp(parse_lexp(
+                        (await _read_frame(reader)).decode()))
+                    raw = await _read_frame(reader)
+                    img = np.frombuffer(raw, dtype=dims.dtype).reshape(dims.shape)
+                    if tuple(img.shape) != self._img_dims:
+                        writer.write(_frame(
+                            f"(err=bad image dims {img.shape})".encode()))
+                        await writer.drain()
+                        continue
+                    fut = loop.create_future()
+                    await queue.put((img, tk, fut))
+                    bsz, rows = await fut
+                    rd = Dims.make(tn="float", obj=rows.shape[0], cls_prob=2)
+                    writer.write(_frame(f"(batch={bsz})".encode())
+                                 + _frame(str(rd.to_lexp()).encode())
+                                 + _frame(np.ascontiguousarray(rows).tobytes()))
+                    await writer.drain()
+            except (asyncio.IncompleteReadError, ConnectionResetError):
+                return
+            finally:
+                writer.close()
+
+        server = await asyncio.start_server(handle, "127.0.0.1", self.port)
+        port = server.sockets[0].getsockname()[1]
+        print(f"aio_cls_server: listening on 127.0.0.1:{port} "
+              f"max_batch={self.max_batch} window={self.batch_window_ms}ms",
+              flush=True)
+        if AioClsServer._started_cb:
+            AioClsServer._started_cb(port)
+        bt = asyncio.create_task(batcher())
+        async with server:
+            await done.wait()
+        await bt
+        print(f"aio_cls_server: served {self._served} request(s) in "
+              f"{len(self._batch_sizes)} batch(es), "
+              f"max_batch_seen={max(self._batch_sizes or [0])}", flush=True)
+
+    def main(self):
+        import asyncio
+        self.setup()
+        asyncio.run(self._serve())
+
+
+def classify_over_stream(stream, img: np.ndarray, top_k: int = 3):
+    """Sync client helper over a transport Stream: returns (batch, rows)."""
+    from ..core.dims import dtype_to_tn
+    d = Dims.make(tn=dtype_to_tn(img.dtype), chan=img.shape[0],
+                  y=img.shape[1], x=img.shape[2])
+    stream.write_frame(f"(op=classify,top_k={top_k})".encode())
+    stream.write_frame(str(d.to_lexp()).encode())
+    stream.write_frame(np.ascontiguousarray(img).tobytes())
+    opts = parse_lexp(stream.read_frame().decode())
+    opts.deep_inc_use_cnt()
+    if opts.get_kid("err") is not None:
+        raise RtErr(f"aio server error: {opts.get_kid('err').leaf_val}")
+    bsz = int(opts.get_kid("batch").leaf_val)
+    rd = Dims.from_lexp(parse_lexp(stream.read_frame().decode()))
+    rows = np.frombuffer(stream.read_frame(), dtype=rd.dtype).reshape(rd.shape)
+    return bsz, rows
+
+
+@mode("aio_cls_selfcheck",
+      help="aio server + N concurrent clients in one process (smoke/golden)")
+class AioClsSelfcheck(RunCnetBase):
+    num_clients = Attr(int, default=3)
+    top_k = Attr(int, default=2)
+    batch_window_ms = Attr(float, default=500.0)
+
+    def main(self):
+        import threading
+
+        from ..io.img import img_to_chw, make_test_pattern_img
+        from ..parallel.transport import make_stream
+
+        srv = AioClsServer.init_from_lexp(Lexp.from_obj({
+            "model": self.model or "mini",
+            "port": "0", "max_batch": str(self.num_clients),
+            "batch_window_ms": str(self.batch_window_ms),
+            "num_requests": str(self.num_clients),
+            "top_k": str(self.top_k)}))
+        port_box = {}
+        port_evt = threading.Event()
+
+        def started(port):
+            port_box["port"] = port
+            port_evt.set()
+
+        AioClsServer._started_cb = staticmethod(started)
+        try:
+            th = threading.Thread(target=srv.main, daemon=True)
+            th.start()
+            assert port_evt.wait(60), "server did not start"
+            port = port_box["port"]
+
+            d = srv._img_dims
+            results = [None] * self.num_clients
+            barrier = threading.Barrier(self.num_clients)
+
+            errs = [None] * self.num_clients
+
+            def client(i):
+                try:
+                    img = img_to_chw(make_test_pattern_img(
+                        d[1], d[2], mode=i + 1)).astype(np.float32)
+                    st = make_stream(f"tcp:127.0.0.1:{port}", impl="py")
+                    barrier.wait()
+                    results[i] = classify_over_stream(st, img, self.top_k)
+                    st.close()
+                except Exception as e:
+                    errs[i] = e
+
+            cs = [threading.Thread(target=client, args=(i,))
+                  for i in range(self.num_clients)]
+            for c in cs:
+                c.start()
+            for c in cs:
+                c.join(120)
+            th.join(120)
+        finally:
+            AioClsServer._started_cb = None
+        for i, r in enumerate(results):
+            if errs[i] is not None:
+                raise RtErr(f"client {i} failed: {errs[i]}")
+            assert r is not None, f"client {i} got no reply"
+            bsz, rows = r
+            top = " ".join(f"{int(c)}:{p:.4f}" for c, p in rows)
+            print(f"client {i}: batch={bsz} top-{self.top_k}: {top}")
+        self._max_batch_seen = max(r[0] for r in results)
+        print(f"selfcheck ok: {self.num_clients} clients, "
+              f"max_batch_seen={self._max_batch_seen}")

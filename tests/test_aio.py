@@ -1,0 +1,88 @@
+"""asyncio dynamic-batching inference service tests (apps/aio_serve.py —
+the asio host-concurrency analog, SURVEY §2.5: many concurrent clients
+multiplexed onto one engine with request coalescing).
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from boda_tpu.apps.aio_serve import AioClsServer, classify_over_stream
+from boda_tpu.core.error import RtErr
+from boda_tpu.core.lexp import Lexp
+from boda_tpu.parallel.transport import make_stream
+
+
+def _start_server(**kw):
+    srv = AioClsServer.init_from_lexp(Lexp.from_obj(
+        {"model": "mini", "port": "0", **{k: str(v) for k, v in kw.items()}}))
+    box = {}
+    evt = threading.Event()
+    AioClsServer._started_cb = staticmethod(
+        lambda p: (box.update(port=p), evt.set()))
+    th = threading.Thread(target=srv.main, daemon=True)
+    th.start()
+    assert evt.wait(120), "server did not start"
+    AioClsServer._started_cb = None
+    return srv, th, box["port"]
+
+
+def test_concurrent_clients_coalesce():
+    n = 4
+    srv, th, port = _start_server(max_batch=n, batch_window_ms=800,
+                                  num_requests=n, top_k=2)
+    d = srv._img_dims
+    results = [None] * n
+    barrier = threading.Barrier(n)
+
+    def client(i):
+        img = (np.random.RandomState(i).randn(*d) * 0.1).astype(np.float32)
+        st = make_stream(f"tcp:127.0.0.1:{port}", impl="py")
+        barrier.wait()
+        results[i] = classify_over_stream(st, img, 2)
+        st.close()
+
+    cs = [threading.Thread(target=client, args=(i,)) for i in range(n)]
+    for c in cs:
+        c.start()
+    for c in cs:
+        c.join(120)
+    th.join(120)
+    assert not th.is_alive()
+    assert all(r is not None for r in results)
+    # all 4 arrived inside the window: coalescing must have happened
+    assert max(r[0] for r in results) >= 2
+    for bsz, rows in results:
+        assert rows.shape == (2, 2)
+        assert 0 <= rows[0, 0] < 10 and 0 <= rows[0, 1] <= 1.0001
+
+
+def test_single_request_and_quit():
+    srv, th, port = _start_server(max_batch=2, batch_window_ms=5, top_k=3)
+    d = srv._img_dims
+    img = np.zeros(d, np.float32)
+    st = make_stream(f"tcp:127.0.0.1:{port}", impl="py")
+    bsz, rows = classify_over_stream(st, img, 3)
+    assert bsz == 1 and rows.shape == (3, 2)
+    # probs sorted descending
+    assert rows[0, 1] >= rows[1, 1] >= rows[2, 1]
+    st.write_frame(b"(op=quit)")
+    assert st.read_frame() == b"(ok=1)"
+    st.close()
+    th.join(60)
+    assert not th.is_alive()
+
+
+def test_bad_dims_errors():
+    srv, th, port = _start_server(max_batch=1, batch_window_ms=5,
+                                  num_requests=1)
+    st = make_stream(f"tcp:127.0.0.1:{port}", impl="py")
+    bad = np.zeros((1, 2, 2), np.float32)
+    with pytest.raises(RtErr, match="bad image dims"):
+        classify_over_stream(st, bad, 1)
+    # server still serves a good request afterwards
+    bsz, rows = classify_over_stream(st, np.zeros(srv._img_dims, np.float32), 1)
+    assert bsz == 1 and rows.shape == (1, 2)
+    st.close()
+    th.join(60)
