@@ -46,6 +46,27 @@ def resnet_micro(batch=2):
     return b.done(seed=7)
 
 
+def incep_micro(batch=2):
+    """Concat/LRN/dropout op mix (googlenet/alexnet shapes at toy scale):
+    exercises the Copy INOUT first-touch, chan-window LRN, and dropout
+    under NHWC storage."""
+    b = NetBuilder("incep_micro", batch, 3, 32, 32)
+    b.conv("conv1", 16, 3, 2, 1)
+    b.lrn("lrn1")
+    stem = b.cur
+    b.conv("i1_a", 8, 1)
+    ba = b.cur
+    b.cur = stem
+    b.conv("i1_b", 8, 3, 1, 1)
+    b.concat("i1_cat", [ba, b.cur])
+    b.pool("pool1", 3, 2)
+    b.dropout("drop1")
+    b.conv("fc", 10, 1, relu=False)
+    b.pool("gpool", 0, 1, avg=True, global_=True)
+    b.softmax("prob")
+    return b.done(seed=11)
+
+
 def _run(pipe, tune_s, fused_storage, x):
     plan = lower_pipe(pipe, make_op_tune(tune_s), fused_storage=fused_storage)
     fwd = build_fused_forward(plan)
@@ -54,9 +75,11 @@ def _run(pipe, tune_s, fused_storage, x):
     return plan, {k: np.asarray(v) for k, v in outs.items()}
 
 
-@pytest.mark.parametrize("model", ["mini", "micro-res"])
+@pytest.mark.parametrize("model", ["mini", "micro-res", "micro-incep"])
 def test_storage_nhwc_f32_matches_plain(model):
-    pipe = build_model(model, batch=2) if model == "mini" else resnet_micro()
+    pipe = {"mini": lambda: build_model("mini", batch=2),
+            "micro-res": resnet_micro,
+            "micro-incep": incep_micro}[model]()
     d = pipe.get_data_img_dims()
     x = (np.random.RandomState(0).randn(*d.shape) * 0.2).astype(np.float32)
     plan_p, ref = _run(pipe, "(use_culibs=1)", False, x)
