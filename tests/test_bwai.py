@@ -40,6 +40,8 @@ def test_bwai_through_profiler():
     be.init()
     cg = Codegen(be)
     secs, outs = profile_rcg_call(cg, _op("scale"), run_iter=2)
-    assert secs >= 0
+    # slope timing of a ~us op can go slightly negative under CPU noise
+    # (wisdom records guard non-positive secs; see tune/wisdom.py)
+    assert np.isfinite(secs)
     assert outs["out"].dims.shape == (4096,)
     assert float(np.abs(outs["out"].v).sum()) > 0
