@@ -1,0 +1,109 @@
+"""cnet_bench: slope-timed whole-net throughput benchmark for any model.
+
+Generalizes bench.py (the driver's headline harness) into a CLI mode:
+build any zoo/prototxt model, lower it with a tune (default: the shipped
+perf config — fused NHWC/bf16-edge storage), chain iterations inside one
+XLA program via a dynamic-length fori_loop, and report the slope between
+two chain lengths (the tunnel-honest methodology, ROUND2_NOTES.md).
+
+Reference role: the whole-net half of cnn-prof (`cnn_prof`,
+cnn-prof.cc:133) — per-net secs/imgs-per-sec/%-of-peak reporting.
+"""
+
+from __future__ import annotations
+
+from ..core.config import Attr
+from ..core.has_main import mode
+from ..graph.modes import _NetMode
+from ..ops.cnn_variants import OpTune
+
+_PEAKS = {  # per-dtype MXU peaks by device-kind prefix
+    ("TPU v5 lite", "bf16"): 197e12,
+    ("TPU v5 lite", "f32"): 49e12,
+    ("TPU v5p", "bf16"): 459e12,
+}
+
+
+def peak_flops(device_kind: str, prec: str) -> float:
+    for (kind, p), v in _PEAKS.items():
+        if device_kind.startswith(kind) and p == prec:
+            return v
+    return 197e12 if prec == "bf16" else 49e12
+
+
+def chained_net_secs(fwd, weights, x, iters: int, n1: int = 0, reps: int = 3):
+    """Per-forward seconds: serial fori_loop chain, slope of two lengths."""
+    import statistics
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    n1 = n1 or max(2, iters // 5)
+
+    def chained(w, x, n):
+        def body(_i, carry):
+            c, acc = carry
+            p = fwd({"data": c}, w)["prob"]
+            return c + p.sum().astype(c.dtype) * 1e-12, acc + p.ravel()[0]
+        _c, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
+        return acc
+
+    fn = jax.jit(chained)
+    dev = jax.devices()[0]
+    w_dev = {k: jax.device_put(v, dev) for k, v in weights.items()}
+    x_dev = jax.device_put(x, dev)
+    t0 = time.perf_counter()
+    float(fn(w_dev, x_dev, 1))
+    compile_s = time.perf_counter() - t0
+    float(fn(w_dev, x_dev, n1))
+    float(fn(w_dev, x_dev, iters))
+    slopes = []
+    for _ in range(reps):
+        a = time.perf_counter()
+        float(fn(w_dev, x_dev, n1))
+        b = time.perf_counter()
+        float(fn(w_dev, x_dev, iters))
+        c = time.perf_counter()
+        slopes.append(((c - b) - (b - a)) / (iters - n1))
+    return statistics.median(slopes), compile_s
+
+
+@mode("cnet_bench", help="slope-timed whole-net throughput benchmark")
+class CnetBench(_NetMode):
+    op_tune = Attr(OpTune,
+                   default="(use_culibs=1,prec=bf16,layout=nhwc,s2d=0)",
+                   help="tune record (default: shipped perf config)")
+    iters = Attr(int, default=30, help="long chain length")
+    reps = Attr(int, default=3, help="slope repetitions (median)")
+
+    def main(self):
+        import numpy as np
+
+        from ..backend.xla import enable_compilation_cache
+        from ..engine.lower import lower_pipe
+        from ..engine.rtc_fwd import build_fused_forward
+        from ..graph.modes import _load_pipe
+
+        enable_compilation_cache()
+        pipe = _load_pipe(self)
+        plan = lower_pipe(pipe, self.op_tune, fused_storage=True)
+        fwd = build_fused_forward(plan)
+        weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+        d = pipe.get_data_img_dims()
+        x = (np.random.RandomState(0).randn(*d.shape) * 0.1).astype(np.float32)
+
+        secs, compile_s = chained_net_secs(fwd, weights, x, self.iters,
+                                           reps=self.reps)
+        import jax
+        dev = jax.devices()[0]
+        prec = self.op_tune.prec or "f32"
+        fl, _ = pipe.total_flops_and_bytes()
+        pk = peak_flops(dev.device_kind, prec)
+        name = self.model or self.ptt_fn
+        print(f"cnet_bench {name} b{d['img']} {prec} "
+              f"storage={'nhwc' if plan.storage_nhwc else 'nchw'}: "
+              f"step_ms={secs * 1e3:.2f} imgs_per_sec={d['img'] / secs:.1f} "
+              f"tflops={fl / secs / 1e12:.1f} "
+              f"frac_roofline={fl / secs / pk:.4f} "
+              f"compile_s={compile_s:.1f} device={dev.device_kind}")
