@@ -69,6 +69,61 @@ def chained_net_secs(fwd, weights, x, iters: int, n1: int = 0, reps: int = 3):
     return statistics.median(slopes), compile_s
 
 
+@mode("cnet_tune", help="whole-net tune search: sweep tune records, pick best")
+class CnetTune(_NetMode):
+    """Whole-net autotuning (TPU-first addition: the reference's wisdom
+    sweep is per-op; net-level knobs — layout/edge storage/first-layer
+    transform — interact through XLA fusion, e.g. s2d wins per-op but
+    loses under NHWC storage, ROUND2_NOTES). Sweeps tune records with the
+    chained-slope harness and reports/records the winner."""
+
+    tunes = Attr(list[str], default=None,
+                 help="tune records to sweep (default: a storage/layout/"
+                      "s2d grid over the vendor kernels)")
+    iters = Attr(int, default=30)
+    reps = Attr(int, default=3)
+    wisdom_out_fn = Attr(str, default="", help="write winner tune here")
+
+    DEFAULT_TUNES = [
+        "(use_culibs=1,prec=bf16,layout=nhwc,s2d=0)",
+        "(use_culibs=1,prec=bf16,layout=nhwc)",
+        "(use_culibs=1,prec=bf16,layout=nhwc,edge_prec=f32,s2d=0)",
+        "(use_culibs=1,prec=bf16)",
+    ]
+
+    def main(self):
+        import numpy as np
+
+        from ..backend.xla import enable_compilation_cache
+        from ..engine.lower import lower_pipe
+        from ..engine.rtc_fwd import build_fused_forward
+        from ..graph.modes import _load_pipe
+        from ..ops.cnn_variants import make_op_tune
+
+        enable_compilation_cache()
+        pipe = _load_pipe(self)
+        d = pipe.get_data_img_dims()
+        x = (np.random.RandomState(0).randn(*d.shape) * 0.1).astype(np.float32)
+        fl, _ = pipe.total_flops_and_bytes()
+        results = []
+        for ts in (self.tunes or self.DEFAULT_TUNES):
+            plan = lower_pipe(pipe, make_op_tune(ts), fused_storage=True)
+            fwd = build_fused_forward(plan)
+            weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+            secs, _c = chained_net_secs(fwd, weights, x, self.iters,
+                                        reps=self.reps)
+            results.append((secs, ts))
+            print(f"tune {ts}: step_ms={secs * 1e3:.2f} "
+                  f"imgs_per_sec={d['img'] / secs:.1f} "
+                  f"tflops={fl / secs / 1e12:.1f}", flush=True)
+        results.sort(key=lambda r: r[0])
+        best_secs, best = results[0]
+        print(f"best tune: {best} (step_ms={best_secs * 1e3:.2f})")
+        if self.wisdom_out_fn:
+            with open(self.out_path(self.wisdom_out_fn), "w") as f:
+                f.write(f"(model={self.model},tune={best})\n")
+
+
 @mode("cnet_bench", help="slope-timed whole-net throughput benchmark")
 class CnetBench(_NetMode):
     op_tune = Attr(OpTune,

@@ -34,6 +34,11 @@ def enable_compilation_cache(cache_dir: str = "") -> None:
     import jax
     d = cache_dir or _CACHE_DIR
     try:
+        # TPU only: XLA:CPU AOT entries reload with machine-feature
+        # mismatch warnings on other hosts (ROUND2_NOTES), and CPU
+        # compiles are cheap anyway
+        if jax.default_backend() != "tpu":
+            return
         Path(d).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
         # threshold 0: the axon tunnel compiles server-side, so the

@@ -86,3 +86,4 @@ def test_bad_dims_errors():
     assert bsz == 1 and rows.shape == (1, 2)
     st.close()
     th.join(60)
+
