@@ -129,8 +129,28 @@ class CnetBench(_NetMode):
     op_tune = Attr(OpTune,
                    default="(use_culibs=1,prec=bf16,layout=nhwc,s2d=0)",
                    help="tune record (default: shipped perf config)")
+    wisdom_fn = Attr(str, default="", help="per-op wisdom overrides "
+                     "(ops_prof output; sigs must match this batch)")
     iters = Attr(int, default=30, help="long chain length")
     reps = Attr(int, default=3, help="slope repetitions (median)")
+
+    def _wisdom_tunes(self, pipe):
+        from ..backend.iface import make_backend
+        from ..ops.cnn_variants import make_op_tune
+        from ..tune.wisdom import load_tune_index, wisdom_key
+        be = make_backend("xla")
+        be.init()
+        plat = be.get_plat_tag()
+        idx = load_tune_index(self.wisdom_fn, plat)
+        idx_any = load_tune_index(self.wisdom_fn, "")
+        out = {}
+        for op in pipe.ops.values():
+            ts = idx.get(wisdom_key(op)) or idx_any.get(wisdom_key(op))
+            if ts is not None:
+                out[op.tag] = make_op_tune(ts)
+        print(f"wisdom: tuned {len(out)} op(s) from {self.wisdom_fn}",
+              flush=True)
+        return out or None
 
     def main(self):
         import numpy as np
@@ -142,7 +162,9 @@ class CnetBench(_NetMode):
 
         enable_compilation_cache()
         pipe = _load_pipe(self)
-        plan = lower_pipe(pipe, self.op_tune, fused_storage=True)
+        op_tunes = self._wisdom_tunes(pipe) if self.wisdom_fn else None
+        plan = lower_pipe(pipe, self.op_tune, op_tunes=op_tunes,
+                          fused_storage=True)
         fwd = build_fused_forward(plan)
         weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
         d = pipe.get_data_img_dims()
