@@ -48,6 +48,13 @@ class OpTune(Config):
                          help="fuse identity-shortcut bottlenecks "
                               "(1x1-3x3-1x1+add+relu) into one Pallas "
                               "kernel (VMEM-resident block)")
+    quant8 = Attr(bool, default=False,
+                  help="int8 conv execution: dynamic per-tensor activation "
+                       "quantization + per-out_chan weight quantization "
+                       "inside each conv (int8 MXU matmul, f32 rescale; "
+                       "edges keep prec/edge_prec). The TPU-native "
+                       "extension of the reference's fixed-point quantize "
+                       "hooks (rtc_fwd.cc:28-37)")
     s2d = Attr(bool, default=True,
                help="space-to-depth first-layer transform: stride-2 "
                     "thin-channel convs (conv1 7x7 s2 C<=4) run as "
@@ -151,6 +158,10 @@ def add_cnn_codegen_annotations(op: OpBase, tune: OpTune,
             op.str_vals["prec"] = t.prec
         if t.layout:
             op.str_vals["layout"] = t.layout
+        if t.quant8 and fn == "xla_conv" and op.get_dims("filts")["in_chan"] >= 16:
+            # int8 execution for the MXU-heavy convs; thin-channel stems
+            # stay in float (their error dominates, their flops don't)
+            op.set_u32("quant8", 1)
     elif op.type == "InnerProduct":
         op.set_func_name("ipconv" if t.ipconv else "xla_conv")
         if t.prec:
