@@ -36,12 +36,53 @@ def peak_flops(device_kind: str, prec: str) -> float:
     return 197e12 if prec == "bf16" else 49e12
 
 
+def _preflight(budget_s: float = 600.0) -> None:
+    """The axon tunnel sporadically wedges for tens of minutes (CLAUDE.md);
+    probe with a tiny matmul in a worker thread and wait out a wedge
+    (bounded) before queueing the big compile, so a transient stall
+    doesn't produce a garbage benchmark record."""
+    import threading
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    t_end = time.time() + budget_s
+    while True:
+        ok = threading.Event()
+
+        def probe():
+            try:
+                x = jnp.ones((256, 256), jnp.bfloat16)
+                float((x @ x).sum())
+                ok.set()
+            except Exception:
+                pass
+
+        th = threading.Thread(target=probe, daemon=True)
+        t0 = time.perf_counter()
+        th.start()
+        th.join(timeout=min(120.0, max(10.0, t_end - time.time())))
+        if ok.is_set():
+            dt = time.perf_counter() - t0
+            if dt > 30:
+                print(f"# preflight: tunnel slow ({dt:.0f}s probe)", flush=True)
+            return
+        if time.time() >= t_end:
+            print("# preflight: tunnel still wedged after budget; "
+                  "proceeding anyway", flush=True)
+            return
+        print("# preflight: tunnel wedged; waiting...", flush=True)
+        time.sleep(30)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from boda_tpu.backend.xla import enable_compilation_cache
+    _preflight()
     enable_compilation_cache()
 
     from boda_tpu.engine.lower import lower_pipe
