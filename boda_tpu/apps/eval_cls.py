@@ -283,6 +283,6 @@ class GenLmdb(HasMain):
             # nets trained on the same generator
             img[:, label % self.ysz, :] = 255
             kvs.append((b"%08d" % i, encode_datum(img, label)))
-        st = write_lmdb(self.out_dir, kvs)
+        st = write_lmdb(self.out_path(self.out_dir), kvs)
         print(f"gen_lmdb: wrote {st['entries']} datums "
               f"(depth={st['depth']}, last_pg={st['last_pg']}) to {self.out_dir}")

@@ -691,7 +691,7 @@ class TextSink(DataStream):
     fn = Attr(str, req=True)
 
     def data_stream_init(self):
-        self._f = open(self.fn, "w")
+        self._f = open(resolve_stage_fn(self.fn), "w")
         self._n = 0
 
     def proc_block(self, db: DataBlock) -> DataBlock:
@@ -717,7 +717,8 @@ class NpySink(DataStream):
         if db.valid() and db.nda is not None:
             self._vs.append(db.nda.v)
         elif not db.valid() and not self._saved:
-            np.save(self.fn, np.stack(self._vs) if self._vs else np.zeros(0))
+            np.save(resolve_stage_fn(self.fn),
+                    np.stack(self._vs) if self._vs else np.zeros(0))
             self._saved = True
         return db
 
@@ -726,6 +727,31 @@ class NpySink(DataStream):
 
 
 # ---------------- driver mode ----------------
+
+_STAGE_OUT_DIR: "contextvars.ContextVar" = None  # set lazily below
+
+
+def _ensure_ctx():
+    global _STAGE_OUT_DIR
+    if _STAGE_OUT_DIR is None:
+        import contextvars
+        _STAGE_OUT_DIR = contextvars.ContextVar("boda_stage_out_dir",
+                                                default=None)
+    return _STAGE_OUT_DIR
+
+
+def resolve_stage_fn(fn: str) -> str:
+    """Resolve a stage's relative file path against the driving mode's
+    output dir (HasMain.out_path convention): stream stages aren't modes,
+    so without this their outputs leak into the CWD (the reference's
+    stages had the same cwd-relative behavior, but our golden harness
+    requires outputs under boda_output_dir)."""
+    import os
+    d = _ensure_ctx().get()
+    if d is None or os.path.isabs(fn):
+        return fn
+    return os.path.join(d, fn)
+
 
 @mode("scan_data_stream",
       help="run a data stream to EOF; print per-block info + totals")
@@ -737,6 +763,13 @@ class ScanDataStream(HasMain):
     max_blocks = Attr(int, default=0, help="stop after this many (0: all)")
 
     def main(self):
+        tok = _ensure_ctx().set(str(self.out_path(".")))
+        try:
+            self._scan()
+        finally:
+            _ensure_ctx().reset(tok)
+
+    def _scan(self):
         self.stream.data_stream_init()
         n = 0
         tot_bytes = 0
@@ -771,12 +804,13 @@ class HashCheck(DataStream):
         self._n = 0
         self._fails = 0
         if self.write:
-            self._f = open(self.fn, "w")
+            self._f = open(resolve_stage_fn(self.fn), "w")
             self._want = None
         else:
             from ..core.digest import Digest
             self._want = [Digest.from_lexp(ln) for ln in
-                          Path(self.fn).read_text().splitlines() if ln.strip()]
+                          Path(resolve_stage_fn(self.fn)).read_text().splitlines()
+                          if ln.strip()]
 
     def proc_block(self, db: DataBlock) -> DataBlock:
         from ..core.digest import nda_digest
