@@ -41,6 +41,7 @@ def _preflight(budget_s: float = 600.0) -> None:
     probe with a tiny matmul in a worker thread and wait out a wedge
     (bounded) before queueing the big compile, so a transient stall
     doesn't produce a garbage benchmark record."""
+    import sys
     import threading
     import time
 
@@ -66,13 +67,13 @@ def _preflight(budget_s: float = 600.0) -> None:
         if ok.is_set():
             dt = time.perf_counter() - t0
             if dt > 30:
-                print(f"# preflight: tunnel slow ({dt:.0f}s probe)", flush=True)
+                print(f"# preflight: tunnel slow ({dt:.0f}s probe)", file=sys.stderr, flush=True)
             return
         if time.time() >= t_end:
             print("# preflight: tunnel still wedged after budget; "
-                  "proceeding anyway", flush=True)
+                  "proceeding anyway", file=sys.stderr, flush=True)
             return
-        print("# preflight: tunnel wedged; waiting...", flush=True)
+        print("# preflight: tunnel wedged; waiting...", file=sys.stderr, flush=True)
         time.sleep(30)
 
 
