@@ -39,7 +39,9 @@ def chained_net_secs(fwd, weights, x, iters: int, n1: int = 0, reps: int = 3):
     import jax
     import jax.numpy as jnp
 
+    iters = max(iters, 3)
     n1 = n1 or max(2, iters // 5)
+    n1 = min(n1, iters - 1)
 
     def chained(w, x, n):
         def body(_i, carry):
@@ -80,6 +82,8 @@ class CnetTune(_NetMode):
     tunes = Attr(list[str], default=None,
                  help="tune records to sweep (default: a storage/layout/"
                       "s2d grid over the vendor kernels)")
+    batches = Attr(list[int], default=None,
+                   help="also sweep batch sizes (default: just --batch)")
     iters = Attr(int, default=30)
     reps = Attr(int, default=3)
     wisdom_out_fn = Attr(str, default="", help="write winner tune here")
@@ -101,27 +105,32 @@ class CnetTune(_NetMode):
         from ..ops.cnn_variants import make_op_tune
 
         enable_compilation_cache()
-        pipe = _load_pipe(self)
-        d = pipe.get_data_img_dims()
-        x = (np.random.RandomState(0).randn(*d.shape) * 0.1).astype(np.float32)
-        fl, _ = pipe.total_flops_and_bytes()
-        results = []
-        for ts in (self.tunes or self.DEFAULT_TUNES):
-            plan = lower_pipe(pipe, make_op_tune(ts), fused_storage=True)
-            fwd = build_fused_forward(plan)
-            weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
-            secs, _c = chained_net_secs(fwd, weights, x, self.iters,
-                                        reps=self.reps)
-            results.append((secs, ts))
-            print(f"tune {ts}: step_ms={secs * 1e3:.2f} "
-                  f"imgs_per_sec={d['img'] / secs:.1f} "
-                  f"tflops={fl / secs / 1e12:.1f}", flush=True)
-        results.sort(key=lambda r: r[0])
-        best_secs, best = results[0]
-        print(f"best tune: {best} (step_ms={best_secs * 1e3:.2f})")
+        results = []  # (imgs_per_sec, batch, tune)
+        for bsz in (self.batches or [self.batch]):
+            self.batch = bsz
+            pipe = _load_pipe(self)
+            d = pipe.get_data_img_dims()
+            x = (np.random.RandomState(0).randn(*d.shape) * 0.1
+                 ).astype(np.float32)
+            fl, _ = pipe.total_flops_and_bytes()
+            for ts in (self.tunes or self.DEFAULT_TUNES):
+                plan = lower_pipe(pipe, make_op_tune(ts), fused_storage=True)
+                fwd = build_fused_forward(plan)
+                weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+                secs, _c = chained_net_secs(fwd, weights, x, self.iters,
+                                            reps=self.reps)
+                ips = d["img"] / secs
+                results.append((ips, bsz, ts))
+                print(f"b{bsz} tune {ts}: step_ms={secs * 1e3:.2f} "
+                      f"imgs_per_sec={ips:.1f} "
+                      f"tflops={fl / secs / 1e12:.1f}", flush=True)
+        results.sort(key=lambda r: -r[0])
+        best_ips, best_b, best = results[0]
+        print(f"best: batch={best_b} tune={best} "
+              f"(imgs_per_sec={best_ips:.1f})")
         if self.wisdom_out_fn:
             with open(self.out_path(self.wisdom_out_fn), "w") as f:
-                f.write(f"(model={self.model},tune={best})\n")
+                f.write(f"(model={self.model},batch={best_b},tune={best})\n")
 
 
 @mode("cnet_bench", help="slope-timed whole-net throughput benchmark")
