@@ -22,59 +22,52 @@ from __future__ import annotations
 import json
 import time
 
-_PEAKS = {
-    ("TPU v5 lite", "bf16"): 197e12,
-    ("TPU v5 lite", "f32"): 49e12,
-    ("TPU v5p", "bf16"): 459e12,
-}
-
-
-def peak_flops(device_kind: str, prec: str) -> float:
-    for (kind, p), v in _PEAKS.items():
-        if device_kind.startswith(kind) and p == prec:
-            return v
-    return 197e12 if prec == "bf16" else 49e12
+from boda_tpu.core.machine import peak_flops  # single definition site
 
 
 def _preflight(budget_s: float = 600.0) -> None:
     """The axon tunnel sporadically wedges for tens of minutes (CLAUDE.md);
-    probe with a tiny matmul in a worker thread and wait out a wedge
-    (bounded) before queueing the big compile, so a transient stall
-    doesn't produce a garbage benchmark record."""
+    probe with a tiny matmul in ONE worker thread and wait out a wedge
+    (bounded) before queueing the big compile. A single probe thread is
+    re-joined each round — spawning a fresh probe per interval would stack
+    concurrent requests against the serialized tunnel (ADVICE r2)."""
     import sys
     import threading
     import time
 
-    import jax
     import jax.numpy as jnp
 
+    ok = threading.Event()
+
+    def probe():
+        try:
+            x = jnp.ones((256, 256), jnp.bfloat16)
+            float((x @ x).sum())
+            ok.set()
+        except Exception:
+            pass
+
+    th = threading.Thread(target=probe, daemon=True)
+    t0 = time.perf_counter()
+    th.start()
     t_end = time.time() + budget_s
     while True:
-        ok = threading.Event()
-
-        def probe():
-            try:
-                x = jnp.ones((256, 256), jnp.bfloat16)
-                float((x @ x).sum())
-                ok.set()
-            except Exception:
-                pass
-
-        th = threading.Thread(target=probe, daemon=True)
-        t0 = time.perf_counter()
-        th.start()
-        th.join(timeout=min(120.0, max(10.0, t_end - time.time())))
+        th.join(timeout=min(30.0, max(1.0, t_end - time.time())))
         if ok.is_set():
             dt = time.perf_counter() - t0
             if dt > 30:
-                print(f"# preflight: tunnel slow ({dt:.0f}s probe)", file=sys.stderr, flush=True)
+                print(f"# preflight: tunnel slow ({dt:.0f}s probe)",
+                      file=sys.stderr, flush=True)
+            return
+        if not th.is_alive():
+            print("# preflight: probe errored; proceeding anyway",
+                  file=sys.stderr, flush=True)
             return
         if time.time() >= t_end:
             print("# preflight: tunnel still wedged after budget; "
                   "proceeding anyway", file=sys.stderr, flush=True)
             return
         print("# preflight: tunnel wedged; waiting...", file=sys.stderr, flush=True)
-        time.sleep(30)
 
 
 def main() -> None:

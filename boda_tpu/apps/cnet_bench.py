@@ -17,18 +17,7 @@ from ..core.has_main import mode
 from ..graph.modes import _NetMode
 from ..ops.cnn_variants import OpTune
 
-_PEAKS = {  # per-dtype MXU peaks by device-kind prefix
-    ("TPU v5 lite", "bf16"): 197e12,
-    ("TPU v5 lite", "f32"): 49e12,
-    ("TPU v5p", "bf16"): 459e12,
-}
-
-
-def peak_flops(device_kind: str, prec: str) -> float:
-    for (kind, p), v in _PEAKS.items():
-        if device_kind.startswith(kind) and p == prec:
-            return v
-    return 197e12 if prec == "bf16" else 49e12
+from ..core.machine import peak_flops  # single definition site (core/machine.py)
 
 
 def chained_net_secs(fwd, weights, x, iters: int, n1: int = 0, reps: int = 3):

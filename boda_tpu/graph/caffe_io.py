@@ -315,7 +315,17 @@ def copy_matching_layer_blobs_to_pipe(pipe: ConvPipe,
             if strict:
                 raise RtErr(f"no weights for layer '{cname}' in caffemodel")
             continue
-        w = blobs[0].v.reshape(fnode.dims.shape) if fnode.dims is not None else blobs[0].v
+        w = blobs[0].v
+        if fnode.dims is not None:
+            if op.type == "Deconvolution":
+                # caffe stores deconv weights physically (in_chan, out_chan,
+                # ky, kx) — the gradient-of-conv convention (caffepb.cc:219);
+                # the pipe convention is (out_chan, in_chan, y, x) with
+                # out_chan = num_output, so transpose at copy time
+                oc, ic, ky, kx = fnode.dims.shape
+                w = w.reshape(ic, oc, ky, kx).transpose(1, 0, 2, 3).copy()
+            else:
+                w = w.reshape(fnode.dims.shape)
         pipe.op_params[op.bots[1]] = NDA(fnode.dims or blobs[0].dims, w)
         if bnode is not None:
             if len(blobs) > 1:
@@ -504,10 +514,16 @@ def write_caffemodel(pipe: ConvPipe, path, name: str = "net") -> None:
             nda = pipe.op_params.get(bname)
             if nda is None:
                 continue
+            v, shape = nda.v, nda.dims.shape
+            if op.type == "Deconvolution" and bname == op.bots[1] and v.ndim == 4:
+                # write back in caffe's physical deconv layout
+                # (in_chan, out_chan, ky, kx) — inverse of the copy-in
+                v = v.transpose(1, 0, 2, 3)
+                shape = v.shape
             bb = bytearray()
             shp = bytearray()
-            shp += enc_field_packed_varints(_F.bs_dim, nda.dims.shape)
-            bb += enc_field_packed_floats(_F.b_data, nda.v.reshape(-1))
+            shp += enc_field_packed_varints(_F.bs_dim, shape)
+            bb += enc_field_packed_floats(_F.b_data, v.reshape(-1))
             bb += enc_field_bytes(_F.b_shape, bytes(shp))
             lb += enc_field_bytes(_F.l_blobs, bytes(bb))
         out += enc_field_bytes(_F.net_layer, bytes(lb))

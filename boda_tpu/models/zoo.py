@@ -56,6 +56,19 @@ class NetBuilder:
         self.pipe.add_op(ConvOp("ReLU", tag, [self.cur], [self.cur]))
         return self
 
+    def deconv(self, tag: str, out_chans: int, kern: int, stride: int = 1,
+               pad: int = 0, relu: bool = False, in_node: str = "") -> "NetBuilder":
+        """Transposed convolution (caffe Deconvolution; e.g. FCN upsampling)."""
+        src = in_node or self.cur
+        self.pipe.add_op(ConvOp("Deconvolution", tag,
+                                [src, f"{tag}_filts", f"{tag}_biases"],
+                                [tag], {"out_chans": out_chans, "kern_sz": (kern, kern),
+                                        "stride": (stride, stride), "in_pad": (pad, pad)}))
+        self.cur = tag
+        if relu:
+            self.relu(f"{tag}_relu")
+        return self
+
     def pool(self, tag: str, kern: int, stride: int, pad: int = 0,
              avg: bool = False, global_: bool = False) -> "NetBuilder":
         params = {"kern_sz": (0, 0) if global_ else (kern, kern),

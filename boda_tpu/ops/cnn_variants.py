@@ -110,6 +110,20 @@ _SIMPLE_TEMPLATE = {
 }
 
 
+def _set_or_pop_str(op: OpBase, key: str, val: str) -> None:
+    if val:
+        op.str_vals[key] = val
+    else:
+        op.str_vals.pop(key, None)
+
+
+def _set_or_pop_dims(op: OpBase, key: str, dims) -> None:
+    if dims is not None:
+        op.set_dims(key, dims)
+    else:
+        op.nda_vals.pop(key, None)
+
+
 def add_cnn_codegen_annotations(op: OpBase, tune: OpTune,
                                 op_tunes: Optional[dict[str, OpTune]] = None) -> None:
     """Select func_name (+ work dims / prec) for one op (reference:
@@ -129,7 +143,11 @@ def add_cnn_codegen_annotations(op: OpBase, tune: OpTune,
             # first-layer transform beats both hand and vendor paths on
             # TPU regardless of use_culibs (it lowers to an XLA conv)
             fn = "s2d_conv"
-        elif t.use_culibs or op.type == "Deconvolution":
+        elif op.type == "Deconvolution":
+            # real transposed-conv template (lhs_dilation); routing this to
+            # xla_conv would silently compute a plain conv
+            fn = "deconv"
+        elif t.use_culibs:
             fn = "xla_conv"
         elif t.ipconv and fd["y"] == ind["y"] and fd["x"] == ind["x"] \
                 and op.get_dims("out")["y"] == 1 and op.get_dims("out")["x"] == 1 \
@@ -152,26 +170,30 @@ def add_cnn_codegen_annotations(op: OpBase, tune: OpTune,
         else:
             fn = "xla_conv"
         op.set_func_name(fn)
-        if t.Mb or t.Nb or t.Kb:
-            op.set_dims("work", Dims.make(tn="none", Mb=t.Mb, Nb=t.Nb, Kb=t.Kb))
-        if t.prec:
-            op.str_vals["prec"] = t.prec
-        if t.layout:
-            op.str_vals["layout"] = t.layout
+        # unconditionally assign OR clear every tune-derived annotation so
+        # re-annotating the same op graph with a different tune can't
+        # inherit stale values (order-dependent sweep results otherwise —
+        # cnet_tune re-lowers one pipe per tune record)
+        _set_or_pop_dims(op, "work",
+                         Dims.make(tn="none", Mb=t.Mb, Nb=t.Nb, Kb=t.Kb)
+                         if (t.Mb or t.Nb or t.Kb) else None)
+        _set_or_pop_str(op, "prec", t.prec)
+        _set_or_pop_str(op, "layout", t.layout)
         if t.quant8 and fn == "xla_conv" and op.get_dims("filts")["in_chan"] >= 16:
             # int8 execution for the MXU-heavy convs; thin-channel stems
             # stay in float (their error dominates, their flops don't)
             op.set_u32("quant8", 1)
+        else:
+            op.nda_vals.pop("quant8", None)
     elif op.type == "InnerProduct":
         op.set_func_name("ipconv" if t.ipconv else "xla_conv")
-        if t.prec:
-            op.str_vals["prec"] = t.prec
+        _set_or_pop_str(op, "prec", t.prec)
     else:
         fn = _SIMPLE_TEMPLATE.get(op.type)
         if fn is not None:
             op.set_func_name(fn)
-        if t.layout and op.type in ("Pooling", "LRN"):
-            op.str_vals["layout"] = t.layout
+        if op.type in ("Pooling", "LRN"):
+            _set_or_pop_str(op, "layout", t.layout)
 
 
 def add_codegen_annotations(op: OpBase, tune: OpTune) -> None:
@@ -183,9 +205,9 @@ def add_codegen_annotations(op: OpBase, tune: OpTune) -> None:
                 op.set_func_name("sgemm_int8")
             else:
                 op.set_func_name("xla_sgemm" if tune.use_culibs else "sgemm")
-        if tune.Mb or tune.Nb or tune.Kb:
-            op.set_dims("work", Dims.make(tn="none", Mb=tune.Mb, Nb=tune.Nb, Kb=tune.Kb))
-        if tune.prec:
-            op.str_vals["prec"] = tune.prec
+        _set_or_pop_dims(op, "work",
+                         Dims.make(tn="none", Mb=tune.Mb, Nb=tune.Nb, Kb=tune.Kb)
+                         if (tune.Mb or tune.Nb or tune.Kb) else None)
+        _set_or_pop_str(op, "prec", tune.prec)
     else:
         add_cnn_codegen_annotations(op, tune)

@@ -29,16 +29,10 @@ def op_bytes(rfs) -> int:
 
 
 def default_peak_flops(prec: str = "bf16") -> float:
-    try:
-        import jax
-        kind = jax.devices()[0].device_kind
-    except Exception:
-        kind = ""
-    if kind.startswith("TPU v5 lite"):
-        return 197e12 if prec == "bf16" else 49e12
-    if "TPU" in kind:
-        return 197e12
-    return 1e12  # CPU-ish fallback
+    # single definition site: core/machine.py
+    from ..core.machine import current_device_kind, peak_flops
+    return peak_flops(current_device_kind(), prec if prec in
+                      ("bf16", "f32", "int8") else "f32")
 
 
 @mode("cnn_op_info", help="per-op flops/AI/roofline report (+optional run)")

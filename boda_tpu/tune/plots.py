@@ -36,7 +36,10 @@ class RooflinePlot(HasMain):
     out_fn = Attr(str, req=True, help="output PNG")
     op_tune = Attr(OpTune, default="()")
     peak_flops = Attr(float, default=0.0)
-    hbm_gbps = Attr(float, default=819.0, help="HBM bandwidth (v5e ~819 GB/s)")
+    hbm_gbps = Attr(float, default=0.0,
+                    help="HBM bandwidth GB/s (0=auto from core/machine.py: "
+                         "the MEASURED streaming rate, ~1400 on this chip, "
+                         "not the 819 v5e spec)")
     run = Attr(bool, default=False, help="run ops to place achieved points "
                                          "(else plot AI positions on the roof)")
     run_iter = Attr(int, default=5)
@@ -47,7 +50,11 @@ class RooflinePlot(HasMain):
         plt = _plt()
         ops = read_op_sigs(self.ops_fn)
         peak = self.peak_flops or default_peak_flops(self.op_tune.prec or "bf16")
-        bw = self.hbm_gbps * 1e9
+        if self.hbm_gbps:
+            bw = self.hbm_gbps * 1e9
+        else:
+            from ..core.machine import machine_model
+            bw = machine_model(prec=self.op_tune.prec or "bf16").hbm_bw
         ais, gfs, labels = [], [], []
         cg = None
         if self.run:
@@ -74,7 +81,7 @@ class RooflinePlot(HasMain):
         fig, ax = plt.subplots(figsize=(7, 5))
         x = np.logspace(-2, 4, 200)
         ax.plot(x, np.minimum(peak, x * bw) / 1e9, "k-", lw=1.5,
-                label=f"roof: {peak/1e12:.0f} TF/s, {self.hbm_gbps:.0f} GB/s")
+                label=f"roof: {peak/1e12:.0f} TF/s, {bw/1e9:.0f} GB/s")
         ax.plot(ais, gfs, "o", ms=6, alpha=0.7)
         for ai, gf, lb in zip(ais, gfs, labels):
             ax.annotate(lb, (ai, gf), fontsize=6, alpha=0.6)
