@@ -191,8 +191,11 @@ def _init_config(cls: Type[Config], l: Lexp, parent: Optional[NameValScope]) -> 
             if a.req:
                 raise RtErr(f"missing required value for '{name}' of {concrete.__name__}")
             dv = None if a.default in (_NO_DEFAULT, _REQUIRED) else a.default
-            if isinstance(dv, str) and a.ty is not str:
-                # string default for a non-str field: parse like a lexp value
+            if isinstance(dv, str) and (a.ty is not str or "%(" in dv):
+                # string default for a non-str field: parse like a lexp
+                # value; str defaults with %(var) refs interpolate against
+                # the scope chain (a literal '%(boda_test_dir)' path once
+                # silently created a directory of that name)
                 setattr(obj, name, _coerce(a.ty, parse_lexp(dv) if dv.startswith("(")
                                            else Lexp.leaf(dv), scope, name))
             else:

@@ -41,17 +41,19 @@ class Bwai(KernelTemplate):
     def build(cls, rfs: OpBase):
         import jax.numpy as jnp
         op, a, b = cls._params(rfs)
-        n = rfs.get_dims("in")["n"]
+        n_out = rfs.get_dims("out")["n"]
         if op == "copy":
             return lambda x: x + 0  # materialized copy (not aliased)
         if op == "scale":
             return lambda x: x * x.dtype.type(a) + x.dtype.type(b)
         if op == "read":
-            # out is full-size but only [0] is meaningful; the sum consumes
-            # every element so XLA cannot dead-code the read
+            # out is TINY (op files use n=8): a full-size output would
+            # write n elements back and double the 'read-only' traffic
+            # (ADVICE r2). The sum consumes every element so XLA cannot
+            # dead-code the read.
             def fn(x):
                 s = jnp.sum(x.astype(jnp.float32)).astype(x.dtype)
-                return jnp.zeros((n,), x.dtype).at[0].set(s)
+                return jnp.zeros((n_out,), x.dtype).at[0].set(s)
             return fn
         raise ValueError(f"bwai: unknown bw_op '{op}'")
 
@@ -63,7 +65,7 @@ class Bwai(KernelTemplate):
             return x.copy()
         if op == "scale":
             return (x * x.dtype.type(a) + x.dtype.type(b)).astype(x.dtype)
-        out = np.zeros_like(x)
+        out = np.zeros(rfs.get_dims("out")["n"], x.dtype)
         out[0] = x.astype(np.float64).sum().astype(x.dtype)
         return out
 
@@ -79,4 +81,7 @@ class Bwai(KernelTemplate):
         d = rfs.get_dims("in")
         isz = np.dtype(d.dtype).itemsize
         n = d["n"]
-        return n * isz if op == "read" else 2 * n * isz
+        if op == "read":
+            od = rfs.get_dims("out")
+            return n * isz + od["n"] * np.dtype(od.dtype).itemsize
+        return 2 * n * isz

@@ -89,7 +89,8 @@ def _dir_diff(got: Path, want: Path, ignore_pat=None) -> list[str]:
 class TestCmds(HasMain):
     cmds_fn = Attr(str, req=True, help="test spec file: one lexp per line "
                    "(test_name=...,cmd=(...),err=...,needs=...,slow=0)")
-    good_tr_dir = Attr(str, default="%(boda_test_dir)/good_tr")
+    good_tr_dir = Attr(str, default="%(boda_test_dir)/../good_tr",
+                       help="known-good archives (shipped: tests/good_tr)")
     run_slow = Attr(bool, default=False)
     update_failing = Attr(bool, default=False,
                           help="re-archive failing tests' outputs as known-good")

@@ -139,19 +139,87 @@ def _chained_secs(fn, in_vals, iters: int) -> float:
     return s
 
 
+def _op_mnk(op: OpBase):
+    """Derive the matmul-shaped (M, N, K) of an op sig, or None."""
+    t = op.type
+    try:
+        if t == "sgemm":
+            ad, bd = op.get_dims("a"), op.get_dims("b")
+            return ad["M"], bd["N"], ad["K"]
+        if t in ("Convolution", "Deconvolution"):
+            fd, outd = op.get_dims("filts"), op.get_dims("out")
+            return (outd["img"] * outd["y"] * outd["x"], fd["out_chan"],
+                    fd["in_chan"] * fd["y"] * fd["x"])
+        if t == "InnerProduct":
+            ind, fd = op.get_dims("in"), op.get_dims("filts")
+            return (ind["img"], fd["out_chan"],
+                    fd["in_chan"] * fd.get("y", 1) * fd.get("x", 1))
+    except RtErr:
+        pass
+    return None
+
+
+def _clip_blocks(dim: int, opts: tuple[int, ...]) -> list[int]:
+    """Keep MXU-aligned block candidates that don't exceed the (lane-padded)
+    problem dim — sweeping a 512-wide block over a 64-wide dim is waste."""
+    lim = max(dim, 128)
+    return [0] + [v for v in opts if v <= lim]
+
+
 def auto_sweep_tunes(op: OpBase, max_tunes: int) -> list[tuple[str, OpTune]]:
-    """Generate MXU-aligned candidate tunes for matmul-shaped ops."""
-    cands = []
+    """Generate candidate tunes FROM the op's shape (the gbt_tile role,
+    gbt_tile.H:12-68: the reference derived its sweep space from the op's
+    M×N work dims rather than a fixed grid). Matmul-shaped ops sweep
+    MXU-aligned M/N/K blocks clipped to the problem size; stride-1 convs
+    additionally sweep tconv band shapes (work.Mb→TY rows, work.Nb→OCb)
+    derived from oy/out_chan; everything sweeps precision."""
+    cands: list[tuple[str, OpTune]] = []
+    seen: set = set()
+
+    def add(*parts: str) -> None:
+        spec = "(" + ",".join(p for p in parts if p) + ")"
+        if spec not in seen and len(cands) < max_tunes:
+            seen.add(spec)
+            cands.append((f"sweep{len(cands)}:{spec}", make_op_tune(spec)))
+
+    mnk = _op_mnk(op)
+    if mnk is None:
+        for prec in ("", "bf16"):
+            add(f"prec={prec}" if prec else "")
+        return cands
+    M, N, K = mnk
+    is_conv = op.type in ("Convolution", "Deconvolution")
+    tconv_ok = False
+    ty_cands: list[int] = []
+    if is_conv:
+        st = op.get_dims_or_none("stride")
+        fd = op.get_dims("filts")
+        outd = op.get_dims("out")
+        sy, sx = (st["y"], st["x"]) if st else (1, 1)
+        tconv_ok = (op.type == "Convolution" and sy == 1 and sx == 1
+                    and fd["y"] <= 11 and fd["x"] <= 11)
+        if tconv_ok:
+            oy = outd["y"]
+            # band heights: whole-plane, halves, and a small fallback —
+            # from the op's own output geometry
+            ty_cands = sorted({oy, max(1, oy // 2), max(1, oy // 4),
+                               min(oy, 4)}, reverse=True)
     for prec in ("", "bf16"):
-        for Mb in (0, 256, 512):
-            for Kb in (0, 512, 2048):
-                spec = "(" + ",".join(
-                    ([f"Mb={Mb},Nb={Mb}"] if Mb else [])
-                    + ([f"Kb={Kb}"] if Kb else [])
-                    + ([f"prec={prec}"] if prec else [])) + ")"
-                cands.append((f"sweep{len(cands)}:{spec}", make_op_tune(spec)))
-                if len(cands) >= max_tunes:
-                    return cands
+        p = f"prec={prec}" if prec else ""
+        add(p)                                   # solver defaults
+        if is_conv:
+            add("use_culibs=1", p)               # vendor baseline point
+        for Mb in _clip_blocks(M, (256, 512, 1024)):
+            for Kb in _clip_blocks(K, (512, 2048)):
+                if Mb or Kb:
+                    add(f"Mb={Mb},Nb={min(max(N, 128), 512)}" if Mb else "",
+                        f"Kb={Kb}" if Kb else "", p)
+        if tconv_ok:
+            for ty in ty_cands:
+                for ocb in _clip_blocks(N, (128, 256))[1:]:
+                    add("tconv=1", f"Mb={ty},Nb={ocb}", p)
+        if len(cands) >= max_tunes:
+            break
     return cands
 
 

@@ -12,7 +12,8 @@ from boda_tpu.ops.registry import get_template
 def _op(bw_op, n=4096, tn="float"):
     op = OpBase({"type": "bwai", "func_name": "bwai", "bw_op": bw_op})
     op.set_dims("in", Dims.make(tn=tn, n=n))
-    op.set_dims("out", Dims.make(tn=tn, n=n))
+    # read's output is tiny so the probe stays read-only (ADVICE r2)
+    op.set_dims("out", Dims.make(tn=tn, n=8 if bw_op == "read" else n))
     return op
 
 
@@ -25,7 +26,8 @@ def test_bwai_build_matches_ref(bw_op):
     got = np.asarray(fn(x))
     want = tmpl.ref_impl(rfs, x)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
-    assert tmpl.bytes_accessed(rfs) == (4096 * 4 if bw_op == "read" else 2 * 4096 * 4)
+    assert tmpl.bytes_accessed(rfs) == (
+        4096 * 4 + 8 * 4 if bw_op == "read" else 2 * 4096 * 4)
     assert tmpl.flops(rfs) == {"copy": 0, "scale": 2 * 4096, "read": 4096}[bw_op]
 
 

