@@ -834,6 +834,157 @@ class HashCheck(DataStream):
             ("recorded" if self.write else "verified")
 
 
+# ---------------- cross-process stages ----------------
+# Reference: the multi-process image-pipeline pattern of cap_app.cc:26-253
+# (cs_disp / proc_ipc / display_ipc): frames flowing between processes over
+# the stream_util transport. Here the same capability is two ordinary
+# data-stream stages over parallel/transport (so ANY stage pipeline can
+# span processes), plus a fork/exec-self spawn path (stream-src spawn=...)
+# mirroring the reference's worker launch.
+
+def _pack_block(db: DataBlock) -> bytes:
+    """DataBlock -> one self-describing binary blob (recursive): a lexp
+    header + length-prefixed NDA bwrite payloads + child blobs."""
+    import struct
+
+    from ..core.lexp import Lexp
+    h = Lexp.empty_list()
+    if db.tag:
+        h.add_key_val("tag", db.tag)
+    if db.meta:
+        h.add_key_val("meta", db.meta)
+    if db.frame_ix is not None:
+        h.add_key_val("frame_ix", str(db.frame_ix))
+    if db.timestamp_ns is not None:
+        h.add_key_val("ts", str(db.timestamp_ns))
+    h.add_key_val("has_nda", "1" if db.nda is not None else "0")
+    h.add_key_val("nsub", str(db.num_subblocks()))
+    if db.named:
+        h.add_key_val("nnamed", str(len(db.named)))
+    hb = str(h).encode()
+    out = bytearray(struct.pack("<I", len(hb)) + hb)
+    if db.nda is not None:
+        nb = db.nda.bwrite()
+        out += struct.pack("<I", len(nb)) + nb
+    for sb in (db.subblocks or []):
+        b = _pack_block(sb)
+        out += struct.pack("<I", len(b)) + b
+    for k in sorted(db.named or {}):
+        b = _pack_block(db.named[k])
+        out += struct.pack("<I", len(b)) + b
+    return bytes(out)
+
+
+def _unpack_block(buf: bytes, off: int = 0) -> tuple[DataBlock, int]:
+    import struct
+
+    from ..core.lexp import parse_lexp
+    (hn,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    h = parse_lexp(buf[off:off + hn].decode())
+    h.deep_inc_use_cnt()
+    off += hn
+    g = lambda k: (h.get_kid(k).leaf_val if h.get_kid(k) is not None else None)
+    db = DataBlock(tag=g("tag") or "", meta=g("meta") or "",
+                   frame_ix=int(g("frame_ix")) if g("frame_ix") else None,
+                   timestamp_ns=int(g("ts")) if g("ts") else None)
+    if g("has_nda") == "1":
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        db.nda, _ = NDA.bread(buf[off:off + n])
+        off += n
+    for _ in range(int(g("nsub") or 0)):
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        sb, _ = _unpack_block(buf[off:off + n])
+        off += n
+        db.ensure_has_subblocks()
+        db.subblocks.append(sb)
+    for _ in range(int(g("nnamed") or 0)):
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        sb, _ = _unpack_block(buf[off:off + n])
+        off += n
+        db.set_sdb(sb)
+    return db, off
+
+
+@register(DataStream, "stream-sink",
+          help="send blocks to another process over a framed byte stream")
+class StreamSink(DataStream):
+    addr = Attr(str, req=True, help="transport address (fds:/fns:/tcp:/"
+                                    "tcp-listen:)")
+    listen = Attr(bool, default=False, help="act as the transport server")
+
+    def data_stream_init(self):
+        from ..parallel.transport import make_stream
+        self._st = make_stream(self.addr, is_server=self.listen)
+        self._eos_sent = False
+
+    def proc_block(self, db: DataBlock) -> DataBlock:
+        if not db.valid():
+            if not self._eos_sent:
+                self._st.write_frame(b"")  # EOS sentinel
+                self._eos_sent = True
+            return db
+        self._st.write_frame(_pack_block(db))
+        return db
+
+    def get_pos_info_str(self) -> str:
+        return f"stream-sink[{self.addr}]"
+
+
+@register(DataStream, "stream-src",
+          help="receive blocks from another process over a framed byte stream")
+class StreamSrc(DataStream):
+    addr = Attr(str, default="", help="transport address to connect/listen "
+                                      "(unused when spawn= is given)")
+    listen = Attr(bool, default=False, help="act as the transport server")
+    spawn = Attr(str, default="",
+                 help="lexp spec of a producer data-stream: fork/exec self "
+                      "running scan_data_stream with a stream-sink over an "
+                      "inherited socketpair (the cap_app proc_ipc pattern)")
+
+    def data_stream_init(self):
+        from ..parallel.transport import Stream, make_stream
+        self._proc = None
+        if self.spawn:
+            import socket
+            import subprocess
+            import sys
+            par, chi = socket.socketpair()
+            chi_fd = chi.fileno()
+            spec = (f"(mode=pipe,stages=(_0={self.spawn},"
+                    f"_1=(mode=stream-sink,addr=fds:{chi_fd}:{chi_fd})))")
+            cmd = [sys.executable, "-m", "boda_tpu", "scan_data_stream",
+                   f"--stream={spec}", "--verbose=0"]
+            self._proc = subprocess.Popen(cmd, pass_fds=(chi_fd,),
+                                          stdout=subprocess.DEVNULL)
+            chi.close()
+            self._st = Stream(sock=par)
+        else:
+            if not self.addr:
+                raise RtErr("stream-src: need addr= or spawn=")
+            self._st = make_stream(self.addr, is_server=self.listen)
+        self._done = False
+
+    def proc_block(self, db: DataBlock) -> DataBlock:
+        if self._done:
+            return DataBlock()
+        buf = self._st.read_frame()
+        if not buf:  # EOS sentinel
+            self._done = True
+            if self._proc is not None:
+                self._proc.wait(60)
+            return DataBlock()
+        blk, _ = _unpack_block(buf)
+        return blk
+
+    def get_pos_info_str(self) -> str:
+        src = "spawn" if self.spawn else self.addr
+        return f"stream-src[{src}]"
+
+
 @register(DataStream, "img-dir-src",
           help="image blocks from files in a directory (sorted)")
 class ImgDirSrc(DataStream):
