@@ -985,6 +985,124 @@ class StreamSrc(DataStream):
         return f"stream-src[{src}]"
 
 
+# ---------------- mxnet brick (RecordIO) ----------------
+# Reference: data-stream-mxnet.cc (mxnet-brick-src :25-113, -sink :118-159).
+# Record framing: u32 magic 0xced7230a, u32 lrec = len | cflag<<29, payload,
+# zero-pad to 4 bytes. Payloads containing the magic are split at each
+# (4-aligned) occurrence into chunks chained by cflag (0=whole, 1=first,
+# 2=middle, 3=last) and rejoined with the magic on read.
+
+_MX_MAGIC = 0xCED7230A
+_MX_MAX_REC = 1 << 29
+
+
+@register(DataStream, "mxnet-brick-src",
+          help="read records from an mxnet brick (RecordIO) file")
+class MxnetBrickSrc(DataStream):
+    fn = Attr(str, req=True, help="input .brick file")
+    skip_recs_after_cnt = Attr(int, default=0,
+                               help="drop this many records after each "
+                                    "returned one")
+
+    def data_stream_init(self):
+        self._buf = Path(resolve_stage_fn(self.fn)).read_bytes()
+        self._off = 0
+        self._ix = 0
+
+    def _read_chunk(self):
+        import struct
+        if self._off + 8 > len(self._buf):
+            raise RtErr(f"mxnet-brick-src: not at eof, but only "
+                        f"{len(self._buf) - self._off} bytes left for the "
+                        f"next record header")
+        magic, lrec = struct.unpack_from("<II", self._buf, self._off)
+        if magic != _MX_MAGIC:
+            raise RtErr(f"mxnet-brick-src: expected magic {_MX_MAGIC:#x}, "
+                        f"got {magic:#x}")
+        self._off += 8
+        cflag, ln = lrec >> 29, lrec & (_MX_MAX_REC - 1)
+        payload = self._buf[self._off:self._off + ln]
+        self._off += ln + (-ln % 4)  # consume padding to 4-byte alignment
+        return cflag, payload
+
+    def _read_record(self) -> bytes:
+        import struct
+        parts = []
+        while True:
+            cflag, payload = self._read_chunk()
+            parts.append(payload)
+            if cflag in (0, 1):
+                if len(parts) != 1:
+                    raise RtErr("mxnet-brick-src: expected cflag 2/3 in "
+                                f"continuation of split record, saw {cflag}")
+                if cflag == 0:
+                    break
+            else:
+                if len(parts) == 1:
+                    raise RtErr("mxnet-brick-src: expected cflag 0/1 at "
+                                f"record start, saw {cflag}")
+                if cflag == 3:
+                    break
+        # split records rejoin with the magic value between parts
+        return struct.pack("<I", _MX_MAGIC).join(parts)
+
+    def proc_block(self, db: DataBlock) -> DataBlock:
+        if self._off >= len(self._buf):
+            return DataBlock()
+        rec = self._read_record()
+        nda = NDA(Dims.make(tn="uint8_t", v=len(rec)),
+                  np.frombuffer(rec, np.uint8).copy())
+        out = DataBlock(nda=nda, tag="mxnet-brick", frame_ix=self._ix,
+                        timestamp_ns=self._off)
+        self._ix += 1
+        for _ in range(self.skip_recs_after_cnt):
+            if self._off < len(self._buf):
+                self._read_record()
+        return out
+
+    def get_pos_info_str(self) -> str:
+        return f"mxnet-brick-src: {self._ix} recs, byte {self._off}/{len(self._buf)}"
+
+
+@register(DataStream, "mxnet-brick-sink",
+          help="write blocks as records into an mxnet brick (RecordIO) file")
+class MxnetBrickSink(DataStream):
+    fn = Attr(str, default="out.brick", help="output brick filename")
+
+    def data_stream_init(self):
+        self._f = open(resolve_stage_fn(self.fn), "wb")
+        self._n = 0
+
+    def _write_chunk(self, cflag: int, payload: bytes) -> None:
+        import struct
+        self._f.write(struct.pack("<II", _MX_MAGIC,
+                                  len(payload) | (cflag << 29)))
+        self._f.write(payload)
+
+    def proc_block(self, db: DataBlock) -> DataBlock:
+        import struct
+        if not db.valid():
+            self._f.flush()
+            return db
+        data = db.nda.v.tobytes() if db.nda is not None else b""
+        if len(data) >= _MX_MAX_REC:
+            raise RtErr(f"mxnet-brick-sink: record too big ({len(data)})")
+        # split the payload at every 4-aligned occurrence of the magic
+        splits = [i << 2 for i in range(len(data) >> 2)
+                  if struct.unpack_from("<I", data, i << 2)[0] == _MX_MAGIC]
+        spos, cflag_next, cflag_final = 0, 1, 0
+        for ipos in splits:
+            self._write_chunk(cflag_next, data[spos:ipos])
+            spos, cflag_next, cflag_final = ipos + 4, 2, 3
+        self._write_chunk(cflag_final, data[spos:])
+        self._f.write(b"\0" * (-len(data) % 4))
+        self._n += 1
+        return db
+
+    def get_pos_info_str(self) -> str:
+        return f"mxnet-brick-sink: wrote {self._n} recs"
+
+
 @register(DataStream, "img-dir-src",
           help="image blocks from files in a directory (sorted)")
 class ImgDirSrc(DataStream):
