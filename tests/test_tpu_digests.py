@@ -1,0 +1,69 @@
+"""TPU-side known-good digests (VERDICT r2 #6): the entire golden corpus
+pins CPU numerics only — a TPU lowering regression (e.g. a precision
+default change) would pass CI. These tests compare the CPU engines against
+per-layer digest streams RECORDED ON THE REAL CHIP (archived under
+tests/data/tpu_digests/), within the §4.8 tolerance schema.
+
+Recording procedure (run on the TPU, then archive digest-rtc.boda):
+  python -m boda_tpu test_compute_multi --model=<m> --batch=1 --all-vars=1 \
+      --engines='(rtc=(engine=rtc,keep_all_nodes=1))' \
+      --boda-output-dir=tests/data/tpu_digests/<m>
+(reference analog: the caffe-produced kg_digests_fn flow,
+test_compute.cc:267-269 — GPU-vs-CPU correctness testable without the
+other engine installed.)
+"""
+
+from pathlib import Path
+
+import pytest
+
+from boda_tpu.core.dims import NDA
+from boda_tpu.engine.iface import make_engine
+from boda_tpu.models.zoo import build_model
+from boda_tpu.ops.pallas.gen_data import gen_test_nda
+from boda_tpu.testing.comp import comp_digests, read_digest_stream
+
+ARCHIVE = Path(__file__).parent / "data" / "tpu_digests"
+
+# §4.8 tolerance schema: cross-engine mrd_toler default 5e-4
+# (test_compute.cc:44-46); the TPU digests were recorded through the f32
+# xla path (HIGHEST precision) so the CPU engines must agree within it.
+MRD_TOLER = 5e-4
+
+
+def _nodes_to_get(pipe):
+    return [n for n, nd in pipe.nodes.items()
+            if nd.dims is not None and nd.top_for]
+
+
+def _run_all_nodes(model, engine_spec):
+    pipe = build_model(model, batch=1)
+    eng = make_engine(engine_spec)
+    eng.init(pipe)
+    d = pipe.get_data_img_dims()
+    blob = NDA(d, gen_test_nda(d, 0, 0.1))
+    return eng.run_fwd({pipe.data_img_node_names[0]: blob},
+                       _nodes_to_get(pipe))
+
+
+def _archived_models():
+    if not ARCHIVE.exists():
+        return []
+    return sorted(p.parent.name.split("@")[0] for p in
+                  ARCHIVE.glob("*/digest-rtc.boda"))
+
+
+@pytest.mark.parametrize("model", _archived_models() or ["<none-archived>"])
+def test_cpu_engines_match_tpu_digests(model):
+    if model == "<none-archived>":
+        pytest.skip("no TPU digest archives recorded yet")
+    kg = read_digest_stream(ARCHIVE / model / "digest-rtc.boda")
+    assert kg, "empty TPU digest archive"
+    for spec in ("(engine=rtc,keep_all_nodes=1)", "ref"):
+        outs = _run_all_nodes(model, spec)
+        # every archived node must exist and agree; nodes the CPU run
+        # produced beyond the archive are ignored (ignore_missing)
+        missing = [k for k in kg if k not in outs]
+        assert not missing, f"{spec}: nodes missing vs TPU archive: {missing}"
+        errs = comp_digests(outs, kg, MRD_TOLER, ignore_missing=True)
+        assert not errs, f"{spec} vs TPU digests: {errs[:5]}"
