@@ -129,8 +129,26 @@ class CnetBench(_NetMode):
                    help="tune record (default: shipped perf config)")
     wisdom_fn = Attr(str, default="", help="per-op wisdom overrides "
                      "(ops_prof output; sigs must match this batch)")
+    op_tunes_pat = Attr(dict[str, str], default=None,
+                        help="per-op tune overrides by TAG REGEX, e.g. "
+                             "(res2.*=(use_culibs=1,prec=bf16,layout=nhwc,"
+                             "quant8=1)) — selective-stage experiments")
     iters = Attr(int, default=30, help="long chain length")
     reps = Attr(int, default=3, help="slope repetitions (median)")
+
+    def _pat_tunes(self, pipe):
+        import re
+
+        from ..ops.cnn_variants import make_op_tune
+        out = {}
+        for pat, spec in self.op_tunes_pat.items():
+            rx = re.compile(pat)
+            t = make_op_tune(spec)
+            for op in pipe.ops.values():
+                if rx.fullmatch(op.tag):
+                    out[op.tag] = t
+        print(f"op_tunes_pat: tuned {len(out)} op(s)", flush=True)
+        return out or None
 
     def _wisdom_tunes(self, pipe):
         from ..backend.iface import make_backend
@@ -161,6 +179,8 @@ class CnetBench(_NetMode):
         enable_compilation_cache()
         pipe = _load_pipe(self)
         op_tunes = self._wisdom_tunes(pipe) if self.wisdom_fn else None
+        if self.op_tunes_pat:
+            op_tunes = {**(op_tunes or {}), **(self._pat_tunes(pipe) or {})}
         plan = lower_pipe(pipe, self.op_tune, op_tunes=op_tunes,
                           fused_storage=True)
         fwd = build_fused_forward(plan)
