@@ -122,6 +122,124 @@ class CnetTune(_NetMode):
                 f.write(f"(model={self.model},batch={best_b},tune={best})\n")
 
 
+@mode("fusion_penalty",
+      help="measure per-op-site in-net penalty of wisdom overrides; "
+           "record @net times so wisdom picks in-net winners")
+class FusionPenalty(_NetMode):
+    """VERDICT r2 #2: ops_prof writes STANDALONE times into wisdom, but an
+    opaque pallas call inside the fused whole-net program breaks XLA's
+    cross-op fusion — standalone winners can lose in-net (measured r2:
+    wisdom-tuned 4.09 ms vs vendor 2.53 ms, resnet-50 b32). This mode
+    measures the truth: for each op site where the wisdom file's
+    standalone pick differs from the vendor base, lower the net with ONLY
+    that site overridden, slope-time the whole net, and record
+
+        in_net(op, tune)   = standalone_vendor(op) + (net_tune - net_vendor)
+        in_net(op, vendor) = standalone_vendor(op)
+
+    under the pseudo-platform `<plat>@net` (same wire format, merged into
+    the wisdom file). load_tune_index prefers @net runs, so subsequent
+    `rtc_fwd --wisdom-fn` / `cnet_bench --wisdom-fn` runs pick in-net
+    winners — or keep vendor, refusing the override with data."""
+
+    op_tune = Attr(OpTune,
+                   default="(use_culibs=1,prec=bf16,layout=nhwc,s2d=0)",
+                   help="vendor base tune")
+    wisdom_fn = Attr(str, req=True, help="wisdom file (ops_prof output)")
+    wisdom_out_fn = Attr(str, default="", help="write merged wisdom here "
+                         "(default: update wisdom_fn in place)")
+    iters = Attr(int, default=20)
+    reps = Attr(int, default=3)
+    max_sites = Attr(int, default=0, help="limit measured sites (0=all)")
+
+    def main(self):
+        import numpy as np
+
+        from ..backend.iface import make_backend
+        from ..backend.xla import enable_compilation_cache
+        from ..engine.lower import lower_pipe
+        from ..engine.rtc_fwd import build_fused_forward
+        from ..graph.modes import _load_pipe
+        from ..ops.cnn_variants import make_op_tune
+        from ..tune.wisdom import (NET_PLAT_SUFFIX, load_tune_index,
+                                   read_wisdom_file, wisdom_key,
+                                   write_wisdom_file)
+
+        enable_compilation_cache()
+        be = make_backend("xla")
+        be.init()
+        plat = be.get_plat_tag()
+        pipe = _load_pipe(self)
+        idx = load_tune_index(self.wisdom_fn, plat) or \
+            load_tune_index(self.wisdom_fn, "")
+        base_spec = str(self.op_tune.to_lexp())
+        # candidate sites: graph ops whose standalone-best tune != base
+        sites = []
+        for op in pipe.ops.values():
+            ts = idx.get(wisdom_key(op))
+            if ts is not None and ts != base_spec:
+                sites.append((op.tag, ts, op))
+        if self.max_sites:
+            sites = sites[:self.max_sites]
+        print(f"fusion_penalty: {len(sites)} candidate site(s) on {plat}",
+              flush=True)
+
+        d = pipe.get_data_img_dims()
+        x = (np.random.RandomState(0).randn(*d.shape) * 0.1).astype(np.float32)
+
+        def net_secs(op_tunes):
+            plan = lower_pipe(pipe, self.op_tune, op_tunes=op_tunes,
+                              fused_storage=True)
+            fwd = build_fused_forward(plan)
+            weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+            secs, _c = chained_net_secs(fwd, weights, x, self.iters,
+                                        reps=self.reps)
+            return secs
+
+        vendor_secs = net_secs(None)
+        print(f"vendor net: {vendor_secs * 1e3:.3f} ms", flush=True)
+
+        # standalone vendor per-op times from the wisdom file (base offset)
+        wis_in = read_wisdom_file(self.wisdom_fn)
+        standalone_vendor = {}
+        for w in wis_in:
+            tw = w.tunes.get(base_spec)
+            if tw:
+                s = tw.runs.get(plat) or min(
+                    (v for p, v in tw.runs.items()
+                     if not p.endswith(NET_PLAT_SUFFIX)), default=None)
+                if s:
+                    standalone_vendor[wisdom_key(w.op)] = s
+
+        # index the input wisdom records by wisdom_key so @net runs land in
+        # the SAME record ops_prof wrote (the graph op accumulates lowering
+        # annotations, so exact-sig merging would duplicate records)
+        wis_by_key = {wisdom_key(w.op): w for w in wis_in}
+        n_rec = 0
+        print(f"{'site':24s} {'tune':44s} {'net ms':>9s} {'delta us':>9s} verdict")
+        for tag, ts, op in sites:
+            s = net_secs({tag: make_op_tune(ts)})
+            delta = s - vendor_secs
+            key = wisdom_key(op)
+            base = standalone_vendor.get(key, 1e-6)
+            w = wis_by_key.get(key)
+            if w is None:  # shouldn't happen (site came from the index)
+                continue
+            w.tune(ts).add_run(plat + NET_PLAT_SUFFIX,
+                               max(1e-9, base + delta), keep_best=False)
+            w.tune(base_spec).add_run(plat + NET_PLAT_SUFFIX, base,
+                                      keep_best=False)
+            n_rec += 1
+            verdict = "WINS" if delta < 0 else "loses (vendor kept)"
+            print(f"{tag:24s} {ts:44.44s} {s * 1e3:9.3f} {delta * 1e6:9.1f} "
+                  f"{verdict}", flush=True)
+        out_fn = self.wisdom_out_fn or self.wisdom_fn
+        write_wisdom_file(self.out_path(out_fn) if self.wisdom_out_fn
+                          else out_fn, wis_in)
+        print(f"fusion_penalty: merged @net runs for {n_rec} site(s) "
+              f"-> {out_fn}")
+
+
 @mode("cnet_bench", help="slope-timed whole-net throughput benchmark")
 class CnetBench(_NetMode):
     op_tune = Attr(OpTune,

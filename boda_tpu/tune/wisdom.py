@@ -177,20 +177,39 @@ def wisdom_key(op: OpBase) -> str:
     return str(c.to_compact_lexp())
 
 
+NET_PLAT_SUFFIX = "@net"  # pseudo-platform tag for IN-NET times (see below)
+
+
 def load_tune_index(path, plat: str = "") -> dict[str, str]:
     """wisdom file → {wisdom_key: best tune spec} for a platform tag
-    (empty plat: best across all platforms)."""
+    (empty plat: best across all platforms).
+
+    In-net truth (VERDICT r2 #2): standalone per-op times can crown a
+    winner that LOSES inside the fused whole-net program (opaque pallas
+    calls break XLA's cross-op fusion). The fusion_penalty mode records
+    net-attributed times under the pseudo-platform `<plat>@net`; when any
+    tune of an op carries an in-net run for the requested platform, the
+    pick is made among in-net runs ONLY — wisdom refuses standalone
+    winners with data."""
     out: dict[str, str] = {}
     for w in read_wisdom_file(path):
         best = None
+        best_net = None
         for ts, tw in w.tunes.items():
             for p, secs in tw.runs.items():
-                if plat and p != plat:
-                    continue
                 if secs <= 0:
                     continue  # guard stored files w/ noise artifacts
-                if best is None or secs < best[1]:
-                    best = (ts, secs)
-        if best is not None:
-            out[wisdom_key(w.op)] = best[0]
+                if p.endswith(NET_PLAT_SUFFIX):
+                    if plat and p != plat + NET_PLAT_SUFFIX:
+                        continue
+                    if best_net is None or secs < best_net[1]:
+                        best_net = (ts, secs)
+                else:
+                    if plat and p != plat:
+                        continue
+                    if best is None or secs < best[1]:
+                        best = (ts, secs)
+        pick = best_net or best
+        if pick is not None:
+            out[wisdom_key(w.op)] = pick[0]
     return out
