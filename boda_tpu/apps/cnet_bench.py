@@ -240,6 +240,140 @@ class FusionPenalty(_NetMode):
               f"-> {out_fn}")
 
 
+@mode("cnet_stage_probe",
+      help="isolated per-stage slope-timed floors (ceiling-proof table)")
+class CnetStageProbe(_NetMode):
+    """VERDICT r2 #1: a quantitative ceiling proof for the headline net —
+    partition the lowered plan into stages by call-tag prefix, build each
+    stage as its own jitted segment (same storage-NHWC interior form as
+    the shipped program), slope-time each in isolation, and print the
+    floor table whose sum brackets the shipped whole-net step time."""
+
+    op_tune = Attr(OpTune,
+                   default="(use_culibs=1,prec=bf16,layout=nhwc,s2d=0)")
+    stages = Attr(str,
+                  default="stem:conv1,pool1|s2:res2|s3:res3|s4:res4|"
+                          "s5:res5|head:pool5,fc1000-conv,prob",
+                  help="stage spec: name:prefix[,prefix...]|... matched "
+                       "against step call tags in plan order")
+    iters = Attr(int, default=24)
+    reps = Attr(int, default=3)
+    whole_net = Attr(bool, default=True, help="also time the whole net")
+
+    def main(self):
+        import numpy as np
+
+        from ..backend.xla import enable_compilation_cache
+        from ..engine.lower import lower_pipe
+        from ..engine.rtc_fwd import build_fused_forward
+        from ..graph.modes import _load_pipe
+        from ..ops.registry import get_template
+        from ..tune.prof import _chained_secs
+
+        enable_compilation_cache()
+        pipe = _load_pipe(self)
+        plan = lower_pipe(pipe, self.op_tune, fused_storage=True)
+        groups = []
+        for part in self.stages.split("|"):
+            name, _, prefs = part.partition(":")
+            groups.append((name, tuple(p for p in prefs.split(",") if p)))
+
+        def group_of(tag):
+            for name, prefs in groups:
+                if any(tag.startswith(p) for p in prefs):
+                    return name
+            return None
+
+        segs: dict[str, list] = {name: [] for name, _ in groups}
+        for s in plan.steps:
+            g = group_of(s.call_tag)
+            if g is not None:
+                segs[g].append(s)
+
+        weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+        d = pipe.get_data_img_dims()
+        x0 = (np.random.RandomState(0).randn(*d.shape) * 0.1).astype(np.float32)
+        # run the whole net once (unjitted trace values are fine on CPU, but
+        # through the tunnel run jitted) to capture each stage's input value
+        import jax
+        whole = build_fused_forward(plan, keep_all_nodes=True)
+        all_vals = jax.jit(lambda i, w: whole(i, w))({"data": x0}, weights)
+
+        print(f"{'stage':8s} {'steps':>5s} {'ms':>9s} {'GF':>9s} {'TF/s':>7s}")
+        total = 0.0
+        rows = []
+        for name, _prefs in groups:
+            seg = segs[name]
+            if not seg:
+                continue
+            built = []
+            seg_weights = []
+            produced = set()
+            consumed = []
+            for s in seg:
+                tmpl = get_template(s.sig.func_name)
+                rfs = tmpl.check_args(s.sig)
+                built.append((tmpl.build(rfs), tmpl, s))
+                for an in tmpl.in_args() + tmpl.io_args():
+                    n = s.arg_nodes.get(an)
+                    if n is None or n in produced:
+                        continue
+                    if n in weights:
+                        if n not in seg_weights:
+                            seg_weights.append(n)
+                    else:
+                        if n not in consumed:
+                            consumed.append(n)
+                for an in tmpl.out_args() + tmpl.io_args():
+                    if an in s.arg_nodes:
+                        produced.add(s.arg_nodes[an])
+            in_node = consumed[0]
+            flops = sum(get_template(s.sig.func_name).flops(
+                get_template(s.sig.func_name).check_args(s.sig)) for s in seg)
+
+            def seg_fn(x, *ws, _built=built, _wn=tuple(seg_weights),
+                       _in=in_node, _cons=tuple(consumed)):
+                vals = dict(zip(_wn, ws))
+                vals[_in] = x
+                # extra non-primary inputs (shortcut edges from outside the
+                # segment shouldn't exist for whole stages; guard anyway)
+                for fn, tmpl, s in _built:
+                    ins = [vals[s.arg_nodes[an]]
+                           for an in tmpl.in_args() + tmpl.io_args()
+                           if an in s.arg_nodes]
+                    outs = fn(*ins)
+                    if not isinstance(outs, (tuple, list)):
+                        outs = (outs,)
+                    for an, ov in zip(tmpl.out_args() + tmpl.io_args(), outs):
+                        if an in s.arg_nodes:
+                            vals[s.arg_nodes[an]] = ov
+                return vals[[s.arg_nodes[an] for fn, tmpl, s in _built[::-1]
+                             for an in tmpl.out_args() + tmpl.io_args()
+                             if an in s.arg_nodes][0]]
+
+            # stage input in INTERIOR storage form: take it from the
+            # whole-net keep_all_nodes values, re-converting to storage
+            from ..engine.rtc_fwd import _storage_in
+            if in_node == "data":
+                xin = _storage_in(x0, plan)
+            else:
+                xin = _storage_in(np.asarray(all_vals[in_node]), plan)
+            ws = [weights[n] for n in seg_weights]
+            secs = _chained_secs(seg_fn, [xin] + ws, self.iters)
+            total += secs
+            tfs = flops / secs / 1e12 if secs > 0 else 0.0
+            rows.append((name, len(seg), secs, flops))
+            print(f"{name:8s} {len(seg):5d} {secs * 1e3:9.3f} "
+                  f"{flops / 1e9:9.2f} {tfs:7.1f}", flush=True)
+        print(f"{'SUM':8s} {'':5s} {total * 1e3:9.3f}")
+        if self.whole_net:
+            fwd = build_fused_forward(plan)
+            secs, _c = chained_net_secs(fwd, weights, x0, self.iters,
+                                        reps=self.reps)
+            print(f"{'WHOLE':8s} {'':5s} {secs * 1e3:9.3f}   "
+                  f"(isolated-sum / whole = {total / secs:.3f})")
+
+
 @mode("cnet_bench", help="slope-timed whole-net throughput benchmark")
 class CnetBench(_NetMode):
     op_tune = Attr(OpTune,
