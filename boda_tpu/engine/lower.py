@@ -104,6 +104,8 @@ def lower_pipe(pipe: ConvPipe, tune: Optional[OpTune] = None,
             steps += _lower_in_place(pipe, ip, train_dropout)
     if getattr(tune, "fuse_resblock", False):
         steps = _fuse_resblocks(steps, node_dims, set(output_nodes), tune)
+    if getattr(tune, "fuse_stem", False):
+        steps = _fuse_stem(steps, node_dims, set(output_nodes), tune)
     for s in steps:
         node_dims.update(s.temps)
     plan = Plan(steps, node_dims, input_nodes, weight_nodes, output_nodes)
@@ -129,6 +131,66 @@ def _apply_fused_storage(plan: Plan, tune) -> None:
             s.sig.str_vals["edge_prec"] = ep
     plan.storage_nhwc = True
     plan.edge_prec = ep
+
+
+def _fuse_stem(steps: list[Step], node_dims, outputs: set,
+               tune) -> list[Step]:
+    """Fuse [thin-channel conv s2 (+fused ReLU), maxpool s2] into one
+    `fused_stem` step (ops/pallas/stem.py) — the ResNet/VGG stem. The
+    conv activation (the net's largest tensor) then never touches HBM."""
+    uses: dict[str, int] = {}
+    for s in steps:
+        for node in s.arg_nodes.values():
+            uses[node] = uses.get(node, 0) + 1
+    out: list[Step] = []
+    i = 0
+    while i < len(steps):
+        ok = False
+        if i + 1 < len(steps):
+            s1, s2 = steps[i], steps[i + 1]
+            st = s1.sig.get_dims_or_none("stride")
+            pst = s2.sig.get_dims_or_none("stride")
+            ppd = s2.sig.get_dims_or_none("in_pad")
+            fdims = s1.sig.get_dims_or_none("filts")
+            ok = (s1.func_name in ("xla_conv", "s2d_conv", "conv")
+                  and s1.sig.get_u32_or("conv_has_relu", 0) == 1
+                  and st is not None and st["y"] == 2 and st["x"] == 2
+                  and fdims is not None and fdims["in_chan"] <= 4
+                  and s2.func_name == "pool"
+                  and s2.sig.str_vals.get("avg_pool") not in ("1",)
+                  and pst is not None and pst["y"] == 2 and pst["x"] == 2
+                  and (ppd is None or (ppd["y"] == 0 and ppd["x"] == 0))
+                  and s2.arg_nodes["in"] == s1.arg_nodes["out"]
+                  and uses.get(s1.arg_nodes["out"], 0) == 2
+                  and s1.arg_nodes["out"] not in outputs)
+        if ok:
+            s1, s2 = steps[i], steps[i + 1]
+            sig = OpBase({"type": "fused_stem", "func_name": "fused_stem"})
+            sig.set_dims("in", node_dims[s1.arg_nodes["in"]])
+            sig.set_dims("filts", node_dims[s1.arg_nodes["filts"]])
+            arg_nodes = {"in": s1.arg_nodes["in"],
+                         "filts": s1.arg_nodes["filts"],
+                         "out": s2.arg_nodes["out"]}
+            if "biases" in s1.arg_nodes:
+                sig.set_dims("biases", node_dims[s1.arg_nodes["biases"]])
+                arg_nodes["biases"] = s1.arg_nodes["biases"]
+            sig.set_dims("out", node_dims[s2.arg_nodes["out"]])
+            for k in ("in_pad", "stride", "kern_sz"):
+                if k in s1.sig.nda_vals:
+                    sig.nda_vals[k] = s1.sig.nda_vals[k]
+            sig.nda_vals["pool_kern"] = s2.sig.nda_vals["kern_sz"]
+            sig.nda_vals["pool_stride"] = s2.sig.nda_vals["stride"]
+            if "in_pad" in s2.sig.nda_vals:
+                sig.nda_vals["pool_pad"] = s2.sig.nda_vals["in_pad"]
+            sig.set_u32("conv_has_relu", 1)
+            if tune.prec:
+                sig.str_vals["prec"] = tune.prec
+            out.append(Step(sig, arg_nodes, s1.call_tag + "__stem"))
+            i += 2
+        else:
+            out.append(steps[i])
+            i += 1
+    return out
 
 
 def _fuse_resblocks(steps: list[Step], node_dims, outputs: set,

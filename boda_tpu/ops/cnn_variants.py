@@ -44,6 +44,11 @@ class OpTune(Config):
                      "the fused nhwc path: '' = follow prec (bf16 edges when "
                      "prec=bf16 — halves HBM traffic on memory-bound nets); "
                      "'f32' forces f32 edges")
+    fuse_stem = Attr(bool, default=False,
+                     help="fuse the thin-channel stride-2 stem conv "
+                          "(+ReLU) and its maxpool into one Pallas kernel "
+                          "(ops/pallas/stem.py): phase-stacked in-VMEM "
+                          "im2col; the conv1 activation never touches HBM")
     fuse_resblock = Attr(bool, default=False,
                          help="fuse identity-shortcut bottlenecks "
                               "(1x1-3x3-1x1+add+relu) into one Pallas "

@@ -168,7 +168,8 @@ def _ensure_builtin_templates() -> None:
     _builtins_loaded = True
     from .pallas import (elementwise, sgemm, conv, tconv, pool, lrn,  # noqa: F401
                          softmax, reduce as _reduce, xpose, gen_data,
-                         var_stats, quantize, qsgemm, resblock, bck, bwai)
+                         var_stats, quantize, qsgemm, resblock, bck, bwai,
+                         stem)
 
 
 class Codegen:
