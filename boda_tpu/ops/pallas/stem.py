@@ -121,53 +121,82 @@ def build_fused_stem(rfs: OpBase):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    # padded geometry. Mosaic: sublane slice SHAPES must be tile-aligned
-    # (16 bf16 / 8 f32); offsets are free. The padded input width is
-    # chosen so every in-kernel slice shape lands on a tile boundary.
+    # ---- quad-parity formulation --------------------------------------
+    # Mosaic (this version) lowers ALL strided slices to gathers and
+    # rejects them, so the kernel uses only contiguous slices:
+    #  * outside (XLA, cheap relayout at streaming BW): the padded input
+    #    is 2x2 phase-stacked (s2d, C->4C) and then split AGAIN by row/
+    #    col parity into four planes S[r][s] — equivalently a 4x4 phase
+    #    decomposition of the original image;
+    #  * in-kernel: each conv-OUTPUT parity plane C[p][q] (p,q in {0,1})
+    #    is one im2col matmul whose 16 taps each read a CONTIGUOUS slice
+    #    of one S plane (tap (yy,xx) of C[p][q] reads S[(p+yy)%2][(q+xx)%2]
+    #    at row offset (p+yy)//2, col offset (q+xx)//2) — the SAME
+    #    (K=16*4C, oc) weight matrix serves all four planes;
+    #  * the 3x3 s2 ceil maxpool then needs only contiguous slices of the
+    #    C planes: pool (j,i,dy,dx) -> C[dy%2][dx%2][j+dy//2, i+dx//2].
     sub_c = 16 if cdt == jnp.bfloat16 else 8
-    CXa = _ceil_to(cx, sub_c)                  # conv cols held in-kernel
-    HW2 = _ceil_to(CXa + kb - 1, sub_c)        # phase plane width
-    WPAD = 2 * HW2                             # padded input width (even)
-    PH2 = cy + ka - 1                          # phase plane rows
-    PH = 2 * PH2                               # padded input rows (even)
-    # pool source geometry (f32: sublane tile 8)
-    PRY = max(cy + 1, (oy - 1) * psy + pky)    # padded pool-source rows
-    PRX = _ceil_to(max(CXa + 1, (ox - 1) * psx + pkx), 8)
+    KA2 = ka * kb                   # phase-kernel taps (4x4 for k=7)
+    # C plane geometry: plane rows a cover conv rows 2a+p < cy
+    CPY = -(-cy // 2)               # valid C-plane rows/cols (56 for 112)
+    CPX = -(-cx // 2)
+    # pool slices take rows/cols [d//2, d//2 + oy) for d in 0..pk-1
+    CRY = max(CPY + 1, (pky - 1) // 2 + oy)
+    CRX = _ceil_to(max(CPX + 1, (pkx - 1) // 2 + ox), 8)   # f32 sublane
+    # S plane geometry: tap offsets up to (1+ka-1)//2, slice rows CRY
+    SRO = (1 + ka - 1) // 2         # max row/col offset into S planes
+    SRY = CRY + SRO
+    SWX = _ceil_to(CRX + SRO, sub_c)  # in-kernel slice width = CRX? see kern
+    # in-kernel col slices: width CW must be sub_c-aligned
+    CW = _ceil_to(CRX, sub_c)
+    SWX = _ceil_to(CW + SRO, sub_c) + sub_c
+    M = CRY * CW
+    K = KA2 * 4 * C
 
-    def kern(x_ref, w_ref, b_ref, o_ref):
-        x = x_ref[0]                                       # (PH, WPAD, C)
-        # 2x2 phase stack: C -> 4C, spatial halved (s2d in VMEM)
-        phases = [x[r::2, s::2, :] for r in (0, 1) for s in (0, 1)]
-        s2 = jnp.concatenate(phases, axis=-1)              # (PH2, HW2, 4C)
-        # im2col over the (ka, kb) phase-kernel: ONE (cy*CXa, K) matrix
-        cols = [s2[yy:yy + cy, xx:xx + CXa, :]
-                for yy in range(ka) for xx in range(kb)]
-        a = jnp.concatenate(cols, axis=-1).reshape(cy * CXa, K)
-        acc = jnp.dot(a, w_ref[...].astype(cdt),
-                      preferred_element_type=jnp.float32)
-        if has_bias:
-            acc = acc + b_ref[0].astype(jnp.float32)[None, :]
-        y = jnp.maximum(acc, 0.0).reshape(cy, CXa, oc)     # f32
-        if CXa > cx:
-            # zero the im2col garbage columns (ReLU output >= 0, so zeros
-            # are exact -inf substitutes for the ceil-mode maxpool)
-            xmask = (jax.lax.broadcasted_iota(jnp.int32, (1, CXa, 1), 1) < cx)
-            y = jnp.where(xmask, y, 0.0)
-        yp = jnp.pad(y, ((0, PRY - cy), (0, PRX - CXa), (0, 0)))
+    def kern(s00_ref, s01_ref, s10_ref, s11_ref, w_ref, b_ref, o_ref):
+        S = ((s00_ref[0], s01_ref[0]), (s10_ref[0], s11_ref[0]))
+        w = w_ref[...].astype(cdt)
+        planes = []
+        rmask = jax.lax.broadcasted_iota(jnp.int32, (CRY, CW, 1), 0)
+        cmask = jax.lax.broadcasted_iota(jnp.int32, (CRY, CW, 1), 1)
+        for p_ in (0, 1):
+            row = []
+            for q_ in (0, 1):
+                cols = []
+                for yy in range(ka):
+                    for xx in range(kb):
+                        sp = S[(p_ + yy) % 2][(q_ + xx) % 2]
+                        ro, co = (p_ + yy) // 2, (q_ + xx) // 2
+                        cols.append(sp[ro:ro + CRY, co:co + CW, :])
+                a = jnp.concatenate(cols, axis=-1).reshape(M, K)
+                acc = jnp.dot(a, w, preferred_element_type=jnp.float32)
+                if has_bias:
+                    acc = acc + b_ref[0].astype(jnp.float32)[None, :]
+                cp = jnp.maximum(acc, 0.0).reshape(CRY, CW, oc)
+                # zero rows/cols whose conv coordinate is out of range
+                # (ReLU output >= 0 so zeros are exact for the max)
+                nvy = (cy - p_ + 1) // 2     # valid plane rows
+                nvx = (cx - q_ + 1) // 2
+                cp = jnp.where((rmask < nvy) & (cmask < nvx), cp, 0.0)
+                row.append(cp)
+            planes.append(row)
         m = None
         for dy in range(pky):
             for dx in range(pkx):
-                wnd = yp[dy:dy + (oy - 1) * psy + 1:psy,
-                         dx:dx + (ox - 1) * psx + 1:psx, :]
+                wnd = planes[dy % 2][dx % 2][dy // 2:dy // 2 + oy,
+                                             dx // 2:dx // 2 + ox, :]
                 m = wnd if m is None else jnp.maximum(m, wnd)
         o_ref[0] = m.astype(out_dt)
 
     def fn(x, w, b=None):
         xh = x if io_nhwc else jnp.transpose(x, (0, 2, 3, 1))
-        xp = jnp.pad(xh.astype(cdt), ((0, 0), (py, PH - H - py),
-                                      (px, WPAD - W - px), (0, 0)))
-        # (oc, C, ky, kx) -> (K, oc) phase weight matrix (host math in
-        # _phase_weight_matrix; done in jnp so it traces/fuses)
+        # pad so every S plane covers its slices: s2 rows 2*SRY, cols 2*SWX
+        xp = jnp.pad(xh.astype(cdt), ((0, 0), (py, 4 * SRY - H - py),
+                                      (px, 4 * SWX - W - px), (0, 0)))
+        s2 = jnp.concatenate([xp[:, r::2, s::2, :]
+                              for r in (0, 1) for s in (0, 1)], axis=-1)
+        Sp = [s2[:, r::2, s::2, :][:, :SRY, :SWX, :]
+              for r in (0, 1) for s in (0, 1)]
         ws = []
         for r in (0, 1):
             for s in (0, 1):
@@ -178,10 +207,11 @@ def build_fused_stem(rfs: OpBase):
         wmat = jnp.transpose(jnp.concatenate(ws, axis=1),
                              (2, 3, 1, 0)).reshape(K, oc).astype(cdt)
         bv = (b if b is not None else np.zeros((oc,), np.float32)).reshape(1, oc)
+        spec_s = pl.BlockSpec((1, SRY, SWX, 4 * C), lambda i: (i, 0, 0, 0))
         out = pallas_call(
             kern,
             grid=(n,),
-            in_specs=[pl.BlockSpec((1, PH, WPAD, C), lambda i: (i, 0, 0, 0)),
+            in_specs=[spec_s, spec_s, spec_s, spec_s,
                       pl.BlockSpec((K, oc), lambda i: (0, 0)),
                       pl.BlockSpec((1, oc), lambda i: (0, 0))],
             out_specs=pl.BlockSpec((1, oy, ox, oc), lambda i: (i, 0, 0, 0)),
@@ -190,10 +220,10 @@ def build_fused_stem(rfs: OpBase):
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=100 * 1024 * 1024),
             cost_estimate=pl.CostEstimate(
-                flops=2 * n * cy * cx * oc * K,
-                bytes_accessed=n * (PH * WPAD * C + oy * ox * oc) * 2,
+                flops=2 * n * 4 * M * K * oc,
+                bytes_accessed=n * (4 * SRY * SWX * 4 * C + oy * ox * oc) * 2,
                 transcendentals=0),
-        )(xp, wmat, jnp.asarray(bv))
+        )(*Sp, wmat, jnp.asarray(bv))
         if io_nhwc:
             return out
         return jnp.transpose(out, (0, 3, 1, 2)).astype(outd.dtype)
