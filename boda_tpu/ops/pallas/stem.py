@@ -154,7 +154,22 @@ def build_fused_stem(rfs: OpBase):
     K = KA2 * 4 * C
 
     def kern(s00_ref, s01_ref, s10_ref, s11_ref, w_ref, b_ref, o_ref):
-        S = ((s00_ref[0], s01_ref[0]), (s10_ref[0], s11_ref[0]))
+        from .util import pallas_mode as _pm
+        real = _pm() == "real"
+        # Mosaic rejects concats whose operands carry different SUBLANE
+        # offsets (row/dim0 offsets are fine) and 16-bit rolls — so the
+        # im2col assembly runs in f32 with column offsets normalized by
+        # pltpu.roll (positive shift), and casts to bf16 only for the dot.
+        def colshift(v, co):
+            if co == 0:
+                return v
+            if real:
+                return pltpu.roll(v, (SWX - co) % SWX, 1)
+            return jnp.concatenate([v[:, co:, :], v[:, :co, :]], axis=1)
+        S32 = ((s00_ref[0].astype(jnp.float32), s01_ref[0].astype(jnp.float32)),
+               (s10_ref[0].astype(jnp.float32), s11_ref[0].astype(jnp.float32)))
+        shifted = {(r_, s_, co): colshift(S32[r_][s_], co)
+                   for r_ in (0, 1) for s_ in (0, 1) for co in range(SRO + 1)}
         w = w_ref[...].astype(cdt)
         planes = []
         rmask = jax.lax.broadcasted_iota(jnp.int32, (CRY, CW, 1), 0)
@@ -165,11 +180,12 @@ def build_fused_stem(rfs: OpBase):
                 cols = []
                 for yy in range(ka):
                     for xx in range(kb):
-                        sp = S[(p_ + yy) % 2][(q_ + xx) % 2]
                         ro, co = (p_ + yy) // 2, (q_ + xx) // 2
-                        cols.append(sp[ro:ro + CRY, co:co + CW, :])
+                        sp = shifted[((p_ + yy) % 2, (q_ + xx) % 2, co)]
+                        cols.append(sp[ro:ro + CRY, 0:CW, :])
                 a = jnp.concatenate(cols, axis=-1).reshape(M, K)
-                acc = jnp.dot(a, w, preferred_element_type=jnp.float32)
+                acc = jnp.dot(a.astype(cdt), w,
+                              preferred_element_type=jnp.float32)
                 if has_bias:
                     acc = acc + b_ref[0].astype(jnp.float32)[None, :]
                 cp = jnp.maximum(acc, 0.0).reshape(CRY, CW, oc)
