@@ -93,52 +93,73 @@ def main() -> None:
     # s2d=0: under NHWC storage the plain 7x7s2 conv1 beats the
     # space-to-depth transform (its phase-split concat of the 77MB input
     # costs more than the MXU win: 8.82 vs 9.23 ms measured, ROUND2_NOTES)
-    plan = lower_pipe(pipe, make_op_tune(
-        f"(use_culibs=1,prec={prec},layout=nhwc,s2d=0)"), fused_storage=True)
+    tune_s = f"(use_culibs=1,prec={prec},layout=nhwc,s2d=0)"
+    plan = lower_pipe(pipe, make_op_tune(tune_s), fused_storage=True)
     fwd = build_fused_forward(plan)
     weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+
+    # int8-3x3 variant (accuracy-validated top-1 agreement, not within the
+    # 5e-4 float tolerance — reported alongside, NOT as the headline):
+    # dynamic int8 on the res*_branch2b 3x3 convs only (r3 measurement:
+    # 8.01 vs 8.73 ms; whole-stage int8 loses)
+    import re as _re
+    q_tune = make_op_tune(tune_s[:-1] + ",quant8=1)")
+    op_tunes = {op.tag: q_tune for op in pipe.ops.values()
+                if _re.fullmatch(r"res[2-5][a-z]_branch2b", op.tag)}
+    plan_q = lower_pipe(pipe, make_op_tune(tune_s), op_tunes=op_tunes,
+                        fused_storage=True)
+    fwd_q = build_fused_forward(plan_q)
 
     d = pipe.get_data_img_dims()
     rng = np.random.RandomState(0)
     x = rng.randn(*d.shape).astype(np.float32) * 0.1
 
-    def chained(w, x, n):
-        # serial dependency between steps defeats dispatch caching and makes
-        # wall-clock = n * single-forward time (+1 negligible add per step).
-        # fori_loop with a *traced* n: ONE compiled program serves every
-        # chain length (a scan would recompile per length — 110-300 s each
-        # through the tunnel).
-        def body(_i, carry):
-            c, acc = carry
-            p = fwd({"data": c}, w)["prob"]
-            return c + p.sum() * 1e-12, acc + p[0, 0, 0, 0]
-        _c, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
-        return acc
+    def make_chained(f):
+        def chained(w, x, n):
+            # serial dependency between steps defeats dispatch caching and
+            # makes wall-clock = n * single-forward time. fori_loop with a
+            # *traced* n: ONE compiled program serves every chain length (a
+            # scan would recompile per length — 110-300 s each through the
+            # tunnel).
+            def body(_i, carry):
+                c, acc = carry
+                p = f({"data": c}, w)["prob"]
+                return c + p.sum() * 1e-12, acc + p[0, 0, 0, 0]
+            _c, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
+            return acc
+        return jax.jit(chained)
 
-    fn = jax.jit(chained)
     dev = jax.devices()[0]
     w_dev = {k: jax.device_put(v, dev) for k, v in weights.items()}
     x_dev = jax.device_put(x, dev)
 
-    t0 = time.perf_counter()
-    float(fn(w_dev, x_dev, 1))  # compile + warm transfer path
-    compile_s = time.perf_counter() - t0
-
     # slope timing: the tunnel adds a ~35 ms fixed dispatch+readback cost
     # per call; (T(iters) - T(n1)) / (iters - n1) cancels it (median of 3)
     import statistics
-    n1 = max(2, iters // 5)
-    float(fn(w_dev, x_dev, n1))  # warm
-    float(fn(w_dev, x_dev, iters))
-    slopes = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(fn(w_dev, x_dev, n1))
-        t1 = time.perf_counter()
-        float(fn(w_dev, x_dev, iters))  # scalar readback = real barrier
-        t2 = time.perf_counter()
-        slopes.append(((t2 - t1) - (t1 - t0)) / (iters - n1))
-    dt = statistics.median(slopes) * iters
+
+    def slope_time(fn):
+        n1 = max(2, iters // 5)
+        float(fn(w_dev, x_dev, n1))  # warm
+        float(fn(w_dev, x_dev, iters))
+        slopes = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(w_dev, x_dev, n1))
+            t1 = time.perf_counter()
+            float(fn(w_dev, x_dev, iters))  # scalar readback = real barrier
+            t2 = time.perf_counter()
+            slopes.append(((t2 - t1) - (t1 - t0)) / (iters - n1))
+        return statistics.median(slopes) * iters
+
+    fn = make_chained(fwd)
+    t0 = time.perf_counter()
+    float(fn(w_dev, x_dev, 1))  # compile + warm transfer path
+    compile_s = time.perf_counter() - t0
+    dt = slope_time(fn)
+
+    fn_q = make_chained(fwd_q)
+    float(fn_q(w_dev, x_dev, 1))
+    dt_q = slope_time(fn_q)
 
     imgs_per_sec = batch * iters / dt
     flops_per_batch, _ = pipe.total_flops_and_bytes()
@@ -160,6 +181,13 @@ def main() -> None:
         "device": dev.device_kind,
         "compile_s": round(compile_s, 1),
         "step_ms": round(dt / iters * 1e3, 2),
+        # int8-3x3 variant: dynamic int8 on the res*_branch2b convs only
+        # (top-1-agreement validated, outside the 5e-4 float tolerance —
+        # an offering, not the headline)
+        "int8_3x3_step_ms": round(dt_q / iters * 1e3, 2),
+        "int8_3x3_imgs_per_sec": round(batch * iters / dt_q, 2),
+        "int8_3x3_frac_of_roofline": round(
+            flops_per_batch * iters / dt_q / pk, 4),
     }))
 
 

@@ -252,10 +252,11 @@ class CnetStageProbe(_NetMode):
     op_tune = Attr(OpTune,
                    default="(use_culibs=1,prec=bf16,layout=nhwc,s2d=0)")
     stages = Attr(str,
-                  default="stem:conv1,pool1|s2:res2|s3:res3|s4:res4|"
-                          "s5:res5|head:pool5,fc1000-conv,prob",
-                  help="stage spec: name:prefix[,prefix...]|... matched "
-                       "against step call tags in plan order")
+                  default="stem:conv1+pool1|s2:res2|s3:res3|s4:res4|"
+                          "s5:res5|head:pool5+fc1000-conv+prob",
+                  help="stage spec: name:prefix[+prefix...]|... matched "
+                       "against step call tags in plan order ('+' joins "
+                       "prefixes — ',' is lexp syntax)")
     iters = Attr(int, default=24)
     reps = Attr(int, default=3)
     whole_net = Attr(bool, default=True, help="also time the whole net")
@@ -276,7 +277,7 @@ class CnetStageProbe(_NetMode):
         groups = []
         for part in self.stages.split("|"):
             name, _, prefs = part.partition(":")
-            groups.append((name, tuple(p for p in prefs.split(",") if p)))
+            groups.append((name, tuple(p for p in prefs.split("+") if p)))
 
         def group_of(tag):
             for name, prefs in groups:

@@ -18,3 +18,16 @@ def test_cnet_tune_batch_sweep(tmp_path):
         f"wisdom_out_fn=net.wis,boda_output_dir={tmp_path})")
     txt = (tmp_path / "net.wis").read_text()
     assert "batch=" in txt and "tune=(use_culibs=1)" in txt
+
+
+def test_stage_probe_mini(capsys):
+    """cnet_stage_probe: per-stage isolated floors (the ceiling-proof
+    harness). On CPU just pin segmentation + output format on mini."""
+    from boda_tpu.core.has_main import create_and_run_has_main
+    create_and_run_has_main(
+        "(mode=cnet_stage_probe,model=mini,batch=1,iters=3,reps=1,"
+        "whole_net=0,stages=stem:conv1|mid:cccp1+conv2+cat2+pool|"
+        "head:drop+fc-conv+gpool+prob)")
+    out = capsys.readouterr().out
+    assert "stem" in out and "mid" in out and "head" in out
+    assert "SUM" in out
