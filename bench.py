@@ -100,12 +100,13 @@ def main() -> None:
 
     # int8-3x3 variant (accuracy-validated top-1 agreement, not within the
     # 5e-4 float tolerance — reported alongside, NOT as the headline):
-    # dynamic int8 on the res*_branch2b 3x3 convs only (r3 measurement:
-    # 8.01 vs 8.73 ms; whole-stage int8 loses)
+    # dynamic int8 on the stage-3..5 3x3 convs (r3 sweep: 7.61 ms vs 8.73
+    # bf16; all-3x3 8.01 — stage2's Cm=64 3x3 doesn't pay; whole-stage
+    # int8 loses outright: 9.55/10.33 ms)
     import re as _re
     q_tune = make_op_tune(tune_s[:-1] + ",quant8=1)")
     op_tunes = {op.tag: q_tune for op in pipe.ops.values()
-                if _re.fullmatch(r"res[2-5][a-z]_branch2b", op.tag)}
+                if _re.fullmatch(r"res[3-5][a-z]_branch2b", op.tag)}
     plan_q = lower_pipe(pipe, make_op_tune(tune_s), op_tunes=op_tunes,
                         fused_storage=True)
     fwd_q = build_fused_forward(plan_q)
