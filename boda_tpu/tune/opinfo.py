@@ -48,9 +48,12 @@ class CnnOpInfo(HasMain):
     latex_fn = Attr(str, default="", help="also write a LaTeX table here "
                     "(reference: conv_op_info_to_latex_t, latex-util.H:22)")
 
+    def get_ops(self):
+        return read_op_sigs(self.ops_fn)
+
     def main(self):
         from .prof import profile_rcg_call
-        ops = read_op_sigs(self.ops_fn)
+        ops = self.get_ops()
         peak = self.peak_flops or default_peak_flops(self.op_tune.prec or "bf16")
         cg = None
         if self.run:
@@ -108,3 +111,40 @@ class CnnOpInfo(HasMain):
             print(f"wrote latex table to {self.latex_fn}")
         if n_err:
             raise RtErr(f"cnn_op_info: {n_err} errors")
+
+
+@mode("cnn_prof", help="per-op profile of a NET's ops (no sig file needed)")
+class CnnProf(CnnOpInfo):
+    """Reference: mode cnn_prof (cnn-prof.cc:133-144) — run the per-op
+    flops/AI/%peak analysis over the ops OF A MODEL rather than a
+    hand-written op-sig list. The sigs come from the lowered graph (same
+    dims the executor runs), optionally deduped by reduced signature."""
+
+    ops_fn = Attr(str, default="", help="(unused; ops come from the model)")
+    model = Attr(str, default="", help="zoo model name")
+    ptt_fn = Attr(str, default="", help="or a prototxt path")
+    batch = Attr(int, default=1)
+    dedup = Attr(bool, default=True, help="collapse duplicate op sigs")
+    sigs_out_fn = Attr(str, default="", help="also write the op-sig list "
+                       "here (feeds ops_prof sweeps)")
+
+    def get_ops(self):
+        from ..graph.modes import _load_pipe
+        from ..ops.op_base import write_op_sigs
+        pipe = _load_pipe(self)
+        ops = []
+        seen = set()
+        for op in pipe.topo_order():
+            if op.type not in ("Convolution", "Deconvolution", "InnerProduct"):
+                continue
+            o = op.copy()
+            o.str_vals.pop("caffe_name", None)
+            if self.dedup:
+                k = o._key()
+                if k in seen:
+                    continue
+                seen.add(k)
+            ops.append(o)
+        if self.sigs_out_fn:
+            write_op_sigs(self.out_path(self.sigs_out_fn), ops)
+        return ops
