@@ -98,15 +98,12 @@ def main() -> None:
     fwd = build_fused_forward(plan)
     weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
 
-    # int8-3x3 variant (accuracy-validated top-1 agreement, not within the
-    # 5e-4 float tolerance — reported alongside, NOT as the headline):
-    # dynamic int8 on the stage-3..5 3x3 convs (r3 sweep: 7.61 ms vs 8.73
-    # bf16; all-3x3 8.01 — stage2's Cm=64 3x3 doesn't pay; whole-stage
-    # int8 loses outright: 9.55/10.33 ms)
-    import re as _re
-    q_tune = make_op_tune(tune_s[:-1] + ",quant8=1)")
-    op_tunes = {op.tag: q_tune for op in pipe.ops.values()
-                if _re.fullmatch(r"res[3-5][a-z]_branch2b", op.tag)}
+    # selective-int8 variant (accuracy-validated top-1 agreement, not
+    # within the 5e-4 float tolerance — reported alongside, NOT as the
+    # headline): dynamic int8 on the measured-winner site set (stage-3
+    # 3x3s + all stage-4/5 convs; full sweep table in ROUND3_NOTES.md)
+    from boda_tpu.tune.presets import resnet_int8_site_tunes
+    op_tunes = resnet_int8_site_tunes(pipe, tune_s)
     plan_q = lower_pipe(pipe, make_op_tune(tune_s), op_tunes=op_tunes,
                         fused_storage=True)
     fwd_q = build_fused_forward(plan_q)
@@ -182,12 +179,11 @@ def main() -> None:
         "device": dev.device_kind,
         "compile_s": round(compile_s, 1),
         "step_ms": round(dt / iters * 1e3, 2),
-        # int8-3x3 variant: dynamic int8 on the res*_branch2b convs only
-        # (top-1-agreement validated, outside the 5e-4 float tolerance —
-        # an offering, not the headline)
-        "int8_3x3_step_ms": round(dt_q / iters * 1e3, 2),
-        "int8_3x3_imgs_per_sec": round(batch * iters / dt_q, 2),
-        "int8_3x3_frac_of_roofline": round(
+        # selective-int8 variant (top-1-agreement validated, outside the
+        # 5e-4 float tolerance — an offering, not the headline)
+        "int8_step_ms": round(dt_q / iters * 1e3, 2),
+        "int8_imgs_per_sec": round(batch * iters / dt_q, 2),
+        "int8_frac_of_roofline": round(
             flops_per_batch * iters / dt_q / pk, 4),
     }))
 
