@@ -103,6 +103,11 @@ def make_stream(addr: str, is_server: bool = False, impl: str = "auto"):
     if method == "tcp":
         host, port = rest.rsplit(":", 1)
         s = socket.create_connection((host, int(port)), timeout=30)
+        # the 30s bound applies to connection establishment only; reads
+        # must tolerate long server-side work (first XLA compile through
+        # the tunnel exceeds 30s — a serve_bench resnet client once timed
+        # out waiting for the first batch)
+        s.settimeout(None)
         s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         return Stream(sock=s)
     if method == "tcp-listen":
