@@ -185,6 +185,8 @@ def main() -> None:
         "int8_imgs_per_sec": round(batch * iters / dt_q, 2),
         "int8_frac_of_roofline": round(
             flops_per_batch * iters / dt_q / pk, 4),
+        "int8_vs_baseline": round(
+            flops_per_batch * iters / dt_q / pk / 0.70, 4),
     }))
 
 
