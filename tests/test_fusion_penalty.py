@@ -61,3 +61,28 @@ def test_fusion_penalty_mode_records_net_runs(tmp_path):
     runs = {ts: tw.runs[net_plat] for ts, tw in rec.tunes.items()
             if net_plat in tw.runs}
     assert pick == min(runs, key=runs.get)
+
+
+def test_shipped_wisdom_carries_net_rows():
+    """The checked-in resnet-50 b32 wisdom now contains on-chip @net rows
+    (fusion_penalty run, r3): the tune index must refuse the standalone
+    hand-kernel winners for every sig that was measured in-net."""
+    ws = read_wisdom_file(Path(__file__).parent / "data"
+                          / "wisdom-resnet50-b32.wis")
+    plat = "xla:tpu:TPU v5 lite"
+    base = "(use_culibs=1,prec=bf16,layout=nhwc)"
+    net_sigs = [w for w in ws if any(
+        plat + NET_PLAT_SUFFIX in tw.runs for tw in w.tunes.values())]
+    assert len(net_sigs) >= 3
+    idx = load_tune_index(Path(__file__).parent / "data"
+                          / "wisdom-resnet50-b32.wis", plat)
+    refused = 0
+    for w in net_sigs:
+        runs = {ts: tw.runs[plat + NET_PLAT_SUFFIX]
+                for ts, tw in w.tunes.items()
+                if plat + NET_PLAT_SUFFIX in tw.runs}
+        pick = idx[wisdom_key(w.op)]
+        assert pick == min(runs, key=runs.get)
+        if pick == base:
+            refused += 1
+    assert refused >= 2  # the measured in-net losers stay vendor
