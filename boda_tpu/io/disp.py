@@ -180,14 +180,16 @@ class ImgSink(DataStream):
     prefix = Attr(str, default="img")
 
     def data_stream_init(self):
+        from .data_stream import resolve_stage_fn
         self._n = 0
-        Path(self.out_dir).mkdir(parents=True, exist_ok=True)
+        self._dir = Path(resolve_stage_fn(self.out_dir))
+        self._dir.mkdir(parents=True, exist_ok=True)
 
     def proc_block(self, db: DataBlock) -> DataBlock:
         if db.valid() and db.nda is not None:
             v = db.nda.v
             if v.ndim == 3 and v.shape[-1] == 3:
-                save_img(Path(self.out_dir) / f"{self.prefix}_{self._n:05d}.png", v)
+                save_img(self._dir / f"{self.prefix}_{self._n:05d}.png", v)
                 self._n += 1
         return db
 
