@@ -310,6 +310,37 @@ class VeloToXyz(DataStream):
         return "velo-pcdm-to-xyz"
 
 
+@register(DataStream, "velo-frame-gen",
+          help="synthetic (lasers, n_azi) u16 lidar frames (test source)")
+class VeloFrameGen(DataStream):
+    """Deterministic lidar-frame source (v[r,c] = r*500 + c), the
+    velodyne analog of test-gen — feeds velodyne-gen for self-contained
+    pipeline tests/goldens (the reference used velodyne-gen the same
+    way, data-stream-velo.cc:706)."""
+
+    num = Attr(int, default=4)
+    n_azi = Attr(int, default=192)
+    lasers = Attr(int, default=32)
+
+    def data_stream_init(self):
+        self._i = 0
+
+    def proc_block(self, db: DataBlock) -> DataBlock:
+        if self._i >= self.num:
+            return DataBlock()
+        r = np.arange(self.lasers, dtype=np.uint16)[:, None]
+        c = np.arange(self.n_azi, dtype=np.uint16)[None, :]
+        v = (r * 500 + c).astype(np.uint16)
+        self._i += 1
+        return DataBlock(nda=NDA(Dims.make(tn="uint16_t", y=self.lasers,
+                                           x=self.n_azi), v),
+                         tag="frame", frame_ix=self._i - 1,
+                         timestamp_ns=self._i * 1000)
+
+    def get_pos_info_str(self) -> str:
+        return f"velo-frame-gen: {self._i}"
+
+
 @mode("test_velo_crc", help="check the velodyne crc16 implementation")
 class TestVeloCrc(HasMain):
     out_fn = Attr(str, default="test-velo-crc.txt")

@@ -25,28 +25,6 @@ def test_default_32_mapping_is_permutation():
     assert m[0] == 31 and m[1] == 15  # downward-most lower/upper first
 
 
-@register(DataStream, "velo-frame-gen-test",
-          help="test helper: identical (32, n) u16 frames, v[r,c]=r*500+c")
-class FrameGenTest(DataStream):
-    num = Attr(int, default=4)
-    n_azi = Attr(int, default=192)
-
-    def data_stream_init(self):
-        self._i = 0
-
-    def proc_block(self, db: DataBlock) -> DataBlock:
-        if self._i >= self.num:
-            return DataBlock()
-        r = np.arange(32, dtype=np.uint16)[:, None]
-        c = np.arange(self.n_azi, dtype=np.uint16)[None, :]
-        v = (r * 500 + c).astype(np.uint16)
-        self._i += 1
-        return DataBlock(nda=NDA(Dims.make(tn="uint16_t", y=32,
-                                           x=self.n_azi), v),
-                         tag="frame", frame_ix=self._i - 1,
-                         timestamp_ns=self._i * 1000)
-
-
 def _frame_for(n_azi=192):
     r = np.arange(32, dtype=np.uint16)[:, None]
     c = np.arange(n_azi, dtype=np.uint16)[None, :]
@@ -60,7 +38,7 @@ def test_gen_parse_roundtrip(remap):
     n = 192
     spec = (f"(mode=velodyne,fov_rot_samps={n},fov_center=0,"
             f"tot_lasers=32,laser_to_row_ix_str={remap},"
-            f"vps=(mode=velodyne-gen,src=(mode=velo-frame-gen-test,"
+            f"vps=(mode=velodyne-gen,src=(mode=velo-frame-gen,"
             f"num=4,n_azi={n}),laser_to_row_ix_str={remap}))")
     ds = make_data_stream(spec)
     fr = ds.proc_block(DataBlock())
@@ -164,7 +142,7 @@ def test_velodyne_through_pcap(tmp_path):
     n = 96
     gen = make_data_stream(
         f"(mode=pipe,stages=(_0=(mode=velodyne-gen,"
-        f"src=(mode=velo-frame-gen-test,num=3,n_azi={n})),"
+        f"src=(mode=velo-frame-gen,num=3,n_azi={n})),"
         f"_1=(mode=pcap-sink,fn={tmp_path}/v.pcap,add_header=1)))")
     while gen.proc_block(DataBlock()).valid():
         pass
