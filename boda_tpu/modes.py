@@ -19,6 +19,7 @@ _MODE_MODULES = [
     "boda_tpu.io.pcap",          # pcap-src/pcap-sink stream stages
     "boda_tpu.io.velodyne",      # velodyne/velodyne-gen/velo-pcdm-to-xyz + test_velo_crc
     "boda_tpu.io.render",        # add-img-pts point-cloud renderer (os-render analog)
+    "boda_tpu.io.rosbag",        # rosbag-src (bag v2.0 parser, no ROS dep)
     "boda_tpu.apps.cnet_bench",  # slope-timed whole-net throughput bench
     "boda_tpu.tune.prof",        # ops_prof
     "boda_tpu.tune.plots",       # roofline_plot, wis_plot, op_eff_plot
