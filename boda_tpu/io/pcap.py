@@ -27,7 +27,6 @@ from .data_stream import DataBlock, DataStream, resolve_stage_fn
 PCAP_MAGIC = 0xA1B2C3D4
 _GHDR = struct.Struct("<IHHiIII")   # magic, vmaj, vmin, thiszone, sigfigs, snaplen, network
 _RHDR = struct.Struct("<IIII")      # ts_sec, ts_usec, incl_len, orig_len
-_ETH = struct.Struct("<6s6sH")      # dst? src? + ethertype (reference order: src, dst)
 ETHERTYPE_IPV4 = 0x0800
 IPPROTO_UDP = 17
 
