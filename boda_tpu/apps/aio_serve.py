@@ -281,12 +281,17 @@ class ServeBench(RunCnetBase):
                 st.close()
             except Exception as e:
                 errs[i] = e
+                # a failed client must not strand the others at a barrier
+                start_bar.abort()
+                for b in done_bars.values():
+                    b.abort()
 
         try:
             th = threading.Thread(target=srv.main, daemon=True)
             th.start()
             assert port_evt.wait(120), "server did not start"
-            cs = [threading.Thread(target=client, args=(i,)) for i in range(k)]
+            cs = [threading.Thread(target=client, args=(i,), daemon=True)
+                  for i in range(k)]
             for c in cs:
                 c.start()
             for c in cs:

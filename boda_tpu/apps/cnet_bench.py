@@ -328,16 +328,20 @@ class CnetStageProbe(_NetMode):
                 for an in tmpl.out_args() + tmpl.io_args():
                     if an in s.arg_nodes:
                         produced.add(s.arg_nodes[an])
+            if len(consumed) != 1:
+                from ..core.error import RtErr
+                raise RtErr(f"cnet_stage_probe: stage '{name}' must consume "
+                            f"exactly one external activation node, got "
+                            f"{consumed or '[none]'} — adjust the stages= "
+                            f"grouping so shortcut edges stay in-stage")
             in_node = consumed[0]
             flops = sum(get_template(s.sig.func_name).flops(
                 get_template(s.sig.func_name).check_args(s.sig)) for s in seg)
 
             def seg_fn(x, *ws, _built=built, _wn=tuple(seg_weights),
-                       _in=in_node, _cons=tuple(consumed)):
+                       _in=in_node):
                 vals = dict(zip(_wn, ws))
                 vals[_in] = x
-                # extra non-primary inputs (shortcut edges from outside the
-                # segment shouldn't exist for whole stages; guard anyway)
                 for fn, tmpl, s in _built:
                     ins = [vals[s.arg_nodes[an]]
                            for an in tmpl.in_args() + tmpl.io_args()

@@ -112,6 +112,13 @@ class PcapSrc(DataStream):
                 raise RtErr(f"pcap-src: expected IPv4 packet, got v{ver}")
             if ihl < 5:
                 raise RtErr(f"pcap-src: bad IPv4 header length {ihl}")
+            # honor the IPv4 total-length field: NICs pad frames to the
+            # 60-byte ethernet minimum and the trailer would otherwise
+            # leak into the emitted payload
+            tot_len = (ip[2] << 8) | ip[3]
+            if tot_len < ihl * 4 or tot_len > len(ip):
+                raise RtErr(f"pcap-src: bad IPv4 total length {tot_len}")
+            ip = ip[:tot_len]
             ip_id = (ip[4] << 8) | ip[5]
             ip_off_f = (ip[6] << 8) | ip[7]
             frag_off = (ip_off_f & 0x1FFF) << 3
@@ -119,9 +126,16 @@ class PcapSrc(DataStream):
             proto = ip[9]
             src, dst = ip[12:16], ip[16:20]
             payload = ip[ihl * 4:]
-            if ip_mf or self._frag:
+            if ip_mf or frag_off or self._frag:
                 fid = (bytes(src), bytes(dst), ip_id, proto)
                 if not self._frag:
+                    if frag_off != 0:
+                        # capture started mid-datagram (or dropped the
+                        # first fragment): unreassemblable — drop it
+                        print("warning: pcap-src dropping fragment with "
+                              "no in-progress datagram (frag_off "
+                              f"{frag_off} != 0)")
+                        continue
                     self._frag_id = fid
                 else:
                     if self._frag_id != fid:

@@ -40,7 +40,6 @@ ANG_MAX = 36000                      # centidegrees
 BLOCK_IDS = (0xEEFF, 0xDDFF)         # lower(0-31) / upper(32-63) firing ids
 PACKET_SZ = 1206
 FB_SZ = 4 + 32 * 3                   # block hdr + 32 (u16 dist, u8 inten)
-VELO_CYCLE_TYPES = "HMSDNYGTV" + "1234567"
 
 
 def rel_angle_delta(a1: int, a2: int) -> int:
@@ -112,6 +111,7 @@ class VelodyneSrc(DataStream):
         if sorted(self._l2r) != list(range(self.tot_lasers)):
             raise RtErr("laser_to_row_ix is not a permutation of "
                         f"[0,{self.tot_lasers})")
+        self._l2r_np = np.asarray(self._l2r, np.int64)
         N = self.fov_rot_samps
         self._buf = np.zeros((self.tot_lasers, N), np.uint16)
         self._azi = np.zeros((N,), np.uint16)
@@ -171,8 +171,7 @@ class VelodyneSrc(DataStream):
                                      off + 4).reshape(32, 3)
                 dv = dist[:, 0].astype(np.uint16) | (
                     dist[:, 1].astype(np.uint16) << 8)
-                for i in range(bm):
-                    self._buf[self._l2r[base + i], self._rot] = dv[i]
+                self._buf[self._l2r_np[base:base + bm], self._rot] = dv
                 self._azi[self._rot] = rot
                 if self.tot_lasers == 64:
                     if not (fbix & 1):
@@ -220,7 +219,6 @@ class VelodyneGen(DataStream):
                      else list(range(32)))
         self._pend_fbs: list[bytes] = []
         self._ts = self.timestamp_start
-        self._cyc = 0
         self._n = 0
 
     def _consume_frame(self, v: np.ndarray) -> None:
@@ -253,7 +251,6 @@ class VelodyneGen(DataStream):
         self._ts += self.timestamp_step
         if self._ts >= 3600 * 1000 * 1000:
             self._ts -= 3600 * 1000 * 1000
-        self._cyc = (self._cyc + 1) % len(VELO_CYCLE_TYPES)
         pkt = b"".join(fbs) + status
         assert len(pkt) == PACKET_SZ
         out = DataBlock(nda=NDA(Dims.make(tn="uint8_t", v=PACKET_SZ),

@@ -50,23 +50,6 @@ def _stem_params(rfs: OpBase):
             (pp["y"], pp["x"]) if pp else (0, 0))
 
 
-def _phase_weight_matrix(w: np.ndarray) -> np.ndarray:
-    """(oc, C, 7, 7) → (4·4·4C, oc) matching the kernel's im2col lane
-    order: tap-(ky,kx)-major blocks of 4C phase-stacked channels (the
-    s2d_conv weight transform, ops/pallas/conv.py S2dConv)."""
-    oc, C, k_y, k_x = w.shape
-    ka, kb = -(-k_y // 2), -(-k_x // 2)
-    wps = []
-    for r in (0, 1):
-        for s in (0, 1):
-            wp = w[:, :, r::2, s::2]
-            wps.append(np.pad(wp, ((0, 0), (0, 0),
-                                   (0, ka - wp.shape[2]),
-                                   (0, kb - wp.shape[3]))))
-    ws = np.concatenate(wps, axis=1)              # (oc, 4C, ka, kb)
-    return np.transpose(ws, (2, 3, 1, 0)).reshape(ka * kb * 4 * C, oc)
-
-
 def _ceil_to(v: int, m: int) -> int:
     return -(-v // m) * m
 
@@ -146,8 +129,9 @@ def build_fused_stem(rfs: OpBase):
     # S plane geometry: tap offsets up to (1+ka-1)//2, slice rows CRY
     SRO = (1 + ka - 1) // 2         # max row/col offset into S planes
     SRY = CRY + SRO
-    SWX = _ceil_to(CRX + SRO, sub_c)  # in-kernel slice width = CRX? see kern
-    # in-kernel col slices: width CW must be sub_c-aligned
+    # in-kernel col slices: width CW must be sub_c-aligned; the roll
+    # normalization wraps co garbage into cols >= SWX-co, so SWX leaves
+    # >= sub_c of slack beyond CW+SRO
     CW = _ceil_to(CRX, sub_c)
     SWX = _ceil_to(CW + SRO, sub_c) + sub_c
     M = CRY * CW

@@ -23,7 +23,8 @@ RESNET_INT8_SITE_PATS = (r"res3[a-z0-9]*_branch2b",
 def resnet_int8_site_tunes(pipe, base_tune_spec: str) -> dict[str, OpTune]:
     """Tag→tune map applying dynamic int8 to the measured-winner site set
     of a ResNet-family pipe (no-op: returns {} for other nets)."""
-    q = make_op_tune(base_tune_spec.rstrip(")") + ",quant8=1)")
+    assert base_tune_spec.endswith(")")
+    q = make_op_tune(base_tune_spec[:-1] + ",quant8=1)")
     rxs = [re.compile(p) for p in RESNET_INT8_SITE_PATS]
     return {op.tag: q for op in pipe.ops.values()
             if op.type == "Convolution"

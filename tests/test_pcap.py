@@ -65,11 +65,12 @@ def _ipv4_udp_packet(payload, ip_id=7, frag_off=0, mf=False, dport=2368,
                      udp_hdr=True):
     eth = b"\0" * 12 + struct.pack(">H", 0x0800)
     flags = (0x2000 if mf else 0) | (frag_off >> 3)
-    ip = bytes([0x45, 0]) + struct.pack(">HHHBB", 20 + len(payload), ip_id,
-                                        flags, 64, 17) + b"\0\0" \
-        + b"\x01\x02\x03\x04" + b"\x05\x06\x07\x08"
     udp = struct.pack(">HHHH", 443, dport, 8 + len(payload), 0) \
         if udp_hdr else b""
+    ip = bytes([0x45, 0]) + struct.pack(">HHHBB",
+                                        20 + len(udp) + len(payload), ip_id,
+                                        flags, 64, 17) + b"\0\0" \
+        + b"\x01\x02\x03\x04" + b"\x05\x06\x07\x08"
     return eth + ip + udp + payload
 
 
@@ -107,3 +108,25 @@ def test_pcap_bad_magic(tmp_path):
     p.write_bytes(b"\0" * 32)
     with pytest.raises(RtErr, match="magic"):
         make_data_stream(f"(mode=pcap-src,fn={p})")
+
+
+def test_pcap_trailer_padding_stripped(tmp_path):
+    """NIC-padded frames: the IPv4 total-length field bounds the payload."""
+    pkt = _ipv4_udp_packet(b"tiny")
+    pkt += b"\0" * (60 - len(pkt)) if len(pkt) < 60 else b""
+    p = _raw_pcap(tmp_path, [pkt])
+    got = read_all_blocks(make_data_stream(
+        f"(mode=pcap-src,fn={p},extract_udp_payload=1)"))
+    assert got[0].nda.v.tobytes() == b"tiny"
+
+
+def test_pcap_orphan_fragments_dropped(tmp_path):
+    """mid-capture fragments with no datagram start are dropped, not
+    misparsed as complete datagrams."""
+    orphan_last = _ipv4_udp_packet(b"ABCDEFGH", frag_off=16, udp_hdr=False)
+    orphan_mid = _ipv4_udp_packet(b"XYZW", frag_off=32, mf=True, udp_hdr=False)
+    whole = _ipv4_udp_packet(b"ok")
+    p = _raw_pcap(tmp_path, [orphan_last, orphan_mid, whole])
+    got = read_all_blocks(make_data_stream(
+        f"(mode=pcap-src,fn={p},extract_udp_payload=1)"))
+    assert [g.nda.v.tobytes() for g in got] == [b"ok"]
