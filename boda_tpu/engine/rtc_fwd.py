@@ -125,6 +125,9 @@ class RtcFwd(ConvFwd):
                                "that fold in ~35-39 ms dispatch cost each")
     write_op_sigs_fn = Attr(str, default="", help="log full op sigs to this file")
     det_drop_seed = Attr(int, default=0, help="deterministic dropout seed")
+    force_zero_bias = Attr(bool, default=False,
+                           help="zero every bias blob at init (debug "
+                                "determinism hook; reference rtc_fwd.cc:59)")
     train_dropout = Attr(bool, default=False, help="apply dropout masks (train mode)")
     keep_all_nodes = Attr(bool, default=False,
                           help="fused mode: keep every intermediate node "
@@ -235,7 +238,13 @@ class RtcFwd(ConvFwd):
         if self.enable_stats:
             self._add_stats_calls()
         self.codegen.compile_pend()
-        be.copy_ndas_to_vars(self.pipe.op_params)
+        params = self.pipe.op_params
+        if self.force_zero_bias:
+            import numpy as np
+            params = {n: (NDA(v.dims, np.zeros(v.dims.shape, v.v.dtype))
+                          if n.endswith("biases") else v)
+                      for n, v in params.items()}
+        be.copy_ndas_to_vars(params)
 
     def _add_stats_calls(self) -> None:
         seen = set()
@@ -320,6 +329,10 @@ class RtcFwd(ConvFwd):
         self._fused_fn = jax.jit(fwd)
         self._weights = {n: self.pipe.op_params[n].v for n in weight_nodes
                          if n in self.pipe.op_params}
+        if self.force_zero_bias:
+            import numpy as np
+            self._weights = {n: (np.zeros_like(v) if n.endswith("biases")
+                                 else v) for n, v in self._weights.items()}
         # mesh execution: commit weights with named shardings; jit follows
         # committed input shardings, GSPMD inserts the ICI collectives
         self._mesh = None

@@ -680,6 +680,17 @@ class ConvPipe:
         sub.calc_support_info()
         return sub
 
+    def set_all_one_weights(self) -> None:
+        """Debug determinism hook (reference: set_all_one_weights,
+        conv_util.H:225): every weight/bias blob becomes all-ones, making
+        per-layer outputs hand-checkable (a conv output equals
+        in_chan*ky*kx*mean-ish sums)."""
+        import numpy as np
+        from ..core.dims import NDA
+        for n, nda in list(self.op_params.items()):
+            self.op_params[n] = NDA(nda.dims,
+                                    np.ones(nda.dims.shape, nda.v.dtype))
+
     # ---- dumps (golden-diffed; reference: dump_pipe/dump_ios/dump_ops) ----
     def dump_pipe(self, out: Callable[[str], None] = print) -> None:
         out("== BEGIN dump_pipe ==")

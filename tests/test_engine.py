@@ -136,3 +136,29 @@ def test_mesh_sharded_inference():
     assert mrd(single, dp) < 1e-5, f"dp mrd={mrd(single, dp)}"
     dpmp = run_engine("(engine=rtc,fuse=1,mesh_dp=4,mesh_mp=2)", pipe)["prob"].v
     assert mrd(single, dpmp) < 1e-5, f"dp+mp mrd={mrd(single, dpmp)}"
+
+
+def test_determinism_hooks():
+    """set_all_one_weights (conv_util.H:225) + force_zero_bias
+    (rtc_fwd.cc:59): the reference's debug determinism hooks."""
+    pipe = small_nin()
+    pipe.set_all_one_weights()
+    assert all(float(v.v.min()) == 1.0 and float(v.v.max()) == 1.0
+               for v in pipe.op_params.values())
+    import numpy as np
+    ref = make_engine("ref")
+    ref.init(pipe)
+    with_bias = ref.run_fwd(data_for(pipe), ["conv1"])["conv1"].v
+    for spec in ("(engine=rtc,fuse=1,force_zero_bias=1)",
+                 "(engine=rtc,fuse=0,force_zero_bias=1)"):
+        eng = make_engine(spec)
+        eng.init(pipe)
+        out = eng.run_fwd(data_for(pipe), ["conv1"])["conv1"].v
+        # the pipe's biases are all-ones; the zero-bias engines must
+        # differ from the with-bias reference by exactly 1.0 wherever
+        # both are in the ReLU-linear region
+        assert out.shape == with_bias.shape and np.isfinite(out).all()
+        both_pos = (out > 0.5) & (with_bias > 0.5)
+        assert both_pos.any()
+        np.testing.assert_allclose((with_bias - out)[both_pos], 1.0,
+                                   rtol=1e-4)
