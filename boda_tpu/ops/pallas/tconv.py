@@ -33,11 +33,28 @@ def _ceil_to(v: int, m: int) -> int:
 
 def _pick_tiles(oy: int, ox: int, Wp: int, C: int, oc: int, ky: int,
                 dt_size: int, Mb: int = 0, Nb: int = 0) -> tuple[int, int]:
-    """(TY, OCb): output rows per tile and out_chan block, VMEM-bounded."""
+    """(TY, OCb): output rows per tile and out_chan block, VMEM-bounded.
+
+    The budget counts the WHOLE per-step working set, not just the input
+    band: the per-tap (TY·ox, C) a-matrices + the f32 acc are what
+    actually blow the 16MB scoped-vmem stack (vgg conv3 at f32 hit
+    18.95M with the old input-band-only estimate). Explicit Mb/Nb tuning
+    overrides are honored unclamped (sweeps record compile OOMs and move
+    on, reference cnn-prof.cc:99-110 behavior)."""
     OCb = Nb or min(_ceil_to(oc, 128), 256)
-    TY = Mb or max(1, min(oy, 2048 // max(ox, 1)))
-    # input band (TY+ky-1, Wp, C) must fit comfortably in VMEM (~4MB cap)
-    while TY > 1 and (TY + ky - 1) * Wp * C * dt_size > 4 * 1024 * 1024:
+    if Mb:
+        return Mb, OCb
+
+    def est(ty):
+        band = (ty + ky - 1) * Wp * C * dt_size          # DMA scratch
+        a = ty * ox * C * dt_size                        # live tap matrix
+        acc = ty * ox * OCb * 4                          # f32 accumulator
+        w = ky * ky * C * OCb * dt_size                  # filter block
+        out = ty * ox * OCb * dt_size                    # output block
+        return band + 2 * a + acc + 2 * w + 2 * out
+
+    TY = max(1, min(oy, 2048 // max(ox, 1)))
+    while TY > 1 and est(TY) > 9 * 1024 * 1024:
         TY //= 2
     return TY, OCb
 
