@@ -34,7 +34,12 @@ ARCHIVE = Path(__file__).parent / "data" / "tpu_digests"
 # by >1e-2, far outside these bounds. resnet-50's zoo weights are
 # untrained (msra init): activations reach |x|~1e3 by stage 5, which
 # amplifies relative drift to ~5e-3 worst-var — hence its 8e-3 bound.
-MRD_TOLER = {"mini": 5e-4, "resnet-50": 8e-3}
+MRD_TOLER = {"mini": 5e-4, "resnet-50": 8e-3,
+             # vgg-19: 19 unnormalized convs at 224^2 with msra-random
+             # weights — activations reach ~1e4 and f32 drift compounds
+             # to ~2e-2 worst-var; a precision-default regression (bf16:
+             # ~4e-3/op compounding over 19 layers) lands >> 1e-1
+             "vgg-19": 3e-2}
 MRD_DEFAULT = 3e-3
 
 
@@ -66,7 +71,11 @@ def test_cpu_engines_match_tpu_digests(model):
         pytest.skip("no TPU digest archives recorded yet")
     kg = read_digest_stream(ARCHIVE / model / "digest-rtc.boda")
     assert kg, "empty TPU digest archive"
-    for spec in ("(engine=rtc,keep_all_nodes=1)", "ref"):
+    # the float64 ref engine is only CI-affordable on the small model;
+    # the rtc CPU engine is the one whose lowering the archive pins
+    specs = ("(engine=rtc,keep_all_nodes=1)", "ref") if model == "mini" \
+        else ("(engine=rtc,keep_all_nodes=1)",)
+    for spec in specs:
         outs = _run_all_nodes(model, spec)
         # every archived node must exist and agree; nodes the CPU run
         # produced beyond the archive are ignored (ignore_missing)
