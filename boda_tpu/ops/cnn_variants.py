@@ -44,6 +44,12 @@ class OpTune(Config):
                      "the fused nhwc path: '' = follow prec (bf16 edges when "
                      "prec=bf16 — halves HBM traffic on memory-bound nets); "
                      "'f32' forces f32 edges")
+    fuse_siblings = Attr(bool, default=False,
+                         help="horizontally fuse sibling convs sharing "
+                              "one input (ResNet projection pairs) into "
+                              "one wide conv (xla_conv2): narrow-N "
+                              "siblings widen onto the MXU lanes and the "
+                              "input streams from HBM once")
     fuse_stem = Attr(bool, default=False,
                      help="fuse the thin-channel stride-2 stem conv "
                           "(+ReLU) and its maxpool into one Pallas kernel "

@@ -169,7 +169,7 @@ def _ensure_builtin_templates() -> None:
     from .pallas import (elementwise, sgemm, conv, tconv, pool, lrn,  # noqa: F401
                          softmax, reduce as _reduce, xpose, gen_data,
                          var_stats, quantize, qsgemm, resblock, bck, bwai,
-                         stem)
+                         stem, conv2)
 
 
 class Codegen:

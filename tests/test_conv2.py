@@ -1,0 +1,48 @@
+"""xla_conv2 sibling-conv horizontal fusion (the ResNet projection-pair
+MXU-lane win; no reference analog — TPU-motivated, measured on-chip)."""
+
+import numpy as np
+import pytest
+
+from boda_tpu.core.dims import NDA
+from boda_tpu.engine.iface import make_engine
+from boda_tpu.engine.lower import lower_pipe
+from boda_tpu.models.zoo import build_model
+from boda_tpu.ops.cnn_variants import make_op_tune
+from boda_tpu.ops.pallas.gen_data import gen_test_nda
+
+
+def mrd(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.abs(a - b).max() / (np.maximum(np.abs(a), np.abs(b)).max() + 1e-30)
+
+
+def test_fuse_siblings_pass_pairs_projection_convs():
+    pipe = build_model("resnet-50", batch=1, ysz=64, xsz=64)
+    plan = lower_pipe(pipe, make_op_tune("(use_culibs=1,fuse_siblings=1,s2d=0)"))
+    fused = [s for s in plan.steps if s.func_name == "xla_conv2"]
+    # one pair per stage boundary: res2a, res3a, res4a, res5a
+    assert len(fused) == 4, [s.call_tag for s in fused]
+    tags = sorted(s.call_tag for s in fused)
+    assert all("branch" in t and "+" in t for t in tags)
+    # baseline plan unchanged without the knob
+    plan2 = lower_pipe(pipe, make_op_tune("(use_culibs=1,s2d=0)"))
+    assert not [s for s in plan2.steps if s.func_name == "xla_conv2"]
+
+
+@pytest.mark.parametrize("tune", [
+    "(use_culibs=1,fuse_siblings=1,s2d=0)",
+    "(use_culibs=1,fuse_siblings=1,s2d=0,prec=bf16,layout=nhwc)",
+])
+def test_fuse_siblings_numerics(tune):
+    pipe = build_model("resnet-50", batch=1, ysz=64, xsz=64)
+    d = pipe.get_data_img_dims()
+    blob = {"data": NDA(d, gen_test_nda(d, 0, 0.1))}
+    base = make_engine("(engine=rtc,op_tune=(use_culibs=1,s2d=0))")
+    base.init(pipe)
+    want = base.run_fwd(blob, ["prob"])["prob"].v
+    eng = make_engine(f"(engine=rtc,op_tune={tune})")
+    eng.init(pipe)
+    got = eng.run_fwd(blob, ["prob"])["prob"].v
+    tol = 3e-2 if "bf16" in tune else 5e-4
+    assert mrd(got, want) < tol
