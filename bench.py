@@ -93,7 +93,9 @@ def main() -> None:
     # s2d=0: under NHWC storage the plain 7x7s2 conv1 beats the
     # space-to-depth transform (its phase-split concat of the 77MB input
     # costs more than the MXU win: 8.82 vs 9.23 ms measured, ROUND2_NOTES)
-    tune_s = f"(use_culibs=1,prec={prec},layout=nhwc,s2d=0)"
+    # fuse_siblings: ResNet projection pairs run as one wide conv (exact
+    # arithmetic; 8.62 -> 8.29 ms measured)
+    tune_s = f"(use_culibs=1,prec={prec},layout=nhwc,s2d=0,fuse_siblings=1)"
     plan = lower_pipe(pipe, make_op_tune(tune_s), fused_storage=True)
     fwd = build_fused_forward(plan)
     weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
