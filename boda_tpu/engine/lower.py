@@ -136,17 +136,22 @@ def _apply_fused_storage(plan: Plan, tune) -> None:
 
 
 def _fuse_sibling_convs(steps: list[Step], node_dims) -> list[Step]:
-    """Horizontal fusion: two conv steps sharing the same input node,
-    stride, padding, and kernel size (the branch1/branch2a projection
-    pair at ResNet stage boundaries) become one `xla_conv2` step whose
-    filters concatenate on out_chan — N widens onto the MXU lanes and
-    the input streams from HBM once (measured: res2a pair 0.91 ->
-    0.21 ms isolated, b128 bf16). Per-sibling ReLU flags preserved."""
+    """Horizontal fusion: up to four conv steps sharing the same input
+    node, stride, padding, and kernel size (ResNet stage-boundary
+    projection pairs; googlenet inception 1x1 branches) become one
+    `xla_conv2` step whose filters concatenate on out_chan — narrow-N
+    siblings widen onto the MXU lanes and the input streams from HBM
+    once (measured: res2a pair 0.91 -> 0.21 ms isolated, b128 bf16).
+    Per-sibling ReLU flags preserved."""
+    from ..ops.pallas.conv2 import SIBS
+
     def sib_key(s: Step):
-        if s.func_name not in ("xla_conv", "k1conv", "conv", "s2d_conv"):
+        # s2d_conv excluded: its phase-transform semantics differ from the
+        # plain conv xla_conv2 computes
+        if s.func_name not in ("xla_conv", "k1conv", "conv"):
             return None
         if "biases" not in s.arg_nodes:
-            return None  # keep the template's 5-arg form simple
+            return None  # keep the template's paired-args form simple
         sig = s.sig
         parts = [s.arg_nodes["in"]]
         for k in ("stride", "in_pad", "kern_sz"):
@@ -156,56 +161,50 @@ def _fuse_sibling_convs(steps: list[Step], node_dims) -> list[Step]:
         parts.append(sig.get_u32_or("quant8", 0))
         return tuple(parts)
 
-    first_at: dict = {}
-    fused_into: dict[int, int] = {}   # second idx -> first idx
+    groups: dict = {}
     for i, s in enumerate(steps):
         k = sib_key(s)
-        if k is None:
-            continue
-        j = first_at.get(k)
-        if j is None:
-            first_at[k] = i
-        elif j not in fused_into.values():
-            fused_into[i] = j
-            del first_at[k]           # pairs only
+        if k is not None:
+            groups.setdefault(k, []).append(i)
+    merged: dict[int, list[int]] = {}   # first idx -> member idxs
+    drop: set[int] = set()
+    for idxs in groups.values():
+        for j in range(0, len(idxs) - 1, len(SIBS)):
+            grp = idxs[j:j + len(SIBS)]
+            if len(grp) >= 2:
+                merged[grp[0]] = grp
+                drop.update(grp[1:])
 
     out: list[Step] = []
-    pair_of = {j: i for i, j in fused_into.items()}
     for i, s in enumerate(steps):
-        if i in fused_into:
-            continue                  # merged into its earlier sibling
-        if i in pair_of:
-            s2 = steps[pair_of[i]]
-            sig = OpBase({"type": "xla_conv2", "func_name": "xla_conv2"})
-            sig.set_dims("in", s.sig.get_dims("in"))
-            sig.nda_vals["filts_a"] = s.sig.nda_vals["filts"]
-            sig.nda_vals["biases_a"] = s.sig.nda_vals["biases"]
-            sig.nda_vals["filts_b"] = s2.sig.nda_vals["filts"]
-            sig.nda_vals["biases_b"] = s2.sig.nda_vals["biases"]
-            sig.nda_vals["out_a"] = s.sig.nda_vals["out"]
-            sig.nda_vals["out_b"] = s2.sig.nda_vals["out"]
-            for k in ("in_pad", "stride", "kern_sz"):
-                if k in s.sig.nda_vals:
-                    sig.nda_vals[k] = s.sig.nda_vals[k]
-            if s.sig.get_u32_or("conv_has_relu", 0):
-                sig.set_u32("relu_a", 1)
-            if s2.sig.get_u32_or("conv_has_relu", 0):
-                sig.set_u32("relu_b", 1)
-            if s.sig.get_u32_or("quant8", 0):
-                sig.set_u32("quant8", 1)
-            for k in ("prec", "layout"):
-                if k in s.sig.str_vals:
-                    sig.str_vals[k] = s.sig.str_vals[k]
-            out.append(Step(sig, {"in": s.arg_nodes["in"],
-                                  "filts_a": s.arg_nodes["filts"],
-                                  "biases_a": s.arg_nodes["biases"],
-                                  "filts_b": s2.arg_nodes["filts"],
-                                  "biases_b": s2.arg_nodes["biases"],
-                                  "out_a": s.arg_nodes["out"],
-                                  "out_b": s2.arg_nodes["out"]},
-                            s.call_tag + "+" + s2.call_tag))
-        else:
+        if i in drop:
+            continue
+        if i not in merged:
             out.append(s)
+            continue
+        members = [steps[m] for m in merged[i]]
+        sig = OpBase({"type": "xla_conv2", "func_name": "xla_conv2"})
+        sig.set_dims("in", s.sig.get_dims("in"))
+        arg_nodes = {"in": s.arg_nodes["in"]}
+        for tag, m in zip(SIBS, members):
+            sig.nda_vals[f"filts_{tag}"] = m.sig.nda_vals["filts"]
+            sig.nda_vals[f"biases_{tag}"] = m.sig.nda_vals["biases"]
+            sig.nda_vals[f"out_{tag}"] = m.sig.nda_vals["out"]
+            arg_nodes[f"filts_{tag}"] = m.arg_nodes["filts"]
+            arg_nodes[f"biases_{tag}"] = m.arg_nodes["biases"]
+            arg_nodes[f"out_{tag}"] = m.arg_nodes["out"]
+            if m.sig.get_u32_or("conv_has_relu", 0):
+                sig.set_u32(f"relu_{tag}", 1)
+        for k in ("in_pad", "stride", "kern_sz"):
+            if k in s.sig.nda_vals:
+                sig.nda_vals[k] = s.sig.nda_vals[k]
+        if s.sig.get_u32_or("quant8", 0):
+            sig.set_u32("quant8", 1)
+        for k in ("prec", "layout"):
+            if k in s.sig.str_vals:
+                sig.str_vals[k] = s.sig.str_vals[k]
+        out.append(Step(sig, arg_nodes,
+                        "+".join(m.call_tag for m in members)))
     return out
 
 

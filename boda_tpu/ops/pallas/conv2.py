@@ -26,16 +26,7 @@ from .conv import _quantize_conv_operands
 from .sgemm import _dot_precision
 
 
-def _params2(rfs: OpBase):
-    ind = rfs.get_dims("in")
-    oa = rfs.get_dims("out_a")
-    ob = rfs.get_dims("out_b")
-    st = rfs.get_dims_or_none("stride")
-    pad = rfs.get_dims_or_none("in_pad")
-    return (ind, oa, ob, rfs.get_dims("filts_a"), rfs.get_dims("filts_b"),
-            (st["y"], st["x"]) if st else (1, 1),
-            (pad["y"], pad["x"]) if pad else (0, 0),
-            rfs.get_u32_or("relu_a", 0) == 1, rfs.get_u32_or("relu_b", 0) == 1)
+SIBS = ("a", "b", "c", "d")   # up to 4-way fusion (inception blocks)
 
 
 @template
@@ -47,35 +38,47 @@ class XlaConv2(KernelTemplate):
             adecl("biases_a", IN, "out_chan", opt=True),
             adecl("filts_b", IN, "out_chan in_chan y x"),
             adecl("biases_b", IN, "out_chan", opt=True),
+            adecl("filts_c", IN, "out_chan in_chan y x", opt=True),
+            adecl("biases_c", IN, "out_chan", opt=True),
+            adecl("filts_d", IN, "out_chan in_chan y x", opt=True),
+            adecl("biases_d", IN, "out_chan", opt=True),
             adecl("out_a", OUT, "img chan y x"),
-            adecl("out_b", OUT, "img chan y x")]
+            adecl("out_b", OUT, "img chan y x"),
+            adecl("out_c", OUT, "img chan y x", opt=True),
+            adecl("out_d", OUT, "img chan y x", opt=True)]
     sig_nda_keys = ["in_pad", "stride", "kern_sz", "relu_a", "relu_b",
-                    "quant8"]
+                    "relu_c", "relu_d", "quant8"]
     sig_str_keys = ["prec", "layout"]
 
     @classmethod
-    def flops(cls, rfs: OpBase) -> int:
-        ind, oa, ob, fa, fb, _s, _p, _ra, _rb = _params2(rfs)
-        k = fa["y"] * fa["x"]
-        return 2 * oa.sz() * fa["in_chan"] * k + 2 * ob.sz() * fb["in_chan"] * k
+    def _sibs(cls, rfs: OpBase):
+        return [s for s in SIBS if f"filts_{s}" in rfs.nda_vals]
 
     @classmethod
-    def ref_impl(cls, rfs: OpBase, x, wa, ba, wb, bb):
+    def flops(cls, rfs: OpBase) -> int:
+        tot = 0
+        for s in cls._sibs(rfs):
+            f = rfs.get_dims(f"filts_{s}")
+            tot += 2 * rfs.get_dims(f"out_{s}").sz() * f["in_chan"] \
+                * f["y"] * f["x"]
+        return tot
+
+    @classmethod
+    def ref_impl(cls, rfs: OpBase, x, *wbs):
         from .conv import _ConvBase
+        sibs = cls._sibs(rfs)
         outs = []
-        for sub, w, b, relu_key in (("out_a", wa, ba, "relu_a"),
-                                    ("out_b", wb, bb, "relu_b")):
+        for i, s in enumerate(sibs):
             sr = OpBase({"type": "Convolution"})
             sr.nda_vals["in"] = rfs.nda_vals["in"]
-            sr.nda_vals["filts"] = rfs.nda_vals[
-                "filts_a" if sub == "out_a" else "filts_b"]
-            sr.nda_vals["out"] = rfs.nda_vals[sub]
+            sr.nda_vals["filts"] = rfs.nda_vals[f"filts_{s}"]
+            sr.nda_vals["out"] = rfs.nda_vals[f"out_{s}"]
             for k in ("in_pad", "stride", "kern_sz"):
                 if k in rfs.nda_vals:
                     sr.nda_vals[k] = rfs.nda_vals[k]
-            if rfs.get_u32_or(relu_key, 0):
+            if rfs.get_u32_or(f"relu_{s}", 0):
                 sr.set_u32("conv_has_relu", 1)
-            outs.append(_ConvBase.ref_impl(sr, x, w, b))
+            outs.append(_ConvBase.ref_impl(sr, x, wbs[2 * i], wbs[2 * i + 1]))
         return tuple(outs)
 
     @classmethod
@@ -84,18 +87,24 @@ class XlaConv2(KernelTemplate):
         import jax.numpy as jnp
 
         from .util import storage_io
-        ind, oa, ob, fa, fb, (sy, sx), (py, px), relu_a, relu_b = _params2(rfs)
-        na, nb = fa["out_chan"], fb["out_chan"]
+        sibs = cls._sibs(rfs)
+        st = rfs.get_dims_or_none("stride")
+        pad = rfs.get_dims_or_none("in_pad")
+        sy, sx = (st["y"], st["x"]) if st else (1, 1)
+        py, px = (pad["y"], pad["x"]) if pad else (0, 0)
+        ns = [rfs.get_dims(f"filts_{s}")["out_chan"] for s in sibs]
+        relus = [rfs.get_u32_or(f"relu_{s}", 0) == 1 for s in sibs]
+        out_dts = [rfs.get_dims(f"out_{s}").dtype for s in sibs]
         bf16 = rfs.str_vals.get("prec") == "bf16"
         quant8 = rfs.get_u32_or("quant8", 0) == 1
         io_nhwc, edt = storage_io(rfs)
         cdt = jnp.bfloat16 if bf16 else jnp.float32
-        out_dt_a = (edt or oa.dtype) if io_nhwc else oa.dtype
-        out_dt_b = (edt or ob.dtype) if io_nhwc else ob.dtype
+        if io_nhwc and edt is not None:
+            out_dts = [edt] * len(sibs)
 
-        def fn(x, wa, ba, wb, bb):
-            w = jnp.concatenate([wa, wb], axis=0)       # (na+nb, ic, ky, kx)
-            b = jnp.concatenate([ba, bb], axis=0)
+        def fn(x, *wbs):
+            w = jnp.concatenate(wbs[0::2], axis=0)    # (sum(ns), ic, ky, kx)
+            b = jnp.concatenate(wbs[1::2], axis=0)
             wh = jnp.transpose(w, (2, 3, 1, 0))
             xh = x if io_nhwc else jnp.transpose(x, (0, 2, 3, 1))
             if quant8:
@@ -114,13 +123,15 @@ class XlaConv2(KernelTemplate):
                     preferred_element_type=jnp.float32,
                     precision=_dot_precision(jnp.dtype(cdt)))
             y = y + b.astype(y.dtype)[None, None, None, :]
-            ya, yb = y[..., :na], y[..., na:]
-            if relu_a:
-                ya = jnp.maximum(ya, 0)
-            if relu_b:
-                yb = jnp.maximum(yb, 0)
-            if io_nhwc:
-                return ya.astype(out_dt_a), yb.astype(out_dt_b)
-            return (jnp.transpose(ya, (0, 3, 1, 2)).astype(out_dt_a),
-                    jnp.transpose(yb, (0, 3, 1, 2)).astype(out_dt_b))
+            outs = []
+            off = 0
+            for n_i, relu_i, dt_i in zip(ns, relus, out_dts):
+                yi = y[..., off:off + n_i]
+                off += n_i
+                if relu_i:
+                    yi = jnp.maximum(yi, 0)
+                if not io_nhwc:
+                    yi = jnp.transpose(yi, (0, 3, 1, 2))
+                outs.append(yi.astype(dt_i))
+            return tuple(outs)
         return fn

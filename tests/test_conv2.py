@@ -46,3 +46,23 @@ def test_fuse_siblings_numerics(tune):
     got = eng.run_fwd(blob, ["prob"])["prob"].v
     tol = 3e-2 if "bf16" in tune else 5e-4
     assert mrd(got, want) < tol
+
+
+def test_fuse_siblings_inception_groups():
+    """googlenet inception blocks: 3 same-input 1x1 branches fuse 3-way."""
+    pipe = build_model("googlenet_conv", batch=1, ysz=64, xsz=64)
+    plan = lower_pipe(pipe, make_op_tune("(use_culibs=1,fuse_siblings=1,s2d=0)"))
+    fused = [s for s in plan.steps if s.func_name == "xla_conv2"]
+    assert fused
+    widths = [len([k for k in s.arg_nodes if k.startswith("filts_")])
+              for s in fused]
+    assert max(widths) >= 3  # inception 1x1 trios actually grouped
+    d = pipe.get_data_img_dims()
+    blob = {"data": NDA(d, gen_test_nda(d, 0, 0.1))}
+    base = make_engine("(engine=rtc,op_tune=(use_culibs=1,s2d=0))")
+    base.init(pipe)
+    want = base.run_fwd(blob, ["prob"])["prob"].v
+    eng = make_engine("(engine=rtc,op_tune=(use_culibs=1,fuse_siblings=1,s2d=0))")
+    eng.init(pipe)
+    got = eng.run_fwd(blob, ["prob"])["prob"].v
+    assert mrd(got, want) < 5e-4
