@@ -78,6 +78,7 @@ class CnetTune(_NetMode):
     wisdom_out_fn = Attr(str, default="", help="write winner tune here")
 
     DEFAULT_TUNES = [
+        "(use_culibs=1,prec=bf16,layout=nhwc,s2d=0,fuse_siblings=1)",
         "(use_culibs=1,prec=bf16,layout=nhwc,s2d=0)",
         "(use_culibs=1,prec=bf16,layout=nhwc)",
         "(use_culibs=1,prec=bf16,layout=nhwc,edge_prec=f32,s2d=0)",
@@ -382,7 +383,8 @@ class CnetStageProbe(_NetMode):
 @mode("cnet_bench", help="slope-timed whole-net throughput benchmark")
 class CnetBench(_NetMode):
     op_tune = Attr(OpTune,
-                   default="(use_culibs=1,prec=bf16,layout=nhwc,s2d=0)",
+                   default="(use_culibs=1,prec=bf16,layout=nhwc,s2d=0,"
+                           "fuse_siblings=1)",
                    help="tune record (default: shipped perf config)")
     wisdom_fn = Attr(str, default="", help="per-op wisdom overrides "
                      "(ops_prof output; sigs must match this batch)")
