@@ -85,9 +85,13 @@ def solve_matmul_tiles(M: int, N: int, K: int, dtype="float32",
     """
     sl = sublane(dtype)
     isz = 2 if _is_bf16(dtype) else np.dtype(dtype).itemsize
-    Mb = Mb or pick_block(M, 512, max(MXU, sl))
-    Nb = Nb or pick_block(N, 512, LANE)
-    Kb = Kb or pick_block(K, 2048, LANE)
+    # explicit overrides are rounded UP to hardware tiling (Pallas rejects
+    # blocks whose last two dims aren't sublane/lane multiples — a tconv
+    # band candidate like Mb=14 landing on the matmul path must not turn
+    # into a guaranteed-invalid compile)
+    Mb = round_up(Mb, sl) if Mb else pick_block(M, 512, max(MXU, sl))
+    Nb = round_up(Nb, LANE) if Nb else pick_block(N, 512, LANE)
+    Kb = round_up(Kb, LANE) if Kb else pick_block(K, 2048, LANE)
     # shrink K block first, then M/N, until VMEM fits
     def vmem(mb, nb, kb):
         return 2 * (mb * kb + kb * nb + mb * nb) * isz + mb * nb * 4

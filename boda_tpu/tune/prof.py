@@ -40,45 +40,55 @@ def profile_rcg_call(cg: Codegen, op: OpBase, run_iter: int = 5,
     inst = cg.gen_func(op)
     args: dict[str, str] = {}
     made: list[str] = []
-    gd = get_template("gen_data")
-    for i, a in enumerate(tmpl.args):
-        if a.name not in rfs.nda_vals:
-            continue
-        dims = rfs.get_dims(a.name)
-        if dims.tn == "none":
-            continue
-        vn = f"{var_prefix}{a.name}"
-        if not be.var_exists(vn):
-            be.create_var_with_dims(vn, dims)
-            made.append(vn)
-        args[a.name] = vn
-        if a.kind in ("IN", "INOUT"):
-            gop = OpBase({"type": "gen_data", "func_name": "gen_data"})
-            gop.set_dims("out", dims)
-            gop.set_u32("mode", i % 4)
-            gop.nda_vals["scale"] = NDA.scalar(0.1, "float")
-            cg.gen_and_run(gop, {"out": vn})
-    cg.compile_pend()
-    best = None
-    for _ in range(max(run_iter, 1)):
-        cid = cg.run_func(RtcFuncCall(inst, args))
-        be.finish_and_sync()
-        dur = be.get_dur(cid, cid)
-        best = dur if best is None else min(best, dur)
-    outs = {a.name: be.copy_var_to_nda(args[a.name])
-            for a in tmpl.args if a.kind in ("OUT", "INOUT") and a.name in args}
-    if getattr(be, "kind", "") == "xla" and be.get_plat_tag().startswith("xla:tpu"):
-        # under the axon tunnel per-call wall timing is unreliable (cached
-        # same-input dispatch, non-blocking readiness): re-time with
-        # iterations chained inside one XLA program (bench.py methodology)
-        fn = tmpl.build(rfs)
-        in_vals = [be.var_device_value(args[a.name])
-                   for a in tmpl.args
-                   if a.kind in ("IN", "INOUT") and a.name in args]
-        best = _chained_secs(fn, in_vals, max(run_iter, 3))
-    for vn in made:
-        be.release_var(vn)
-    return best, outs
+    try:
+        gd = get_template("gen_data")
+        for i, a in enumerate(tmpl.args):
+            if a.name not in rfs.nda_vals:
+                continue
+            dims = rfs.get_dims(a.name)
+            if dims.tn == "none":
+                continue
+            vn = f"{var_prefix}{a.name}"
+            if be.var_exists(vn) and be.get_var_dims(vn) != dims:
+                # stale var from a prior profiled op (e.g. one whose
+                # sweep errored mid-profile) — recreate at these dims
+                be.release_var(vn)
+            if not be.var_exists(vn):
+                be.create_var_with_dims(vn, dims)
+                made.append(vn)
+            args[a.name] = vn
+            if a.kind in ("IN", "INOUT"):
+                gop = OpBase({"type": "gen_data", "func_name": "gen_data"})
+                gop.set_dims("out", dims)
+                gop.set_u32("mode", i % 4)
+                gop.nda_vals["scale"] = NDA.scalar(0.1, "float")
+                cg.gen_and_run(gop, {"out": vn})
+        cg.compile_pend()
+        best = None
+        for _ in range(max(run_iter, 1)):
+            cid = cg.run_func(RtcFuncCall(inst, args))
+            be.finish_and_sync()
+            dur = be.get_dur(cid, cid)
+            best = dur if best is None else min(best, dur)
+        outs = {a.name: be.copy_var_to_nda(args[a.name])
+                for a in tmpl.args
+                if a.kind in ("OUT", "INOUT") and a.name in args}
+        if getattr(be, "kind", "") == "xla" and be.get_plat_tag().startswith("xla:tpu"):
+            # under the axon tunnel per-call wall timing is unreliable
+            # (cached same-input dispatch, non-blocking readiness): re-time
+            # with iterations chained inside one XLA program (bench.py
+            # methodology)
+            fn = tmpl.build(rfs)
+            in_vals = [be.var_device_value(args[a.name])
+                       for a in tmpl.args
+                       if a.kind in ("IN", "INOUT") and a.name in args]
+            best = _chained_secs(fn, in_vals, max(run_iter, 3))
+        return best, outs
+    finally:
+        # ALWAYS release — an errored tune used to leak 'in'/'filts' vars
+        # that poisoned every later op's sweep with dim mismatches
+        for vn in made:
+            be.release_var(vn)
 
 
 def _chained_secs(fn, in_vals, iters: int) -> float:
