@@ -66,3 +66,18 @@ def test_fuse_siblings_inception_groups():
     eng.init(pipe)
     got = eng.run_fwd(blob, ["prob"])["prob"].v
     assert mrd(got, want) < 5e-4
+
+
+def test_fuse_siblings_ref_engine():
+    """the float64 ref engine runs the fused plan through xla_conv2's
+    independent numpy ref_impl — digests must match the rtc engine."""
+    pipe = build_model("resnet-50", batch=1, ysz=64, xsz=64)
+    d = pipe.get_data_img_dims()
+    blob = {"data": NDA(d, gen_test_nda(d, 0, 0.1))}
+    ref = make_engine("(engine=ref,op_tune=(use_culibs=1,fuse_siblings=1,s2d=0))")
+    ref.init(pipe)
+    want = ref.run_fwd(blob, ["prob"])["prob"].v
+    eng = make_engine("(engine=rtc,op_tune=(use_culibs=1,fuse_siblings=1,s2d=0))")
+    eng.init(pipe)
+    got = eng.run_fwd(blob, ["prob"])["prob"].v
+    assert mrd(got, want) < 5e-4
