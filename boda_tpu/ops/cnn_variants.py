@@ -66,6 +66,11 @@ class OpTune(Config):
                        "edges keep prec/edge_prec). The TPU-native "
                        "extension of the reference's fixed-point quantize "
                        "hooks (rtc_fwd.cc:28-37)")
+    act_scale = Attr(float, default=0.0,
+                     help="with quant8: CALIBRATED activation absmax for "
+                          "this site (static quantization — skips the "
+                          "per-call dynamic max reduction); 0 = dynamic. "
+                          "Produced by tune/presets.calibrate_int8_act_scales")
     s2d = Attr(bool, default=True,
                help="space-to-depth first-layer transform: stride-2 "
                     "thin-channel convs (conv1 7x7 s2 C<=4) run as "
@@ -194,8 +199,15 @@ def add_cnn_codegen_annotations(op: OpBase, tune: OpTune,
             # int8 execution for the MXU-heavy convs; thin-channel stems
             # stay in float (their error dominates, their flops don't)
             op.set_u32("quant8", 1)
+            if t.act_scale:
+                from .op_base import OpBase as _OB  # noqa: F401
+                from ..core.dims import NDA as _NDA
+                op.nda_vals["act_scale"] = _NDA.scalar(t.act_scale, "float")
+            else:
+                op.nda_vals.pop("act_scale", None)
         else:
             op.nda_vals.pop("quant8", None)
+            op.nda_vals.pop("act_scale", None)
     elif op.type == "InnerProduct":
         op.set_func_name("ipconv" if t.ipconv else "xla_conv")
         _set_or_pop_str(op, "prec", t.prec)

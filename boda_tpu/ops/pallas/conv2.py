@@ -47,7 +47,7 @@ class XlaConv2(KernelTemplate):
             adecl("out_c", OUT, "img chan y x", opt=True),
             adecl("out_d", OUT, "img chan y x", opt=True)]
     sig_nda_keys = ["in_pad", "stride", "kern_sz", "relu_a", "relu_b",
-                    "relu_c", "relu_d", "quant8"]
+                    "relu_c", "relu_d", "quant8", "act_scale"]
     sig_str_keys = ["prec", "layout"]
 
     @classmethod
@@ -97,6 +97,8 @@ class XlaConv2(KernelTemplate):
         out_dts = [rfs.get_dims(f"out_{s}").dtype for s in sibs]
         bf16 = rfs.str_vals.get("prec") == "bf16"
         quant8 = rfs.get_u32_or("quant8", 0) == 1
+        act_absmax = float(rfs.nda_vals["act_scale"].item()) \
+            if "act_scale" in rfs.nda_vals else 0.0
         io_nhwc, edt = storage_io(rfs)
         cdt = jnp.bfloat16 if bf16 else jnp.float32
         if io_nhwc and edt is not None:
@@ -108,7 +110,7 @@ class XlaConv2(KernelTemplate):
             wh = jnp.transpose(w, (2, 3, 1, 0))
             xh = x if io_nhwc else jnp.transpose(x, (0, 2, 3, 1))
             if quant8:
-                xq, wq, sc = _quantize_conv_operands(xh, wh, (0, 1, 2))
+                xq, wq, sc = _quantize_conv_operands(xh, wh, (0, 1, 2), act_absmax)
                 y = jax.lax.conv_general_dilated(
                     xq, wq, window_strides=(sy, sx),
                     padding=((py, py), (px, px)),

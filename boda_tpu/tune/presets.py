@@ -29,3 +29,65 @@ def resnet_int8_site_tunes(pipe, base_tune_spec: str) -> dict[str, OpTune]:
     return {op.tag: q for op in pipe.ops.values()
             if op.type == "Convolution"
             and any(rx.fullmatch(op.tag) for rx in rxs)}
+
+
+def calibrate_int8_act_scales(pipe, base_tune_spec: str, x,
+                              site_tunes: dict[str, OpTune]) -> dict[str, OpTune]:
+    """Static int8 calibration: run ONE float forward over calibration
+    input x (logical NCHW), read each quantized site's INPUT-node absmax,
+    and return per-site tunes carrying act_scale — the quant8 kernels
+    then skip the per-call dynamic activation-max reduction. (The
+    TPU-native analog of the reference's per-layer max_val quantize spec,
+    rtc_fwd.cc:28-37, which also took calibrated ranges from outside.)"""
+    import numpy as np
+
+    from ..engine.lower import lower_pipe
+    from ..engine.rtc_fwd import build_fused_forward
+
+    plan = lower_pipe(pipe, make_op_tune(base_tune_spec), fused_storage=True)
+    fwd = build_fused_forward(plan, keep_all_nodes=True)
+    weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+    data_node = pipe.data_img_node_names[0]
+    vals = fwd({data_node: x}, weights)
+    out = {}
+    for tag, tune in site_tunes.items():
+        op = pipe.get_op(tag)
+        in_node = op.bots[0]
+        v = np.asarray(vals[in_node]) if in_node in vals else np.asarray(x)
+        # OpTune objects are plain attrs — shallow-copy and set the scale
+        import copy
+        t2 = copy.copy(tune)
+        t2.act_scale = float(np.abs(v).max()) or 1e-6
+        out[tag] = t2
+    return out
+
+
+def save_act_scales(path, tunes: dict[str, OpTune]) -> None:
+    """Persist calibrated per-site activation absmaxes (one lexp/line)."""
+    with open(path, "w") as f:
+        for tag in sorted(tunes):
+            f.write(f"(tag={tag},act_scale={tunes[tag].act_scale!r})\n")
+
+
+def load_act_scales(path, site_tunes: dict[str, OpTune]) -> dict[str, OpTune]:
+    """Apply persisted act scales onto a site-tune map (tags must match)."""
+    import copy
+
+    from ..core.lexp import parse_lexp
+    scales = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            l = parse_lexp(line)
+            l.deep_inc_use_cnt()
+            scales[l.get_kid("tag").leaf_val] = \
+                float(l.get_kid("act_scale").leaf_val)
+    out = {}
+    for tag, tune in site_tunes.items():
+        t2 = copy.copy(tune)
+        if tag in scales:
+            t2.act_scale = scales[tag]
+        out[tag] = t2
+    return out

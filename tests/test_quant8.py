@@ -153,3 +153,46 @@ def test_resnet_int8_preset_top1_agrees():
     nq = sum(s.sig.get_u32_or("quant8", 0) == 1 for s in plan_q.steps)
     assert nq == len(tunes)
     assert (pf.reshape(2, -1).argmax(1) == pq.reshape(2, -1).argmax(1)).all()
+
+
+def test_calibrated_static_int8_matches_dynamic():
+    """static (calibrated act_scale) int8 must track dynamic int8 closely
+    when calibrated on the same input, and keep top-1 agreement with
+    bf16 — the production int8 shape (no per-call max reduction)."""
+    from boda_tpu.models.zoo import build_model
+    from boda_tpu.tune.presets import (calibrate_int8_act_scales,
+                                       resnet_int8_site_tunes)
+    pipe = build_model("resnet-50", batch=2, ysz=64, xsz=64)
+    base = "(use_culibs=1,prec=bf16,layout=nhwc,s2d=0)"
+    dyn = resnet_int8_site_tunes(pipe, base)
+    d = pipe.get_data_img_dims()
+    x = (np.random.RandomState(3).randn(*d.shape) * 0.3).astype(np.float32)
+    stat = calibrate_int8_act_scales(pipe, base, x, dyn)
+    assert all(t.act_scale > 0 for t in stat.values())
+    weights = None
+
+    def run(op_t):
+        nonlocal weights
+        plan = lower_pipe(pipe, make_op_tune(base), op_tunes=op_t,
+                          fused_storage=True)
+        if op_t is stat:
+            assert any("act_scale" in s.sig.nda_vals for s in plan.steps)
+        fwd = build_fused_forward(plan, keep_all_nodes=True)
+        if weights is None:
+            weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+        return np.asarray(fwd({"data": x}, weights)["fc1000-conv"])
+
+    def mrd(a, b):
+        return np.abs(a - b).max() / (np.maximum(np.abs(a), np.abs(b)).max()
+                                      + 1e-30)
+
+    # compare pre-softmax logits: this untrained msra net has |logits|~1e3
+    # with near-ties, so post-softmax comparisons are argmax lotteries.
+    # static-vs-dynamic differ only through downstream drift of the
+    # per-site scale choice; both must stay close to each other and to
+    # the bf16 float path.
+    lf = run(None)
+    ld = run(dyn)
+    ls = run(stat)
+    assert mrd(ld, ls) < 5e-2
+    assert mrd(lf, ls) < 1e-1 and mrd(lf, ld) < 1e-1
