@@ -104,8 +104,16 @@ def main() -> None:
     # within the 5e-4 float tolerance — reported alongside, NOT as the
     # headline): dynamic int8 on the measured-winner site set (stage-3
     # 3x3s + all stage-4/5 convs; full sweep table in ROUND3_NOTES.md)
-    from boda_tpu.tune.presets import resnet_int8_site_tunes
+    from boda_tpu.tune.presets import (load_act_scales,
+                                       resnet_int8_site_tunes)
     op_tunes = resnet_int8_site_tunes(pipe, tune_s)
+    scales_fn = "tests/data/resnet50-b128-int8-scales.lexp"
+    import os as _os
+    if _os.path.exists(scales_fn):
+        # calibrated STATIC activation scales (recorded for exactly this
+        # config/weights/input; skips the per-call dynamic max reduction:
+        # 7.11 -> 6.59 ms measured)
+        op_tunes = load_act_scales(scales_fn, op_tunes)
     plan_q = lower_pipe(pipe, make_op_tune(tune_s), op_tunes=op_tunes,
                         fused_storage=True)
     fwd_q = build_fused_forward(plan_q)
