@@ -392,6 +392,10 @@ class CnetBench(_NetMode):
                         help="per-op tune overrides by TAG REGEX, e.g. "
                              "(res2.*=(use_culibs=1,prec=bf16,layout=nhwc,"
                              "quant8=1)) — selective-stage experiments")
+    act_scales_fn = Attr(str, default="",
+                         help="calibrated static int8 activation scales "
+                              "(tune/presets save_act_scales output) "
+                              "applied onto the per-op tunes")
     iters = Attr(int, default=30, help="long chain length")
     reps = Attr(int, default=3, help="slope repetitions (median)")
 
@@ -440,6 +444,9 @@ class CnetBench(_NetMode):
         op_tunes = self._wisdom_tunes(pipe) if self.wisdom_fn else None
         if self.op_tunes_pat:
             op_tunes = {**(op_tunes or {}), **(self._pat_tunes(pipe) or {})}
+        if self.act_scales_fn and op_tunes:
+            from ..tune.presets import load_act_scales
+            op_tunes = load_act_scales(self.act_scales_fn, op_tunes)
         plan = lower_pipe(pipe, self.op_tune, op_tunes=op_tunes,
                           fused_storage=True)
         fwd = build_fused_forward(plan)
