@@ -196,3 +196,23 @@ def test_calibrated_static_int8_matches_dynamic():
     ls = run(stat)
     assert mrd(ld, ls) < 5e-2
     assert mrd(lf, ls) < 1e-1 and mrd(lf, ld) < 1e-1
+
+
+def test_act_scale_artifacts_load():
+    """shipped calibration artifacts parse and apply onto site tunes."""
+    from pathlib import Path
+
+    from boda_tpu.models.zoo import build_model
+    from boda_tpu.tune.presets import (load_act_scales,
+                                       resnet_int8_site_tunes)
+    data = Path(__file__).parent / "data"
+    pipe = build_model("resnet-50", batch=128)
+    site = resnet_int8_site_tunes(
+        pipe, "(use_culibs=1,prec=bf16,layout=nhwc,s2d=0,fuse_siblings=1)")
+    stat = load_act_scales(data / "resnet50-b128-int8-scales.lexp", site)
+    assert len(stat) == 33
+    assert all(t.act_scale > 0 for t in stat.values())
+    # the other artifacts at least parse
+    for fn in ("resnet152-b64-int8-scales.lexp", "vgg19-b64-int8-scales.lexp"):
+        got = load_act_scales(data / fn, {})
+        assert got == {}
