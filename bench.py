@@ -107,7 +107,9 @@ def main() -> None:
     from boda_tpu.tune.presets import (load_act_scales,
                                        resnet_int8_site_tunes)
     op_tunes = resnet_int8_site_tunes(pipe, tune_s)
-    scales_fn = "tests/data/resnet50-b128-int8-scales.lexp"
+    from pathlib import Path as _Path
+    scales_fn = str(_Path(__file__).resolve().parent / "tests" / "data"
+                    / "resnet50-b128-int8-scales.lexp")
     import os as _os
     if _os.path.exists(scales_fn):
         # calibrated STATIC activation scales (recorded for exactly this

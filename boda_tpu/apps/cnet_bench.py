@@ -444,7 +444,12 @@ class CnetBench(_NetMode):
         op_tunes = self._wisdom_tunes(pipe) if self.wisdom_fn else None
         if self.op_tunes_pat:
             op_tunes = {**(op_tunes or {}), **(self._pat_tunes(pipe) or {})}
-        if self.act_scales_fn and op_tunes:
+        if self.act_scales_fn:
+            if not op_tunes:
+                from ..core.error import RtErr
+                raise RtErr("act_scales_fn requires per-op tunes "
+                            "(--op-tunes-pat or --wisdom-fn) naming the "
+                            "quant8 sites the scales apply to")
             from ..tune.presets import load_act_scales
             op_tunes = load_act_scales(self.act_scales_fn, op_tunes)
         plan = lower_pipe(pipe, self.op_tune, op_tunes=op_tunes,

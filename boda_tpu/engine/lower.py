@@ -200,6 +200,13 @@ def _fuse_sibling_convs(steps: list[Step], node_dims) -> list[Step]:
                 sig.nda_vals[k] = s.sig.nda_vals[k]
         if s.sig.get_u32_or("quant8", 0):
             sig.set_u32("quant8", 1)
+            # calibrated static act scales: the siblings share one input
+            # node so their scales agree by construction (max = defensive)
+            scales = [float(m.sig.nda_vals["act_scale"].item())
+                      for m in members if "act_scale" in m.sig.nda_vals]
+            if scales:
+                from ..core.dims import NDA as _NDA
+                sig.nda_vals["act_scale"] = _NDA.scalar(max(scales), "float")
         for k in ("prec", "layout"):
             if k in s.sig.str_vals:
                 sig.str_vals[k] = s.sig.str_vals[k]

@@ -200,7 +200,6 @@ def add_cnn_codegen_annotations(op: OpBase, tune: OpTune,
             # stay in float (their error dominates, their flops don't)
             op.set_u32("quant8", 1)
             if t.act_scale:
-                from .op_base import OpBase as _OB  # noqa: F401
                 from ..core.dims import NDA as _NDA
                 op.nda_vals["act_scale"] = _NDA.scalar(t.act_scale, "float")
             else:

@@ -39,8 +39,11 @@ def calibrate_int8_act_scales(pipe, base_tune_spec: str, x,
     then skip the per-call dynamic activation-max reduction. (The
     TPU-native analog of the reference's per-layer max_val quantize spec,
     rtc_fwd.cc:28-37, which also took calibrated ranges from outside.)"""
+    import copy
+
     import numpy as np
 
+    from ..core.error import RtErr
     from ..engine.lower import lower_pipe
     from ..engine.rtc_fwd import build_fused_forward
 
@@ -53,9 +56,15 @@ def calibrate_int8_act_scales(pipe, base_tune_spec: str, x,
     for tag, tune in site_tunes.items():
         op = pipe.get_op(tag)
         in_node = op.bots[0]
-        v = np.asarray(vals[in_node]) if in_node in vals else np.asarray(x)
+        if in_node not in vals:
+            # guessing a scale (e.g. from the raw image) would silently
+            # clip nearly everything — refuse instead
+            raise RtErr(f"calibrate_int8_act_scales: input node '{in_node}'"
+                        f" of site '{tag}' not in the forward's kept values"
+                        " (calibrate with a base tune whose fusion passes"
+                        " keep it, e.g. without fuse_resblock/fuse_stem)")
+        v = np.asarray(vals[in_node])
         # OpTune objects are plain attrs — shallow-copy and set the scale
-        import copy
         t2 = copy.copy(tune)
         t2.act_scale = float(np.abs(v).max()) or 1e-6
         out[tag] = t2
@@ -70,7 +79,10 @@ def save_act_scales(path, tunes: dict[str, OpTune]) -> None:
 
 
 def load_act_scales(path, site_tunes: dict[str, OpTune]) -> dict[str, OpTune]:
-    """Apply persisted act scales onto a site-tune map (tags must match)."""
+    """Apply persisted act scales onto a site-tune map. Reports the
+    applied/unmatched counts — a mismatched artifact (wrong model/site
+    set) silently running dynamic would masquerade as a static-int8
+    measurement."""
     import copy
 
     from ..core.lexp import parse_lexp
@@ -85,9 +97,18 @@ def load_act_scales(path, site_tunes: dict[str, OpTune]) -> dict[str, OpTune]:
             scales[l.get_kid("tag").leaf_val] = \
                 float(l.get_kid("act_scale").leaf_val)
     out = {}
+    applied = 0
     for tag, tune in site_tunes.items():
         t2 = copy.copy(tune)
         if tag in scales:
             t2.act_scale = scales[tag]
+            applied += 1
         out[tag] = t2
+    unmatched_sites = len(site_tunes) - applied
+    unmatched_artifact = len(scales) - applied
+    print(f"act_scales: applied {applied}/{len(site_tunes)} site(s) from "
+          f"{path}" + (f" ({unmatched_sites} site(s) stay dynamic, "
+                       f"{unmatched_artifact} artifact entr(ies) unused)"
+                       if unmatched_sites or unmatched_artifact else ""),
+          flush=True)
     return out

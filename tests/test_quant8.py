@@ -213,6 +213,32 @@ def test_act_scale_artifacts_load():
     assert len(stat) == 33
     assert all(t.act_scale > 0 for t in stat.values())
     # the other artifacts at least parse
-    for fn in ("resnet152-b64-int8-scales.lexp", "vgg19-b64-int8-scales.lexp"):
+    for fn in ("resnet101-b64-int8-scales.lexp",
+               "resnet152-b64-int8-scales.lexp", "vgg19-b64-int8-scales.lexp"):
         got = load_act_scales(data / fn, {})
         assert got == {}
+
+
+def test_fused_siblings_carry_act_scale():
+    """regression (r3 review): the sibling-fusion pass must propagate
+    calibrated act_scale into the fused xla_conv2 sigs — 4 of 33 shipped
+    sites are projection pairs and silently fell back to dynamic."""
+    from pathlib import Path
+
+    from boda_tpu.models.zoo import build_model
+    from boda_tpu.tune.presets import load_act_scales, resnet_int8_site_tunes
+    tune_s = "(use_culibs=1,prec=bf16,layout=nhwc,s2d=0,fuse_siblings=1)"
+    pipe = build_model("resnet-50", batch=128)
+    site = resnet_int8_site_tunes(pipe, tune_s)
+    stat = load_act_scales(Path(__file__).parent / "data"
+                           / "resnet50-b128-int8-scales.lexp", site)
+    plan = lower_pipe(pipe, make_op_tune(tune_s), op_tunes=stat,
+                      fused_storage=True)
+    q_fused = [s for s in plan.steps if s.func_name == "xla_conv2"
+               and s.sig.get_u32_or("quant8", 0)]
+    assert q_fused, "expected quantized fused projection pairs (res4a/res5a)"
+    assert all("act_scale" in s.sig.nda_vals for s in q_fused)
+    # and every single-conv quant8 step carries one too
+    q_single = [s for s in plan.steps if s.func_name == "xla_conv"
+                and s.sig.get_u32_or("quant8", 0)]
+    assert q_single and all("act_scale" in s.sig.nda_vals for s in q_single)
