@@ -106,9 +106,11 @@ def load_act_scales(path, site_tunes: dict[str, OpTune]) -> dict[str, OpTune]:
         out[tag] = t2
     unmatched_sites = len(site_tunes) - applied
     unmatched_artifact = len(scales) - applied
+    import sys
+    # stderr: bench.py's stdout contract is exactly one JSON line
     print(f"act_scales: applied {applied}/{len(site_tunes)} site(s) from "
           f"{path}" + (f" ({unmatched_sites} site(s) stay dynamic, "
                        f"{unmatched_artifact} artifact entr(ies) unused)"
                        if unmatched_sites or unmatched_artifact else ""),
-          flush=True)
+          file=sys.stderr, flush=True)
     return out
