@@ -13,7 +13,10 @@ import os
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (not setdefault): the driver env sets JAX_PLATFORMS=axon (the
+# tunnel plugin), which the xla Backend honors — tests must not run
+# over the serialized TPU tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
