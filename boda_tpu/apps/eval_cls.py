@@ -191,6 +191,30 @@ class TestLmdb(RunCnetBase):
         print(f"{acc_tag}={top_1_acc:g} num_pos={num_pos} num_test={num_test}")
 
 
+@mode("lmdb_parse_datums", help="parse caffe Datums from an LMDB, one line each")
+class LmdbParseDatums(HasMain):
+    """Reference: lmdb_parse_datums (lmdb_caffe_io.H:14) — cursor over the
+    DB parsing each Datum; here each record prints a summary line (the
+    reference's verbose path) so the scan is goldenable."""
+
+    db_fn = Attr(str, req=True, help="input lmdb dir")
+    num_to_read = Attr(int, default=10, help="read this many records (0: all)")
+
+    def main(self):
+        from ..graph.pbwire import decode_wire
+        n = 0
+        for key, raw in open_lmdb_kv_iter(self.db_fn):
+            if self.num_to_read and n >= self.num_to_read:
+                break
+            d = decode_wire(raw)
+            ks = key.decode("utf-8", "replace") if isinstance(key, bytes) else key
+            print(f"datum {n}: key={ks} label={d.varint(5, 0)} "
+                  f"chan={d.varint(1, 0)} y={d.varint(2, 0)} "
+                  f"x={d.varint(3, 0)} bytes={len(d.bytes_field(4) or b'')}")
+            n += 1
+        print(f"lmdb_parse_datums: read {n} datums from {self.db_fn}")
+
+
 @mode("lmdb_bench", help="scan an LMDB: count entries/bytes, datum stats")
 class LmdbBench(HasMain):
     """Reference: lmdb_bench_t (lmdbif.cc:13-38 — full-scan read bench)."""

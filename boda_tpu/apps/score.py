@@ -62,6 +62,35 @@ def load_pil(imgset_fn, ann_dir=None) -> dict[str, ImgInfo]:
     return db
 
 
+@mode("load_pil", help="load PASCAL VOC image lists by class; print counts")
+class LoadPil(HasMain):
+    """Reference: load_pil (results_io.H:163) — read a pascal classes
+    file, then each class's image-list file (pil_fn template), building
+    the image DB with GT boxes. Here the loaded DB is summarized per
+    class (images, GT boxes) so the load is goldenable."""
+
+    classes_fn = Attr(str, req=True, help="file listing classes, one per line")
+    pil_fn = Attr(str, req=True,
+                  help="image-list filename template; %s -> class name")
+    ann_dir = Attr(str, default="", help="VOC Annotations dir (XML per image)")
+
+    def main(self):
+        classes = [c.strip() for c in Path(self.classes_fn).read_text()
+                   .splitlines() if c.strip()]
+        db: dict[str, ImgInfo] = {}
+        for cls in classes:
+            part = load_pil(self.pil_fn % cls if "%s" in self.pil_fn
+                            else self.pil_fn, self.ann_dir or None)
+            n_new = sum(1 for k in part if k not in db)
+            db.update(part)
+            n_gt = sum(len(ii.gt.get(cls, [])) for ii in part.values())
+            print(f"load_pil: class {cls}: {len(part)} images "
+                  f"({n_new} new), {n_gt} gt boxes")
+        tot_gt = sum(len(gs) for ii in db.values() for gs in ii.gt.values())
+        print(f"load_pil: {len(db)} images total, {tot_gt} gt boxes, "
+              f"{len(classes)} classes")
+
+
 def box_iou(a, b) -> float:
     ix0, iy0 = max(a[0], b[0]), max(a[1], b[1])
     ix1, iy1 = min(a[2], b[2]), min(a[3], b[3])

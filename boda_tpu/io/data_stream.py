@@ -408,6 +408,32 @@ class PassStream(DataStream):
         return "pass"
 
 
+@register(DataStream, "adj-angle",
+          help="normalize angle data (degrees) to [-180,180) with offset")
+class AdjAngle(DataStream):
+    """Reference: data-stream.cc:944 (adj-angle) — elementwise
+    (optionally negated) angle + offset, wrapped into [-180, 180)."""
+
+    adj = Attr(float, default=0.0, help="offset to add (degrees)")
+    negate = Attr(bool, default=False, help="negate input angle first")
+
+    def proc_block(self, db: DataBlock) -> DataBlock:
+        if db.valid():
+            if db.nda is None:
+                raise RtErr("can only adj-angle on data blocks with nda "
+                            "data, but nda was null in input db.")
+            db = db.clone()
+            v = np.asarray(db.nda.v, np.float64)
+            if self.negate:
+                v = -v
+            v = np.mod(v + self.adj + 180.0, 360.0) - 180.0
+            db.nda = NDA(db.nda.dims, v.astype(db.nda.v.dtype))
+        return db
+
+    def get_pos_info_str(self) -> str:
+        return f"adj-angle: adj={self.adj} <no-state>"
+
+
 @register(DataStream, "merge",
           help="read one block from each source; emit with named subblocks")
 class Merge(DataStream):

@@ -151,6 +151,87 @@ class DisplayPil(HasMain):
         print(f"display_pil: wrote {n} annotated images to {out}")
 
 
+@mode("display_raw_vid",
+      help="render an image-bearing data stream to montage frame PNGs")
+class DisplayRawVid(HasMain):
+    """Reference: display-raw-vid (raw-vid-disp.cc:46) — read blocks from
+    a data stream and composite their images into a display window at a
+    fixed rate. File-backed here (no SDL window in a TPU VM): one montage
+    PNG per frame. Images are found, in order of preference, in the
+    block's add-img 'img' subblock, its image subblocks, an image-shaped
+    nda, or an nda heatmap (the display fallback the reference used for
+    un-annotated raw blocks)."""
+
+    src = Attr(DataStream, req=True, help="data stream to read images from")
+    out_dir = Attr(str, default="raw_vid")
+    max_frames = Attr(int, default=8)
+    display_downsample_factor = Attr(
+        int, default=1, help="downsample images by this factor before "
+                             "compositing (reference: same knob)")
+    print_timestamps = Attr(bool, default=False)
+
+    def _img_of(self, db: DataBlock) -> Optional[np.ndarray]:
+        sub = db.get_sdb("img")
+        if sub is not None and sub.nda is not None:
+            return sub.nda.v
+        v = db.nda.v if db.nda is not None else None
+        if v is not None and v.ndim == 3 and v.shape[-1] == 3 \
+                and v.dtype == np.uint8:
+            return v
+        if v is not None:
+            return nda_to_img(v)
+        return None
+
+    def main(self):
+        out = self.out_path(self.out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        self.src.data_stream_init()
+        n = 0
+        while n < self.max_frames:
+            db = self.src.proc_block(DataBlock())
+            if not db.valid():
+                break
+            imgs = []
+            for b in ([db] + (db.subblocks or [])):
+                im = self._img_of(b)
+                if im is not None:
+                    f = self.display_downsample_factor
+                    imgs.append(im[::f, ::f] if f > 1 else im)
+            if not imgs:
+                continue
+            if self.print_timestamps:
+                print(f"frame {n}: ts={db.timestamp_ns}")
+            save_img(out / f"frame_{n:05d}.png",
+                     imgs[0] if len(imgs) == 1 else make_montage(imgs))
+            n += 1
+        print(f"display_raw_vid: wrote {n} frames to {self.out_dir} "
+              f"[{self.src.get_pos_info_str()}]")
+
+
+@mode("ds_test", help="image downsampling test: write the full 2x pyramid")
+class DsTest(HasMain):
+    """Reference: ds_test (img_io.cc:371, downsample_test) — repeatedly
+    2x-downsample one image until either dim is < 2, writing each level."""
+
+    image_fn = Attr(str, req=True, help="input image filename")
+    out_dir = Attr(str, default="ds_test_out")
+
+    def main(self):
+        from .img import downsample_2x, load_img
+        out = self.out_path(self.out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        cur = load_img(self.image_fn)
+        lvl = 0
+        while True:
+            save_img(out / f"level_{lvl:02d}.png", cur)
+            print(f"ds_test: level {lvl}: {cur.shape[0]}x{cur.shape[1]}")
+            if cur.shape[0] < 2 or cur.shape[1] < 2:
+                break
+            cur = downsample_2x(cur)
+            lvl += 1
+        print(f"ds_test: wrote {lvl + 1} levels to {self.out_dir}")
+
+
 # ---- stream stages ----
 
 @register(DataStream, "data-to-img",
@@ -173,6 +254,87 @@ class DataToImg(DataStream):
         return "data-to-img"
 
 
+@register(DataStream, "add-img",
+          help="render raw sensor frames (16u/32f grey, 16u-RGGB bayer) "
+               "into an 'img' subblock")
+class AddImg(DataStream):
+    """Reference: data-to-img.cc:12 (type_id add-img) — annotate raw
+    video-frame blocks with a viewable RGB image (`as_img`; here a named
+    subblock tagged 'img'), with sliding-window min/max level adjustment
+    and RGGB bayer demosaic (half-res bilinear-free: R/B direct, G
+    averaged)."""
+
+    img_fmt = Attr(str, req=True, help="16u-grey | 32f-grey | 16u-RGGB")
+    level_adj = Attr(bool, default=True,
+                     help="LPF sliding-window min/max normalization; off = "
+                          "assume 12-bit for 16u, direct cast for 32f")
+    level_filt_alpha = Attr(float, default=0.9,
+                            help="LPF alpha for the sliding min/max window")
+    invert_intensity = Attr(bool, default=False,
+                            help="grey only: map [min,max] to [1,0]")
+
+    def data_stream_init(self):
+        if self.img_fmt not in ("16u-grey", "32f-grey", "16u-RGGB"):
+            raise RtErr(f"add-img: unknown img_fmt '{self.img_fmt}' "
+                        "(16u-grey | 32f-grey | 16u-RGGB)")
+        self._filt_min: Optional[float] = None
+        self._filt_rng: Optional[float] = None
+
+    def _norm(self, v: np.ndarray) -> np.ndarray:
+        """float frame -> [0,1] via the sliding min/max window."""
+        fmin, fmax = float(v.min()), float(v.max())
+        rng = max(fmax - fmin, 1e-20)
+        if self._filt_min is None:
+            self._filt_min, self._filt_rng = fmin, rng
+        else:
+            a = self.level_filt_alpha
+            self._filt_min = a * self._filt_min + (1 - a) * fmin
+            self._filt_rng = a * self._filt_rng + (1 - a) * rng
+        return np.clip((v - self._filt_min) / self._filt_rng, 0.0, 1.0)
+
+    def _render(self, raw: np.ndarray) -> np.ndarray:
+        if self.img_fmt == "16u-RGGB":
+            v = np.asarray(raw, np.float64)
+            r = v[0::2, 0::2]
+            g = (v[0::2, 1::2] + v[1::2, 0::2]) * 0.5
+            b = v[1::2, 1::2]
+            rgb = np.stack([r, g, b], axis=-1)
+            norm = (self._norm(rgb) if self.level_adj
+                    else np.clip(rgb / 4095.0, 0.0, 1.0))
+            return (norm * 255).astype(np.uint8)
+        v = np.asarray(raw, np.float64)
+        if self.level_adj:
+            norm = self._norm(v)
+        elif self.img_fmt == "16u-grey":
+            norm = np.clip(v / 4095.0, 0.0, 1.0)
+        else:  # 32f-grey, no level-adj: direct cast to uint8 range
+            norm = np.clip(v / 255.0, 0.0, 1.0)
+        if self.invert_intensity:
+            norm = 1.0 - norm
+        g8 = (norm * 255).astype(np.uint8)
+        return np.stack([g8, g8, g8], axis=-1)
+
+    def proc_block(self, db: DataBlock) -> DataBlock:
+        if db.valid() and db.nda is not None:
+            from ..core.dims import NDA, Dims
+            raw = db.nda.v
+            if raw.ndim != 2:
+                raise RtErr(f"add-img: expected a 2-D (y,x) raw frame, got "
+                            f"dims {db.nda.dims.pretty()}")
+            img = self._render(raw)
+            dims = Dims([("y", img.shape[0]), ("x", img.shape[1]),
+                         ("chan", 3)], tn="uint8_t")
+            db = db.clone()
+            sdb = DataBlock(nda=NDA(dims, img), tag="img", meta="image",
+                            frame_ix=db.frame_ix,
+                            timestamp_ns=db.timestamp_ns)
+            db.set_sdb(sdb)
+        return db
+
+    def get_pos_info_str(self) -> str:
+        return f"add-img: fmt={self.img_fmt}"
+
+
 @register(DataStream, "img-sink",
           help="write image blocks as numbered PNGs (dumpvideo role)")
 class ImgSink(DataStream):
@@ -186,9 +348,11 @@ class ImgSink(DataStream):
         self._dir.mkdir(parents=True, exist_ok=True)
 
     def proc_block(self, db: DataBlock) -> DataBlock:
-        if db.valid() and db.nda is not None:
-            v = db.nda.v
-            if v.ndim == 3 and v.shape[-1] == 3:
+        if db.valid():
+            # prefer an add-img-rendered 'img' subblock over the raw nda
+            src = db.get_sdb("img")
+            v = (src or db).nda.v if (src or db).nda is not None else None
+            if v is not None and v.ndim == 3 and v.shape[-1] == 3:
                 save_img(self._dir / f"{self.prefix}_{self._n:05d}.png", v)
                 self._n += 1
         return db

@@ -171,6 +171,11 @@ class RosbagSrc(DataStream):
             out.nda = NDA(Dims([("y", img.shape[0]), ("x", img.shape[1]),
                                 ("chan", img.shape[2])], tn="uint8_t"), img)
             out.meta = f"sensor_msgs/Image/{enc}"
+        elif self.decode_images and ci.get("type") == "sensor_msgs/PointCloud2":
+            xyz, _stamp = decode_pointcloud2(body)
+            out.nda = NDA(Dims.make(tn="float", y=xyz.shape[0],
+                                    x=xyz.shape[1], xyz=3), xyz)
+            out.meta = "pointcloud"
         else:
             out.nda = NDA(Dims.make(tn="uint8_t", v=len(body)),
                           np.frombuffer(body, np.uint8).copy())
@@ -242,3 +247,137 @@ def encode_ros_image(img: np.ndarray, enc: str = "rgb8",
     out += struct.pack("<I", w * c)
     data = np.ascontiguousarray(img).tobytes()
     return out + struct.pack("<I", len(data)) + data
+
+
+# ---- sensor_msgs/PointCloud2 (ROS1 wire) ----
+
+_PF_FLOAT32 = 7
+
+
+def encode_pointcloud2(xyz: np.ndarray, stamp_ns: int = 0,
+                       frame_id: str = "base_link") -> bytes:
+    """(y, x, 3) float32 → sensor_msgs/PointCloud2 body (x/y/z FLOAT32
+    fields, point_step 12) — the layout the reference's rosbag-sink
+    emitted for lidar frames (data-stream-rosbag.cc:341+)."""
+    h, w, c = xyz.shape
+    if c != 3:
+        raise RtErr(f"encode_pointcloud2: want (y,x,3), got {xyz.shape}")
+    fid = frame_id.encode()
+    out = struct.pack("<III", 0, stamp_ns // 1_000_000_000,
+                      stamp_ns % 1_000_000_000)
+    out += struct.pack("<I", len(fid)) + fid
+    out += struct.pack("<II", h, w)
+    out += struct.pack("<I", 3)  # fields[]
+    for i, name in enumerate((b"x", b"y", b"z")):
+        out += struct.pack("<I", len(name)) + name
+        out += struct.pack("<IBI", 4 * i, _PF_FLOAT32, 1)
+    out += struct.pack("<B", 0)            # is_bigendian
+    out += struct.pack("<II", 12, 12 * w)  # point_step, row_step
+    data = np.ascontiguousarray(xyz, np.float32).tobytes()
+    out += struct.pack("<I", len(data)) + data
+    out += struct.pack("<B", 1)            # is_dense
+    return out
+
+
+def decode_pointcloud2(body: bytes):
+    """sensor_msgs/PointCloud2 body → ((y, x, 3) float32, stamp_ns)."""
+    off = 0
+    _seq, sec, nsec = struct.unpack_from("<III", body, off)
+    off += 12
+    (fid_len,) = struct.unpack_from("<I", body, off)
+    off += 4 + fid_len
+    h, w = struct.unpack_from("<II", body, off)
+    off += 8
+    (n_fields,) = struct.unpack_from("<I", body, off)
+    off += 4
+    fields = {}
+    for _ in range(n_fields):
+        (nlen,) = struct.unpack_from("<I", body, off)
+        off += 4
+        name = body[off:off + nlen].decode()
+        off += nlen
+        foff, dtype, _cnt = struct.unpack_from("<IBI", body, off)
+        off += 9
+        fields[name] = (foff, dtype)
+    off += 1  # is_bigendian
+    point_step, _row_step = struct.unpack_from("<II", body, off)
+    off += 8
+    (dlen,) = struct.unpack_from("<I", body, off)
+    off += 4
+    data = body[off:off + dlen]
+    for n in ("x", "y", "z"):
+        if n not in fields or fields[n][1] != _PF_FLOAT32:
+            raise RtErr("decode_pointcloud2: need FLOAT32 x/y/z fields, "
+                        f"got {sorted(fields)}")
+    raw = np.frombuffer(data, np.uint8).reshape(h * w, point_step)
+    xyz = np.stack([raw[:, fields[n][0]:fields[n][0] + 4]
+                    .copy().view(np.float32)[:, 0]
+                    for n in ("x", "y", "z")], axis=-1)
+    return xyz.reshape(h, w, 3), sec * 1_000_000_000 + nsec
+
+
+@register(DataStream, "rosbag-sink",
+          help="write image/pointcloud blocks to a .bag (finalized at EOF)")
+class RosbagSink(DataStream):
+    """Reference: rosbag-sink (data-stream-rosbag.cc:341) — per-subblock
+    topics; image blocks become sensor_msgs/Image, pointcloud blocks
+    (e.g. velo-pcdm-to-xyz output, meta='pointcloud') become
+    sensor_msgs/PointCloud2. The reference appended through rosbag::Bag;
+    this buffers messages and writes one chunked bag v2.0 file when the
+    stream ends (the npy-sink convention)."""
+
+    fn = Attr(str, req=True, help="output .bag filename")
+    topics = Attr(str, default="",
+                  help="':'-separated topic per subblock (empty name skips);"
+                       " default: /<tag> of each (sub)block")
+    frame_id = Attr(str, default="base_link")
+    compression = Attr(str, default="none", help="none | bz2")
+
+    def data_stream_init(self):
+        self._msgs: list[tuple[str, str, int, bytes]] = []
+        self._written = False
+
+    def _add(self, db: DataBlock, topic: str) -> None:
+        if not topic:
+            return
+        if db.nda is None:
+            return
+        t_ns = db.timestamp_ns if db.timestamp_ns is not None else \
+            (db.frame_ix or 0)
+        v = db.nda.v
+        if db.meta.startswith("pointcloud") or (
+                v.ndim == 3 and v.shape[-1] == 3 and
+                v.dtype in (np.float32, np.float64)):
+            self._msgs.append((topic, "sensor_msgs/PointCloud2", t_ns,
+                               encode_pointcloud2(
+                                   np.asarray(v, np.float32), t_ns,
+                                   self.frame_id)))
+        elif v.dtype == np.uint8 and v.ndim == 3 and v.shape[-1] == 3:
+            self._msgs.append((topic, "sensor_msgs/Image", t_ns,
+                               encode_ros_image(v, "rgb8", t_ns)))
+        else:
+            raise RtErr(f"rosbag-sink: unhandled block for topic {topic}: "
+                        f"meta='{db.meta}' dims={db.nda.dims.pretty()}")
+
+    def proc_block(self, db: DataBlock) -> DataBlock:
+        if not db.valid():
+            if not self._written:
+                write_bag(resolve_stage_fn(self.fn), self._msgs,
+                          self.compression)
+                self._written = True
+            return db
+        topics = self.topics.split(":") if self.topics else []
+        if db.subblocks is not None:
+            if topics and len(topics) != len(db.subblocks):
+                raise RtErr(f"rosbag-sink: topics count {len(topics)} != "
+                            f"num_subblocks {len(db.subblocks)}")
+            for i, sdb in enumerate(db.subblocks):
+                self._add(sdb, topics[i] if topics
+                          else "/" + (sdb.tag or f"sb{i}"))
+        else:
+            self._add(db, topics[0] if topics else "/" + (db.tag or "data"))
+        return db
+
+    def get_pos_info_str(self) -> str:
+        return (f"rosbag-sink: {len(self._msgs)} msgs"
+                + (" (written)" if self._written else ""))

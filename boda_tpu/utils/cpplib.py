@@ -12,6 +12,7 @@ the pure implementations when the library isn't built; differential tests
 from __future__ import annotations
 
 import ctypes
+import os
 from functools import lru_cache
 from pathlib import Path
 from typing import Optional
@@ -24,6 +25,13 @@ _LIB_NAMES = ("libboda_tpu_core.so",)
 @lru_cache(maxsize=1)
 def load_cpp() -> Optional[ctypes.CDLL]:
     root = Path(__file__).resolve().parents[2]
+    # explicit override (used by scripts/ci_sanitize.sh to load the
+    # ASan/UBSan-instrumented build)
+    override = os.environ.get("BODA_TPU_CORE_LIB")
+    if override:
+        lib = ctypes.CDLL(override)  # let a bad override fail loudly
+        _declare(lib)
+        return lib
     for sub in ("build", "csrc/build", "."):
         for name in _LIB_NAMES:
             p = root / sub / name

@@ -248,3 +248,23 @@ def test_run_cnet_mode(tmp_path, capsys):
              f"boda_output_dir={tmp_path},digest_fn=d.txt,dump_top=3)")
     out = capsys.readouterr().out
     assert "top-3" in out and (tmp_path / "d.txt").exists()
+
+
+def test_load_pil_mode(tmp_path, capsys):
+    from boda_tpu.core.has_main import create_and_run_has_main
+    (tmp_path / "ann").mkdir()
+    for i, cls in [("000001", "cat"), ("000002", "dog"), ("000003", "cat")]:
+        (tmp_path / "ann" / f"{i}.xml").write_text(
+            f"<annotation><object><name>{cls}</name><difficult>0</difficult>"
+            "<bndbox><xmin>1</xmin><ymin>1</ymin><xmax>9</xmax>"
+            "<ymax>9</ymax></bndbox></object></annotation>")
+    (tmp_path / "classes.txt").write_text("cat\ndog\n")
+    (tmp_path / "cat.txt").write_text("000001\n000003\n")
+    (tmp_path / "dog.txt").write_text("000002\n000003\n")
+    create_and_run_has_main(
+        f"(mode=load_pil,classes_fn={tmp_path}/classes.txt,"
+        f"pil_fn={tmp_path}/%s.txt,ann_dir={tmp_path}/ann)", {})
+    out = capsys.readouterr().out
+    assert "class cat: 2 images (2 new), 2 gt boxes" in out
+    assert "class dog: 2 images (1 new), 1 gt boxes" in out
+    assert "3 images total, 3 gt boxes, 2 classes" in out

@@ -204,3 +204,19 @@ def test_device_preproc_and_prefetch():
     feeder = PrefetchFeeder(iter(batches), out_y=32, out_x=32)
     outs = [np.asarray(b) for b in feeder]
     assert len(outs) == 3 and outs[0].shape == (2, 3, 32, 32)
+
+
+def test_adj_angle():
+    from boda_tpu.core.dims import NDA, Dims
+    v = np.array([0.0, 90.0, 180.0, 359.0, -270.0, 720.0], np.float32)
+    db = DataBlock(nda=NDA(Dims.make(tn="float", v=6), v))
+    got = spec("(mode=adj-angle)").proc_block(db).nda.v
+    np.testing.assert_allclose(got, [0, 90, -180, -1, 90, 0], atol=1e-5)
+    got = spec("(mode=adj-angle,adj=10)").proc_block(db).nda.v
+    np.testing.assert_allclose(got, [10, 100, -170, 9, 100, 10], atol=1e-5)
+    got = spec("(mode=adj-angle,negate=1)").proc_block(db).nda.v
+    np.testing.assert_allclose(got, [0, -90, -180, 1, -90, 0], atol=1e-5)
+    sub_only = DataBlock()
+    sub_only.set_sdb(DataBlock(nda=db.nda, tag="s"))
+    with pytest.raises(RtErr, match="nda was null"):
+        spec("(mode=adj-angle)").proc_block(sub_only)

@@ -64,3 +64,93 @@ def test_stream_viz_stages(tmp_path):
     assert len(bs) == 3
     assert bs[0].meta == "image"
     assert len(list((tmp_path / "v").glob("img_*.png"))) == 3
+
+
+def test_add_img_grey_and_rggb(tmp_path):
+    from boda_tpu.core.dims import NDA, Dims
+    from boda_tpu.io.data_stream import DataBlock, make_data_stream
+
+    def frame(v):
+        return DataBlock(nda=NDA(Dims.make(tn="uint16_t", y=v.shape[0],
+                                           x=v.shape[1]), v), frame_ix=0)
+
+    # 16u grey gradient: full-range normalization
+    v = np.linspace(0, 4000, 4 * 8, dtype=np.uint16).reshape(4, 8)
+    st = make_data_stream("(mode=add-img,img_fmt=16u-grey)")
+    out = st.proc_block(frame(v))
+    img = out.get_sdb("img").nda.v
+    assert img.shape == (4, 8, 3) and img.dtype == np.uint8
+    assert img[0, 0, 0] == 0 and img[-1, -1, 0] == 255
+    assert out.nda is not None  # raw frame preserved
+    # invert
+    sti = make_data_stream("(mode=add-img,img_fmt=16u-grey,invert_intensity=1)")
+    assert sti.proc_block(frame(v)).get_sdb("img").nda.v[0, 0, 0] == 255
+    # RGGB bayer: constant-color mosaic demosaics to half-res constant RGB
+    b = np.zeros((8, 8), np.uint16)
+    b[0::2, 0::2] = 4000   # R
+    b[0::2, 1::2] = 2000   # G
+    b[1::2, 0::2] = 2000   # G
+    b[1::2, 1::2] = 100    # B
+    stb = make_data_stream("(mode=add-img,img_fmt=16u-RGGB,level_adj=0)")
+    rgb = stb.proc_block(frame(b)).get_sdb("img").nda.v
+    assert rgb.shape == (4, 4, 3)
+    assert rgb[0, 0, 0] > rgb[0, 0, 1] > rgb[0, 0, 2]
+    # 32f grey via the pipeline into img-sink (the cap_app display path)
+    stf = make_data_stream(
+        f"(mode=pipe,stages=((mode=add-img,img_fmt=32f-grey),"
+        f"(mode=img-sink,out_dir={tmp_path}/o)))")
+    fv = np.linspace(0.0, 1.0, 16, dtype=np.float32).reshape(4, 4)
+    db = DataBlock(nda=NDA(Dims.make(tn="float", y=4, x=4), fv))
+    stf.proc_block(db)
+    assert len(list((tmp_path / "o").glob("img_*.png"))) == 1
+    # bad format errors
+    import pytest as _pt
+    from boda_tpu.core.error import RtErr as _RtErr
+    with _pt.raises(_RtErr, match="unknown img_fmt"):
+        make_data_stream("(mode=add-img,img_fmt=8u-grey)")
+
+
+def test_add_img_level_filter_tracks():
+    """sliding min/max window: second frame normalized with LPF'd levels."""
+    from boda_tpu.core.dims import NDA, Dims
+    from boda_tpu.io.data_stream import DataBlock, make_data_stream
+    st = make_data_stream("(mode=add-img,img_fmt=16u-grey,level_filt_alpha=0.5)")
+
+    def run(v):
+        db = DataBlock(nda=NDA(Dims.make(tn="uint16_t", y=2, x=2),
+                               np.asarray(v, np.uint16)))
+        return st.proc_block(db).get_sdb("img").nda.v
+
+    run([[0, 100], [200, 300]])
+    # brighter frame: window lags, so top clips to 255
+    img2 = run([[0, 300], [600, 900]])
+    assert img2[1, 1, 0] == 255
+
+
+def test_ds_test_mode(tmp_path, capsys):
+    from boda_tpu.core.has_main import create_and_run_has_main
+    from boda_tpu.io.img import save_img
+    p = tmp_path / "in.png"
+    save_img(p, np.random.randint(0, 255, (16, 12, 3), dtype=np.uint8))
+    create_and_run_has_main(
+        f"(mode=ds_test,image_fn={p},out_dir={tmp_path}/pyr)", {})
+    out = capsys.readouterr().out
+    assert "level 0: 16x12" in out
+    levels = sorted((tmp_path / "pyr").glob("level_*.png"))
+    assert len(levels) >= 4  # 16x12 -> 8x6 -> 4x3 -> 2x1
+
+
+def test_display_raw_vid_mode(tmp_path, capsys):
+    from boda_tpu.core.has_main import create_and_run_has_main
+    create_and_run_has_main(
+        "(mode=display_raw_vid,max_frames=3,display_downsample_factor=2,"
+        "src=(mode=pipe,stages=((mode=velo-frame-gen,num=5,n_azi=64),"
+        "(mode=add-img,img_fmt=16u-grey))),"
+        f"out_dir={tmp_path}/rv,print_timestamps=1)", {})
+    out = capsys.readouterr().out
+    assert "wrote 3 frames" in out and "ts=" in out
+    frames = sorted((tmp_path / "rv").glob("frame_*.png"))
+    assert len(frames) == 3
+    import numpy as np
+    from PIL import Image
+    assert np.asarray(Image.open(frames[0])).shape[:2] == (16, 32)  # 32x64/2

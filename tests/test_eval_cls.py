@@ -62,3 +62,20 @@ def test_test_lmdb_max_imgs(labeled_npy, capsys):
         f"src=(mode=labeled-npy-src,images_fn={ifn},labels_fn={lfn}))", {})
     out = capsys.readouterr().out
     assert "num_test=8" in out
+
+
+def test_lmdb_parse_datums_mode(tmp_path, capsys):
+    from boda_tpu.core.has_main import create_and_run_has_main
+    db = tmp_path / "pat_lmdb"
+    create_and_run_has_main(
+        f"(mode=gen_lmdb,out_dir={db},num_imgs=5,chan=3,ysz=8,xsz=8,num_classes=2)", {})
+    capsys.readouterr()
+    create_and_run_has_main(
+        f"(mode=lmdb_parse_datums,db_fn={db},num_to_read=3)", {})
+    out = capsys.readouterr().out
+    assert "read 3 datums" in out
+    assert out.count("datum ") == 3 and "chan=3 y=8 x=8" in out
+    # 0 = read all
+    create_and_run_has_main(
+        f"(mode=lmdb_parse_datums,db_fn={db},num_to_read=0)", {})
+    assert "read 5 datums" in capsys.readouterr().out
