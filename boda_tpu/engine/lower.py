@@ -137,12 +137,16 @@ def _apply_fused_storage(plan: Plan, tune) -> None:
 
 def _fuse_sibling_convs(steps: list[Step], node_dims) -> list[Step]:
     """Horizontal fusion: up to four conv steps sharing the same input
-    node, stride, padding, and kernel size (ResNet stage-boundary
-    projection pairs; googlenet inception 1x1 branches) become one
+    node and stride (ResNet stage-boundary projection pairs; googlenet
+    inception 1x1 branches; squeezenet fire expand pairs) become one
     `xla_conv2` step whose filters concatenate on out_chan — narrow-N
     siblings widen onto the MXU lanes and the input streams from HBM
     once (measured: res2a pair 0.91 -> 0.21 ms isolated, b128 bf16).
-    Per-sibling ReLU flags preserved."""
+    Kernel sizes may differ when the embed invariant holds — equal
+    (2*pad - kern) per axis — in which case the smaller kernel runs
+    center-embedded in the larger with its pad adjusted (a 1x1 pad-0
+    conv IS a 3x3 pad-1 conv with the weight zero-padded to the center:
+    exact arithmetic, just more MACs). Per-sibling ReLU flags preserved."""
     from ..ops.pallas.conv2 import SIBS
 
     def sib_key(s: Step):
@@ -153,10 +157,16 @@ def _fuse_sibling_convs(steps: list[Step], node_dims) -> list[Step]:
         if "biases" not in s.arg_nodes:
             return None  # keep the template's paired-args form simple
         sig = s.sig
-        parts = [s.arg_nodes["in"]]
-        for k in ("stride", "in_pad", "kern_sz"):
-            d = sig.get_dims_or_none(k)
-            parts.append((d["y"], d["x"]) if d is not None else (0, 0))
+        fd = sig.get_dims("filts")
+        st = sig.get_dims_or_none("stride")
+        pd = sig.get_dims_or_none("in_pad")
+        sy, sx = (st["y"], st["x"]) if st is not None else (1, 1)
+        py, px = (pd["y"], pd["x"]) if pd is not None else (0, 0)
+        # (2p - k) equal per axis <=> same output size from the shared
+        # input, same window alignment, same kernel parity — the exact
+        # condition for center-embedding mixed kernel sizes
+        parts = [s.arg_nodes["in"], (sy, sx),
+                 (2 * py - fd["y"], 2 * px - fd["x"]), fd["in_chan"]]
         parts.append(sig.str_vals.get("prec", ""))
         parts.append(sig.get_u32_or("quant8", 0))
         return tuple(parts)
@@ -195,9 +205,20 @@ def _fuse_sibling_convs(steps: list[Step], node_dims) -> list[Step]:
             arg_nodes[f"out_{tag}"] = m.arg_nodes["out"]
             if m.sig.get_u32_or("conv_has_relu", 0):
                 sig.set_u32(f"relu_{tag}", 1)
-        for k in ("in_pad", "stride", "kern_sz"):
-            if k in s.sig.nda_vals:
-                sig.nda_vals[k] = s.sig.nda_vals[k]
+        if "stride" in s.sig.nda_vals:
+            sig.nda_vals["stride"] = s.sig.nda_vals["stride"]
+        # fused geometry = the largest member kernel; every member's pad
+        # plus its embed margin lands on the same fused pad (sib_key)
+        fds = [m.sig.get_dims("filts") for m in members]
+        ky_f = max(d["y"] for d in fds)
+        kx_f = max(d["x"] for d in fds)
+        pd0 = s.sig.get_dims_or_none("in_pad")
+        p0y, p0x = (pd0["y"], pd0["x"]) if pd0 is not None else (0, 0)
+        sig.set_null_dims("kern_sz", y=ky_f, x=kx_f)
+        py_f = p0y + (ky_f - fds[0]["y"]) // 2
+        px_f = p0x + (kx_f - fds[0]["x"]) // 2
+        if py_f or px_f:
+            sig.set_null_dims("in_pad", y=py_f, x=px_f)
         if s.sig.get_u32_or("quant8", 0):
             sig.set_u32("quant8", 1)
             # calibrated static act scales: the siblings share one input

@@ -2,10 +2,13 @@
 
 TPU-motivated variant (no CUDA analog; the reference's closest idea is
 the k1conv write-xpose chaining, rtc_fwd.cc:495-503): two convolutions
-that share the SAME input, stride, padding, and kernel size — the
-branch1 projection + branch2a reduce pair at every ResNet stage
-boundary — run as ONE conv whose filters are concatenated on out_chan,
-then split. Why it wins on the MXU: the siblings' N dims are narrow
+that share the SAME input and stride — the branch1 projection +
+branch2a reduce pair at every ResNet stage boundary, googlenet
+inception 1x1 trios, squeezenet fire expand1x1+expand3x3 pairs — run
+as ONE conv whose filters are concatenated on out_chan, then split.
+Kernel sizes may differ when (2*pad - kern) matches per axis: the
+smaller kernel is zero-padded to the center of the group max (exact
+arithmetic — a 1x1 pad-0 conv IS a 3x3 pad-1 conv with one live tap). Why it wins on the MXU: the siblings' N dims are narrow
 (64/256 at res2a) and each standalone conv re-reads the full input from
 HBM; fused, N widens to the lane width and the input streams once
 (measured b128 res2a pair: 0.91 -> 0.21 ms isolated).
@@ -67,15 +70,24 @@ class XlaConv2(KernelTemplate):
     def ref_impl(cls, rfs: OpBase, x, *wbs):
         from .conv import _ConvBase
         sibs = cls._sibs(rfs)
+        fds = [rfs.get_dims(f"filts_{s}") for s in sibs]
+        ky_f = max(d["y"] for d in fds)
+        kx_f = max(d["x"] for d in fds)
+        pd = rfs.get_dims_or_none("in_pad")
+        py_f, px_f = (pd["y"], pd["x"]) if pd is not None else (0, 0)
         outs = []
         for i, s in enumerate(sibs):
             sr = OpBase({"type": "Convolution"})
             sr.nda_vals["in"] = rfs.nda_vals["in"]
             sr.nda_vals["filts"] = rfs.nda_vals[f"filts_{s}"]
             sr.nda_vals["out"] = rfs.nda_vals[f"out_{s}"]
-            for k in ("in_pad", "stride", "kern_sz"):
-                if k in rfs.nda_vals:
-                    sr.nda_vals[k] = rfs.nda_vals[k]
+            if "stride" in rfs.nda_vals:
+                sr.nda_vals["stride"] = rfs.nda_vals["stride"]
+            # per-sibling pad: fused pad minus this kernel's embed margin
+            py_i = py_f - (ky_f - fds[i]["y"]) // 2
+            px_i = px_f - (kx_f - fds[i]["x"]) // 2
+            if py_i or px_i:
+                sr.set_null_dims("in_pad", y=py_i, x=px_i)
             if rfs.get_u32_or(f"relu_{s}", 0):
                 sr.set_u32("conv_has_relu", 1)
             outs.append(_ConvBase.ref_impl(sr, x, wbs[2 * i], wbs[2 * i + 1]))
@@ -92,7 +104,11 @@ class XlaConv2(KernelTemplate):
         pad = rfs.get_dims_or_none("in_pad")
         sy, sx = (st["y"], st["x"]) if st else (1, 1)
         py, px = (pad["y"], pad["x"]) if pad else (0, 0)
-        ns = [rfs.get_dims(f"filts_{s}")["out_chan"] for s in sibs]
+        fds = [rfs.get_dims(f"filts_{s}") for s in sibs]
+        ky_f = max(d["y"] for d in fds)
+        kx_f = max(d["x"] for d in fds)
+        embeds = [((ky_f - d["y"]) // 2, (kx_f - d["x"]) // 2) for d in fds]
+        ns = [d["out_chan"] for d in fds]
         relus = [rfs.get_u32_or(f"relu_{s}", 0) == 1 for s in sibs]
         out_dts = [rfs.get_dims(f"out_{s}").dtype for s in sibs]
         bf16 = rfs.str_vals.get("prec") == "bf16"
@@ -105,7 +121,13 @@ class XlaConv2(KernelTemplate):
             out_dts = [edt] * len(sibs)
 
         def fn(x, *wbs):
-            w = jnp.concatenate(wbs[0::2], axis=0)    # (sum(ns), ic, ky, kx)
+            # mixed kernel sizes: center-embed each smaller kernel in the
+            # group max (zero weight taps — exact; squeezenet fire expand
+            # 1x1s ride their 3x3 partners' MXU contraction)
+            ws = [jnp.pad(w_i, ((0, 0), (0, 0), (dy, dy), (dx, dx)))
+                  if (dy or dx) else w_i
+                  for w_i, (dy, dx) in zip(wbs[0::2], embeds)]
+            w = jnp.concatenate(ws, axis=0)           # (sum(ns), ic, ky, kx)
             b = jnp.concatenate(wbs[1::2], axis=0)
             wh = jnp.transpose(w, (2, 3, 1, 0))
             xh = x if io_nhwc else jnp.transpose(x, (0, 2, 3, 1))
