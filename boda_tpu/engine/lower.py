@@ -107,7 +107,9 @@ def lower_pipe(pipe: ConvPipe, tune: Optional[OpTune] = None,
     if getattr(tune, "fuse_stem", False):
         steps = _fuse_stem(steps, node_dims, set(output_nodes), tune)
     if getattr(tune, "fuse_siblings", False):
-        steps = _fuse_sibling_convs(steps, node_dims)
+        steps = _fuse_sibling_convs(
+            steps, node_dims,
+            mixed=getattr(tune, "fuse_mixed_siblings", False))
     for s in steps:
         node_dims.update(s.temps)
     plan = Plan(steps, node_dims, input_nodes, weight_nodes, output_nodes)
@@ -135,18 +137,22 @@ def _apply_fused_storage(plan: Plan, tune) -> None:
     plan.edge_prec = ep
 
 
-def _fuse_sibling_convs(steps: list[Step], node_dims) -> list[Step]:
+def _fuse_sibling_convs(steps: list[Step], node_dims,
+                        mixed: bool = False) -> list[Step]:
     """Horizontal fusion: up to four conv steps sharing the same input
     node and stride (ResNet stage-boundary projection pairs; googlenet
-    inception 1x1 branches; squeezenet fire expand pairs) become one
-    `xla_conv2` step whose filters concatenate on out_chan — narrow-N
-    siblings widen onto the MXU lanes and the input streams from HBM
-    once (measured: res2a pair 0.91 -> 0.21 ms isolated, b128 bf16).
-    Kernel sizes may differ when the embed invariant holds — equal
-    (2*pad - kern) per axis — in which case the smaller kernel runs
-    center-embedded in the larger with its pad adjusted (a 1x1 pad-0
-    conv IS a 3x3 pad-1 conv with the weight zero-padded to the center:
-    exact arithmetic, just more MACs). Per-sibling ReLU flags preserved."""
+    inception 1x1 branches) become one `xla_conv2` step whose filters
+    concatenate on out_chan — narrow-N siblings widen onto the MXU lanes
+    and the input streams from HBM once (measured: res2a pair 0.91 ->
+    0.21 ms isolated, b128 bf16). Per-sibling ReLU flags preserved.
+
+    With `mixed`, kernel sizes may also differ when the embed invariant
+    holds — equal (2*pad - kern) per axis — in which case the smaller
+    kernel runs center-embedded in the larger with its pad adjusted (a
+    1x1 pad-0 conv IS a 3x3 pad-1 conv with the weight zero-padded to
+    the center: exact arithmetic, just more MACs). Off by default: the
+    squeezenet fire expand pairs it targets LOSE on-chip (8.48 vs 4.17
+    ms b128 — the embedded-MAC waste dominates at those tiny shapes)."""
     from ..ops.pallas.conv2 import SIBS
 
     def sib_key(s: Step):
@@ -164,9 +170,11 @@ def _fuse_sibling_convs(steps: list[Step], node_dims) -> list[Step]:
         py, px = (pd["y"], pd["x"]) if pd is not None else (0, 0)
         # (2p - k) equal per axis <=> same output size from the shared
         # input, same window alignment, same kernel parity — the exact
-        # condition for center-embedding mixed kernel sizes
-        parts = [s.arg_nodes["in"], (sy, sx),
-                 (2 * py - fd["y"], 2 * px - fd["x"]), fd["in_chan"]]
+        # condition for center-embedding mixed kernel sizes; without
+        # `mixed` the kernel/pad themselves join the key (exact match)
+        geo = (2 * py - fd["y"], 2 * px - fd["x"]) if mixed \
+            else (fd["y"], fd["x"], py, px)
+        parts = [s.arg_nodes["in"], (sy, sx), geo, fd["in_chan"]]
         parts.append(sig.str_vals.get("prec", ""))
         parts.append(sig.get_u32_or("quant8", 0))
         return tuple(parts)

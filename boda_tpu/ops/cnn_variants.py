@@ -50,6 +50,15 @@ class OpTune(Config):
                               "one wide conv (xla_conv2): narrow-N "
                               "siblings widen onto the MXU lanes and the "
                               "input streams from HBM once")
+    fuse_mixed_siblings = Attr(
+        bool, default=False,
+        help="with fuse_siblings: also fuse siblings whose KERNEL SIZES "
+             "differ but whose (2*pad - kern) matches per axis, center-"
+             "embedding the smaller kernel (exact arithmetic, extra MACs). "
+             "Measured LOSS on squeezenet fire expand pairs (8.48 vs 4.17 "
+             "ms b128 — the 1.8x embedded-MAC waste is not recouped at "
+             "those tiny shapes), so off by default; capability kept for "
+             "shapes where the wasted taps are cheap")
     fuse_stem = Attr(bool, default=False,
                      help="fuse the thin-channel stride-2 stem conv "
                           "(+ReLU) and its maxpool into one Pallas kernel "

@@ -86,9 +86,15 @@ def test_fuse_siblings_ref_engine():
 def test_fuse_siblings_mixed_kernel_fire_pairs():
     """squeezenet fire expand1x1 (pad0) + expand3x3 (pad1) share the
     squeeze output and satisfy the embed invariant (2p-k == -1): they
-    fuse into one 3x3 conv with the 1x1 weights center-embedded."""
+    fuse into one 3x3 conv with the 1x1 weights center-embedded —
+    only under fuse_mixed_siblings (measured LOSS on-chip, default off)."""
     pipe = build_model("squeezenet-1.0", batch=1, ysz=64, xsz=64)
-    plan = lower_pipe(pipe, make_op_tune("(use_culibs=1,fuse_siblings=1,s2d=0)"))
+    # default fuse_siblings: exact-kernel key -> fire expand pairs stay split
+    p0 = lower_pipe(pipe, make_op_tune("(use_culibs=1,fuse_siblings=1,s2d=0)"))
+    assert not [s for s in p0.steps
+                if s.func_name == "xla_conv2" and "expand" in s.call_tag]
+    plan = lower_pipe(pipe, make_op_tune(
+        "(use_culibs=1,fuse_siblings=1,fuse_mixed_siblings=1,s2d=0)"))
     fused = [s for s in plan.steps if s.func_name == "xla_conv2"]
     exp = [s for s in fused if "expand" in s.call_tag]
     assert len(exp) == 8, [s.call_tag for s in fused]  # fire2..fire9
@@ -104,12 +110,14 @@ def test_fuse_siblings_mixed_kernel_fire_pairs():
     base = make_engine("(engine=rtc,op_tune=(use_culibs=1,s2d=0))")
     base.init(pipe)
     want = base.run_fwd(blob, ["prob"])["prob"].v
-    eng = make_engine("(engine=rtc,op_tune=(use_culibs=1,fuse_siblings=1,s2d=0))")
+    eng = make_engine("(engine=rtc,op_tune=(use_culibs=1,fuse_siblings=1,"
+                      "fuse_mixed_siblings=1,s2d=0))")
     eng.init(pipe)
     got = eng.run_fwd(blob, ["prob"])["prob"].v
     assert mrd(got, want) < 5e-4
     # the independent float64 ref engine agrees through its own path
-    ref = make_engine("(engine=ref,op_tune=(use_culibs=1,fuse_siblings=1,s2d=0))")
+    ref = make_engine("(engine=ref,op_tune=(use_culibs=1,fuse_siblings=1,"
+                      "fuse_mixed_siblings=1,s2d=0))")
     ref.init(pipe)
     rv = ref.run_fwd(blob, ["prob"])["prob"].v
     assert mrd(got, rv) < 5e-4
