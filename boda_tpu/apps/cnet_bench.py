@@ -20,7 +20,8 @@ from ..ops.cnn_variants import OpTune
 from ..core.machine import peak_flops  # single definition site (core/machine.py)
 
 
-def chained_net_secs(fwd, weights, x, iters: int, n1: int = 0, reps: int = 3):
+def chained_net_secs(fwd, weights, x, iters: int, n1: int = 0, reps: int = 3,
+                     compiler_options: dict | None = None):
     """Per-forward seconds: serial fori_loop chain, slope of two lengths."""
     import statistics
     import time
@@ -40,7 +41,10 @@ def chained_net_secs(fwd, weights, x, iters: int, n1: int = 0, reps: int = 3):
         _c, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
         return acc
 
-    fn = jax.jit(chained)
+    # per-jit XLA compiler overrides (e.g. xla_tpu_scoped_vmem_limit_kib):
+    # XLA_FLAGS can't carry TPU-compiler flags through the tunnel (the
+    # client-side parser rejects them) but PJRT compile options can
+    fn = jax.jit(chained, compiler_options=compiler_options or None)
     dev = jax.devices()[0]
     w_dev = {k: jax.device_put(v, dev) for k, v in weights.items()}
     x_dev = jax.device_put(x, dev)
@@ -398,6 +402,9 @@ class CnetBench(_NetMode):
                               "applied onto the per-op tunes")
     iters = Attr(int, default=30, help="long chain length")
     reps = Attr(int, default=3, help="slope repetitions (median)")
+    compiler_options = Attr(dict[str, str], default=None,
+                            help="per-jit XLA compiler overrides, e.g. "
+                                 "(xla_tpu_scoped_vmem_limit_kib=114688)")
 
     def _pat_tunes(self, pipe):
         import re
@@ -459,8 +466,9 @@ class CnetBench(_NetMode):
         d = pipe.get_data_img_dims()
         x = (np.random.RandomState(0).randn(*d.shape) * 0.1).astype(np.float32)
 
-        secs, compile_s = chained_net_secs(fwd, weights, x, self.iters,
-                                           reps=self.reps)
+        secs, compile_s = chained_net_secs(
+            fwd, weights, x, self.iters, reps=self.reps,
+            compiler_options=self.compiler_options)
         import jax
         dev = jax.devices()[0]
         prec = self.op_tune.prec or "f32"
@@ -470,6 +478,118 @@ class CnetBench(_NetMode):
         print(f"cnet_bench {name} b{d['img']} {prec} "
               f"storage={'nhwc' if plan.storage_nhwc else 'nchw'}: "
               f"step_ms={secs * 1e3:.2f} imgs_per_sec={d['img'] / secs:.1f} "
+              f"tflops={fl / secs / 1e12:.1f} "
+              f"frac_roofline={fl / secs / pk:.4f} "
+              f"compile_s={compile_s:.1f} device={dev.device_kind}")
+
+
+@mode("pyra_bench", help="conv_pyra throughput: host pyramid pack + "
+                         "device packed-bin forward, slope-timed")
+class PyraBench(_NetMode):
+    """BASELINE config #5 (conv_pyra multi-scale dense inference;
+    reference conv_pyra.cc:24 ran it live from a camera): pyramid-pack
+    frames on the host (blf_pack) and slope-time the packed-bin batch
+    forward on device with the shipped fused config. Reports host
+    pack ms/frame, device fwd ms/frame, and frames/sec both serial
+    (pack then fwd) and overlapped (pack pipelined with device work —
+    the steady-state streaming rate)."""
+
+    op_tune = Attr(OpTune,
+                   default="(use_culibs=1,prec=bf16,layout=nhwc,s2d=0,"
+                           "fuse_siblings=1)",
+                   help="tune record (default: shipped perf config)")
+    out_node = Attr(str, default="",
+                    help="feature node defining the net + support pad "
+                         "(default: deepest finite-support node)")
+    bin_sz = Attr(list[int], default="288 288")
+    interval = Attr(int, default=3)
+    min_sz = Attr(int, default=32)
+    pack_reps = Attr(int, default=5, help="host pack timing repetitions")
+    iters = Attr(int, default=30)
+    reps = Attr(int, default=3)
+
+    def main(self):
+        import time as _time
+
+        import numpy as np
+
+        from ..backend.xla import enable_compilation_cache
+        from ..core.geom import Pt
+        from ..engine.lower import lower_pipe
+        from ..engine.rtc_fwd import build_fused_forward
+        from ..graph.modes import _load_pipe
+        from ..io.img import img_to_chw, make_test_pattern_img
+        from ..models.zoo import build_model
+        from .pyra import ImgPyraPack
+
+        enable_compilation_cache()
+        pipe = _load_pipe(self)
+        bin_yx = self.bin_sz
+        out_node = None
+        if self.out_node:
+            out_node = pipe.must_get_node(self.out_node)
+        else:
+            # deepest finite-support node whose support pad still leaves
+            # room in the bin (pad <= bin/2 per axis) — the densest
+            # feature surface the pyramid can actually pack
+            for op in pipe.topo_order():
+                for t in op.tops:
+                    n = pipe.must_get_node(t)
+                    if (n.csi.valid() and not n.csi.support_sz.is_zeros()
+                            and n.csi.support_sz.y <= bin_yx[0] // 2
+                            and n.csi.support_sz.x <= bin_yx[1] // 2):
+                        out_node = n
+        if out_node is None or not out_node.csi.valid() \
+                or out_node.csi.support_sz.is_zeros():
+            from ..core.error import RtErr
+            raise RtErr("pyra_bench: no finite-support node; pick one via "
+                        "--out-node")
+        d0 = pipe.get_data_img_dims()
+        in_sz = Pt(d0["y"], d0["x"])
+        bin_sz = Pt(*self.bin_sz)
+        csi = out_node.csi
+        pad = Pt(max(csi.support_sz.y, 1), max(csi.support_sz.x, 1))
+        pp = ImgPyraPack(in_sz, bin_sz, self.interval, self.min_sz, pad)
+        if self.model:
+            bpipe = build_model(self.model, batch=pp.num_bins,
+                                ysz=bin_sz.y, xsz=bin_sz.x)
+            bpipe.op_params = pipe.op_params
+        else:
+            from ..core.dims import Dims
+            self.in_dims = Dims.make(img=pp.num_bins, chan=3,
+                                     y=bin_sz.y, x=bin_sz.x)
+            bpipe = _load_pipe(self)
+        bpipe = bpipe.pruned_to(out_node.name)
+        plan = lower_pipe(bpipe, self.op_tune, fused_storage=True)
+        fwd = build_fused_forward(plan)
+        weights = {n: bpipe.op_params[n].v for n in plan.weight_nodes}
+
+        img = make_test_pattern_img(in_sz.y, in_sz.x, 2)
+        t0 = _time.perf_counter()
+        for _ in range(self.pack_reps):
+            packed = pp.scale_and_pack_img_into_bins(img)
+            batch = np.stack([img_to_chw(packed[b])
+                              for b in range(pp.num_bins)])
+        pack_s = (_time.perf_counter() - t0) / self.pack_reps
+
+        data_node = bpipe.data_img_node_names[0]
+        top = out_node.name
+        secs, compile_s = chained_net_secs(
+            lambda blobs, w: {"prob": fwd({data_node: blobs["data"]},
+                                          w)[top]},
+            weights, batch.astype(np.float32), self.iters, reps=self.reps)
+        import jax
+        dev = jax.devices()[0]
+        fl, _ = bpipe.total_flops_and_bytes()
+        prec = self.op_tune.prec or "f32"
+        pk = peak_flops(dev.device_kind, prec)
+        serial = 1.0 / (pack_s + secs)
+        overlap = 1.0 / max(pack_s, secs)
+        print(f"pyra_bench {self.model or self.ptt_fn} in={in_sz.y}x{in_sz.x}"
+              f" bins={pp.num_bins}x{bin_sz.y}x{bin_sz.x} "
+              f"scales={len(pp.scales)} out={top} {prec}: "
+              f"pack_ms={pack_s * 1e3:.2f} fwd_ms={secs * 1e3:.2f} "
+              f"frames_per_sec={serial:.1f} overlapped={overlap:.1f} "
               f"tflops={fl / secs / 1e12:.1f} "
               f"frac_roofline={fl / secs / pk:.4f} "
               f"compile_s={compile_s:.1f} device={dev.device_kind}")

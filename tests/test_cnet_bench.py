@@ -31,3 +31,17 @@ def test_stage_probe_mini(capsys):
     out = capsys.readouterr().out
     assert "stem" in out and "mid" in out and "head" in out
     assert "SUM" in out
+
+def test_pyra_bench_mode(capsys):
+    """pyra_bench: host blf-pack + device packed-bin forward throughput
+    (BASELINE config #5 surface). On CPU pin auto out-node pick, bin
+    batch wiring, and the report format; timings are noise here."""
+    from boda_tpu.core.has_main import create_and_run_has_main
+    create_and_run_has_main(
+        "(mode=pyra_bench,model=mini,"
+        "in_dims=(dims=(img=1,chan=3,y=48,x=48)),"
+        "bin_sz=96 96,interval=2,min_sz=24,iters=3,reps=1,pack_reps=1)")
+    out = capsys.readouterr().out
+    assert "pyra_bench mini" in out
+    assert "bins=2x96x96" in out and "scales=3" in out
+    assert "pack_ms=" in out and "overlapped=" in out
