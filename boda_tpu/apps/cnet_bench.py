@@ -505,6 +505,12 @@ class PyraBench(_NetMode):
     interval = Attr(int, default=3)
     min_sz = Attr(int, default=32)
     pack_reps = Attr(int, default=5, help="host pack timing repetitions")
+    pack = Attr(str, default="host",
+                help="host = blf-pack on CPU (PIL parity path) then upload "
+                     "the packed bins; device = upload the raw frame and "
+                     "fuse resample+pack into the forward program "
+                     "(make_device_pyra_pack) — one jit, device-bound "
+                     "streaming rate")
     iters = Attr(int, default=30)
     reps = Attr(int, default=3)
 
@@ -565,19 +571,32 @@ class PyraBench(_NetMode):
         weights = {n: bpipe.op_params[n].v for n in plan.weight_nodes}
 
         img = make_test_pattern_img(in_sz.y, in_sz.x, 2)
-        t0 = _time.perf_counter()
-        for _ in range(self.pack_reps):
-            packed = pp.scale_and_pack_img_into_bins(img)
-            batch = np.stack([img_to_chw(packed[b])
-                              for b in range(pp.num_bins)])
-        pack_s = (_time.perf_counter() - t0) / self.pack_reps
-
         data_node = bpipe.data_img_node_names[0]
         top = out_node.name
+        if self.pack == "device":
+            from ..io.device_preproc import make_device_pyra_pack
+            dpack = make_device_pyra_pack(pp)
+            t0 = _time.perf_counter()
+            for _ in range(self.pack_reps):  # host cost: frame staging only
+                feed = np.ascontiguousarray(img, np.float32)
+            pack_s = (_time.perf_counter() - t0) / self.pack_reps
+
+            def bench_fwd(blobs, w):
+                return {"prob": fwd({data_node: dpack(blobs["data"])},
+                                    w)[top]}
+        else:
+            t0 = _time.perf_counter()
+            for _ in range(self.pack_reps):
+                packed = pp.scale_and_pack_img_into_bins(img)
+                feed = np.stack([img_to_chw(packed[b])
+                                 for b in range(pp.num_bins)])
+            pack_s = (_time.perf_counter() - t0) / self.pack_reps
+
+            def bench_fwd(blobs, w):
+                return {"prob": fwd({data_node: blobs["data"]}, w)[top]}
         secs, compile_s = chained_net_secs(
-            lambda blobs, w: {"prob": fwd({data_node: blobs["data"]},
-                                          w)[top]},
-            weights, batch.astype(np.float32), self.iters, reps=self.reps)
+            bench_fwd, weights, feed.astype(np.float32), self.iters,
+            reps=self.reps)
         import jax
         dev = jax.devices()[0]
         fl, _ = bpipe.total_flops_and_bytes()
@@ -587,7 +606,7 @@ class PyraBench(_NetMode):
         overlap = 1.0 / max(pack_s, secs)
         print(f"pyra_bench {self.model or self.ptt_fn} in={in_sz.y}x{in_sz.x}"
               f" bins={pp.num_bins}x{bin_sz.y}x{bin_sz.x} "
-              f"scales={len(pp.scales)} out={top} {prec}: "
+              f"scales={len(pp.scales)} out={top} {prec} pack={self.pack}: "
               f"pack_ms={pack_s * 1e3:.2f} fwd_ms={secs * 1e3:.2f} "
               f"frames_per_sec={serial:.1f} overlapped={overlap:.1f} "
               f"tflops={fl / secs / 1e12:.1f} "

@@ -43,6 +43,56 @@ def make_device_preproc(out_y: int, out_x: int, bgr: bool = True,
     return preproc
 
 
+def make_device_pyra_pack(pp, bgr: bool = True,
+                          mean: Optional[tuple] = DEFAULT_MEAN_BGR,
+                          dtype="float32"):
+    """Device-side pyramid pack: (in_y,in_x,3) float frame (0-255 RGB) →
+    (num_bins, 3, bin_y, bin_x) packed batch, entirely on device.
+
+    TPU-first counterpart of `ImgPyraPack.scale_and_pack_img_into_bins`
+    (the host/PIL parity path, reference conv_pyra.cc:24 img_pyra_pack):
+    the host uploads ONE raw frame (~1 MB) and every scale resample, edge
+    pad, bin placement, BGR swap, and mean-subtract runs inside the XLA
+    program — so it fuses with the net forward under one jit and the
+    streaming rate is device-bound (measured: host pack 87.7 ms/frame vs
+    device fwd 5.8 ms, docs/PERF.md). All shapes/offsets are static (from
+    the blf placement), so XLA sees pure pad/slice/update ops.
+
+    Numerics match the host path's `packed → img_to_chw` composition:
+    un-covered bin pixels come out as 0 - mean (host packs uint8 zeros
+    then mean-subtracts); edge padding replicates the last row/col.
+    Returns the raw traceable fn — callers jit or compose it."""
+    import jax
+    import jax.numpy as jnp
+
+    mean_v = None if mean is None else jnp.asarray(mean, jnp.float32)
+    bin_y, bin_x = pp.bin_sz.y, pp.bin_sz.x
+
+    def pack(frame):
+        x = frame.astype(jnp.float32)
+        bins = [jnp.zeros((bin_y, bin_x, 3), jnp.float32)
+                for _ in range(pp.num_bins)]
+        for si in pp.scales:
+            sy, sx = si.sz.y, si.sz.x
+            sc = x if (sy, sx) == x.shape[:2] else \
+                jax.image.resize(x, (sy, sx, 3), method="bilinear")
+            b = si.place
+            ey = min(b.p1.y + pp.pad.y, bin_y) - b.p1.y
+            ex = min(b.p1.x + pp.pad.x, bin_x) - b.p1.x
+            if ey or ex:
+                sc = jnp.pad(sc, ((0, ey), (0, ex), (0, 0)), mode="edge")
+            bins[si.bin_ix] = jax.lax.dynamic_update_slice(
+                bins[si.bin_ix], sc, (b.p0.y, b.p0.x, 0))
+        out = jnp.stack(bins)
+        if bgr:
+            out = out[..., ::-1]
+        if mean_v is not None:
+            out = out - mean_v
+        return jnp.transpose(out, (0, 3, 1, 2)).astype(dtype)
+
+    return pack
+
+
 class PrefetchFeeder:
     """Iterate preprocessed device batches with one-batch H2D prefetch.
 

@@ -78,6 +78,52 @@ def test_img_pyra_pack():
     assert m.any()  # some trash exists
 
 
+def test_device_pyra_pack_matches_host():
+    """make_device_pyra_pack vs the host PIL path (packed → img_to_chw):
+    the scale-1.0 region and all trash (-mean) pixels must match exactly;
+    resampled scales within resampler tolerance (PIL uint8 bilinear vs
+    jax.image.resize float)."""
+    import jax
+
+    from boda_tpu.io.device_preproc import make_device_pyra_pack
+    from boda_tpu.io.img import img_to_chw, make_test_pattern_img
+    pp = ImgPyraPack(Pt(128, 128), Pt(256, 256), interval=2, min_sz=32,
+                     pad=Pt(8, 8))
+    img = make_test_pattern_img(128, 128)
+    packed = pp.scale_and_pack_img_into_bins(img)
+    host = np.stack([img_to_chw(packed[b]) for b in range(pp.num_bins)])
+    dev = np.asarray(jax.jit(make_device_pyra_pack(pp))(
+        np.asarray(img, np.float32)))
+    assert dev.shape == host.shape
+    # exact on the verbatim scale-1.0 placement (+its edge pad)
+    s0 = pp.scales[0]
+    b = s0.place
+    np.testing.assert_allclose(
+        dev[s0.bin_ix, :, b.p0.y:b.p1.y, b.p0.x:b.p1.x],
+        host[s0.bin_ix, :, b.p0.y:b.p1.y, b.p0.x:b.p1.x], atol=1e-4)
+    # exact on trash: 0 - mean, both paths
+    m = pp.trash_mask()
+    np.testing.assert_allclose(
+        dev.transpose(0, 2, 3, 1)[m], host.transpose(0, 2, 3, 1)[m],
+        atol=1e-4)
+    # resampled scales: same image content modulo resampler details
+    diff = np.abs(dev - host)
+    assert diff.mean() < 2.0, diff.mean()
+    assert np.quantile(diff, 0.99) < 32, np.quantile(diff, 0.99)
+
+
+def test_pyra_bench_device_pack(capsys):
+    """pyra_bench pack=device: fused resample+pack+forward program runs
+    and reports (CPU: timings are noise; wiring is what's pinned)."""
+    from boda_tpu.core.has_main import create_and_run_has_main
+    create_and_run_has_main(
+        "(mode=pyra_bench,model=mini,pack=device,"
+        "in_dims=(dims=(img=1,chan=3,y=48,x=48)),"
+        "bin_sz=96 96,interval=2,min_sz=24,iters=3,reps=1,pack_reps=1)")
+    out = capsys.readouterr().out
+    assert "pack=device" in out and "bins=2x96x96" in out
+
+
 def test_blf_pack_mode(tmp_path, capsys):
     run_mode(f"(mode=blf_pack,in_sz=128 128,bin_sz=256 256,interval=2,"
              f"min_sz=32,boda_output_dir={tmp_path},out_fn=p.txt)")
