@@ -214,7 +214,8 @@ def test_act_scale_artifacts_load():
     assert all(t.act_scale > 0 for t in stat.values())
     # the other artifacts at least parse
     for fn in ("resnet101-b64-int8-scales.lexp",
-               "resnet152-b64-int8-scales.lexp", "vgg19-b64-int8-scales.lexp"):
+               "resnet152-b64-int8-scales.lexp", "vgg19-b64-int8-scales.lexp",
+               "vgg16-b64-int8-scales.lexp"):
         got = load_act_scales(data / fn, {})
         assert got == {}
 
