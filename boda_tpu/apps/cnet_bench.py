@@ -612,3 +612,144 @@ class PyraBench(_NetMode):
               f"tflops={fl / secs / 1e12:.1f} "
               f"frac_roofline={fl / secs / pk:.4f} "
               f"compile_s={compile_s:.1f} device={dev.device_kind}")
+
+
+@mode("train_bench", help="slope-timed training-step benchmark "
+                          "(fwd + bwd + SGD update, weights chained)")
+class TrainBench(_NetMode):
+    """Training-step throughput on the SAME fused forward the inference
+    engine runs: jax.value_and_grad differentiates the lowered program
+    directly (the TPU-native training path; the explicit backward-ops IR
+    — reference conv_util.cc add_bck_ops parity — lives in
+    graph/pipe.add_bck_ops and engine tests). SGD steps are chained by
+    CARRYING THE WEIGHTS through a fori_loop, so iterations are serially
+    dependent and the two-length slope cancels the tunnel dispatch cost
+    (ROUND2_NOTES methodology). Reported tflops uses the standard 3x
+    forward-flops estimate for fwd+bwd.
+
+    Default tune is the shipped bf16 inference config: the bf16xbf16->
+    f32 convs carry a mixed-precision custom VJP (ops/mxu_grad.mxu_conv)
+    whose gradient convs are themselves one-pass bf16 (f32 hardware
+    accumulation) — f32 master weights, bf16 compute, the standard
+    recipe. An f32 tune (prec unset) measures the full-f32 path, which
+    _dot_precision deliberately runs at the multi-pass HIGHEST rate
+    (~4x slower MXU; measured 77 vs 20 ms class, docs/PERF.md). quant8
+    sites are inference-only; don't add them."""
+
+    op_tune = Attr(OpTune,
+                   default="(use_culibs=1,prec=bf16,layout=nhwc,s2d=0,"
+                           "fuse_siblings=1)",
+                   help="tune record (default: shipped bf16 config; "
+                        "grads via the mxu_grad custom VJP)")
+    lr = Attr(float, default=0.01)
+    mxu_prec = Attr(str, default="bfloat16",
+                    help="jax default_matmul_precision during trace: "
+                         "bfloat16 = one-pass MXU (mixed-precision "
+                         "training math), float32 = three-pass, "
+                         "'' = leave JAX's default")
+    iters = Attr(int, default=20, help="long chain length")
+    reps = Attr(int, default=3, help="slope repetitions (median)")
+    compiler_options = Attr(dict[str, str], default=None,
+                            help="per-jit XLA compiler overrides")
+
+    def main(self):
+        import statistics
+        import time
+
+        import numpy as np
+
+        from ..backend.xla import enable_compilation_cache
+        from ..engine.lower import lower_pipe
+        from ..engine.rtc_fwd import build_fused_forward
+        from ..graph.modes import _load_pipe
+
+        enable_compilation_cache()
+        pipe = _load_pipe(self)
+        plan = lower_pipe(pipe, self.op_tune, fused_storage=True)
+        fwd = build_fused_forward(plan)
+        weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+        data_node = pipe.data_img_node_names[0]
+        top = "prob" if "prob" in plan.output_nodes else plan.output_nodes[-1]
+        d = pipe.get_data_img_dims()
+        rng = np.random.RandomState(0)
+        x = (rng.randn(*d.shape) * 0.1).astype(np.float32)
+
+        import jax
+        import jax.numpy as jnp
+
+        def step(w, xb, labels):
+            def loss_fn(w):
+                p = fwd({data_node: xb}, w)[top]
+                if p.ndim == 4:
+                    p = p.mean(axis=(2, 3))
+                logp = jnp.log(jnp.maximum(p.astype(jnp.float32), 1e-30))
+                return -jnp.mean(jnp.take_along_axis(
+                    logp, labels[:, None], axis=1))
+
+            loss, grads = jax.value_and_grad(loss_fn)(w)
+            new_w = jax.tree_util.tree_map(
+                lambda wv, g: wv - jnp.asarray(self.lr, wv.dtype)
+                * g.astype(wv.dtype), w, grads)
+            return loss, new_w
+
+        def chained(w, xb, labels, n):
+            def body(_i, carry):
+                wc, acc = carry
+                loss, w2 = step(wc, xb, labels)
+                return w2, acc + loss
+            wf, acc = jax.lax.fori_loop(0, n, body, (w, jnp.float32(0)))
+            # read back a scalar that depends on EVERY final weight so no
+            # update pass can be dead-coded (whole-output-sum rule)
+            tot = acc
+            for v in jax.tree_util.tree_leaves(wf):
+                tot = tot + v.sum().astype(jnp.float32)
+            return tot
+
+        n_classes = plan.node_dims[top].shape[1]
+        labels = rng.randint(0, max(n_classes, 2),
+                             size=(d["img"],)).astype(np.int32)
+
+        import contextlib
+        prec_ctx = (jax.default_matmul_precision(self.mxu_prec)
+                    if self.mxu_prec else contextlib.nullcontext())
+        fn = jax.jit(chained, compiler_options=self.compiler_options or None)
+        dev = jax.devices()[0]
+        w_dev = {k: jax.device_put(v, dev) for k, v in weights.items()}
+        x_dev = jax.device_put(x, dev)
+        l_dev = jax.device_put(labels, dev)
+        iters = max(self.iters, 3)
+        n1 = min(max(2, iters // 5), iters - 1)
+        t0 = time.perf_counter()
+        with prec_ctx:  # affects tracing; part of the jit cache key
+            v1 = float(fn(w_dev, x_dev, l_dev, 1))
+        compile_s = time.perf_counter() - t0
+        if not np.isfinite(v1):
+            from ..core.error import RtErr
+            raise RtErr(f"train_bench: non-finite readback {v1}")
+        with prec_ctx:  # same trace-config → same jit cache entry
+            float(fn(w_dev, x_dev, l_dev, n1))
+            float(fn(w_dev, x_dev, l_dev, iters))
+            slopes = []
+            for _ in range(self.reps):
+                a = time.perf_counter()
+                float(fn(w_dev, x_dev, l_dev, n1))
+                b = time.perf_counter()
+                float(fn(w_dev, x_dev, l_dev, iters))
+                c = time.perf_counter()
+                slopes.append(((c - b) - (b - a)) / (iters - n1))
+        secs = statistics.median(slopes)
+
+        # f32 edges execute convs at the one-pass-bf16 MXU rate (TPU
+        # default precision) — the honest roofline is the bf16 peak
+        prec = self.op_tune.prec or (f"f32-edge/{self.mxu_prec}-mxu" if self.mxu_prec else "f32")
+        fl, _ = pipe.total_flops_and_bytes()
+        tfl = 3 * fl  # fwd + input-grad + weight-grad passes
+        pk = peak_flops(dev.device_kind, self.op_tune.prec or "bf16")
+        name = self.model or self.ptt_fn
+        print(f"train_bench {name} b{d['img']} {prec} "
+              f"storage={'nhwc' if plan.storage_nhwc else 'nchw'} "
+              f"lr={self.lr}: step_ms={secs * 1e3:.2f} "
+              f"imgs_per_sec={d['img'] / secs:.1f} "
+              f"tflops={tfl / secs / 1e12:.1f} (3x-fwd est) "
+              f"frac_roofline={tfl / secs / pk:.4f} "
+              f"compile_s={compile_s:.1f} device={dev.device_kind}")

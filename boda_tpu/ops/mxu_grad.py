@@ -1,0 +1,77 @@
+"""Differentiable mixed-precision MXU convolution.
+
+The inference templates issue bf16 x bf16 -> f32 convs
+(`preferred_element_type=f32`: one-pass MXU multiply, f32 accumulate).
+JAX cannot transpose that primitive — the backward conv would pair an
+f32 cotangent with bf16 operands — so `jax.grad` through the fused
+forward fails, and falling back to f32 operands runs at the multi-pass
+HIGHEST-precision rate (~20 TF/s measured vs 155 TF/s bf16 on this
+chip; ops/pallas/sgemm._dot_precision forces that deliberately for f32
+numerics parity).
+
+`mxu_conv` keeps the EXACT inference primal (bit-identical HLO when not
+differentiated) and attaches a custom VJP whose gradient convolutions
+are themselves one-pass bf16 convs. The MXU accumulates in f32 in
+hardware regardless of the output element type, so the bf16-output grad
+convs lose only one final rounding — the standard mixed-precision
+training recipe (f32 master weights, bf16 compute).
+
+Reference role: the reference framework trained via hand-written
+backward CUCL kernels (BckConv/Spreading, cnn_codegen.cc:480+); here
+the TPU-native path differentiates the lowered program and this module
+supplies the mixed-precision derivative rules.
+"""
+
+from __future__ import annotations
+
+
+def mxu_conv(x, w, *, window_strides, padding, dimension_numbers,
+             feature_group_count: int = 1, lhs_dilation=None,
+             rhs_dilation=None, compute_dtype=None):
+    """conv_general_dilated with `compute_dtype` operands, f32 output
+    accumulation, and a mixed-precision custom VJP.
+
+    Primal: conv(x.astype(cd), w.astype(cd), preferred_element_type=f32)
+    — identical to the raw template call. Backward: jax's own transpose
+    of the uniform-dtype conv (all operands `cd`), so on TPU the grad
+    convs run one-pass bf16 with in-hardware f32 accumulation. Returned
+    cotangents match the (cast) operand dtypes; the enclosing
+    `astype(cd)` casts round-trip them to the caller's dtypes (f32
+    master weights stay f32)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from .pallas.sgemm import _dot_precision
+
+    cd = jnp.dtype(compute_dtype or jnp.bfloat16)
+    kw = dict(window_strides=tuple(window_strides),
+              padding=tuple(tuple(p) for p in padding),
+              dimension_numbers=dimension_numbers,
+              feature_group_count=feature_group_count)
+    if lhs_dilation is not None:
+        kw["lhs_dilation"] = tuple(lhs_dilation)
+    if rhs_dilation is not None:
+        kw["rhs_dilation"] = tuple(rhs_dilation)
+    prec = _dot_precision(cd)
+
+    @jax.custom_vjp
+    def _conv(xc, wc):
+        return lax.conv_general_dilated(
+            xc, wc, preferred_element_type=jnp.float32, precision=prec,
+            **kw)
+
+    def _fwd(xc, wc):
+        return _conv(xc, wc), (xc, wc)
+
+    def _bwd(res, g):
+        xc, wc = res
+        # uniform-dtype conv: transposable by jax; on TPU its grad convs
+        # are one-pass bf16 (f32 hardware accumulate, one final rounding)
+        _, vjp = jax.vjp(
+            lambda a, b: lax.conv_general_dilated(a, b, precision=prec,
+                                                  **kw), xc, wc)
+        return vjp(g.astype(cd))
+
+    _conv.defvjp(_fwd, _bwd)
+    return _conv(x.astype(cd), w.astype(cd))

@@ -140,12 +140,12 @@ class XlaConv2(KernelTemplate):
                     preferred_element_type=jnp.int32)
                 y = y.astype(jnp.float32) * sc
             else:
-                y = jax.lax.conv_general_dilated(
-                    xh.astype(cdt), wh.astype(cdt), window_strides=(sy, sx),
+                from ..mxu_grad import mxu_conv
+                y = mxu_conv(
+                    xh, wh, window_strides=(sy, sx),
                     padding=((py, py), (px, px)),
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.float32,
-                    precision=_dot_precision(jnp.dtype(cdt)))
+                    compute_dtype=cdt)
             y = y + b.astype(y.dtype)[None, None, None, :]
             outs = []
             off = 0

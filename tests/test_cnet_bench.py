@@ -45,3 +45,14 @@ def test_pyra_bench_mode(capsys):
     assert "pyra_bench mini" in out
     assert "bins=2x96x96" in out and "scales=3" in out
     assert "pack_ms=" in out and "overlapped=" in out
+
+
+def test_train_bench_mode(capsys):
+    """train_bench: fwd+bwd+SGD chained-slope harness runs (CPU: timings
+    are noise; what's pinned is grads flow through the fused program and
+    the report format)."""
+    from boda_tpu.core.has_main import create_and_run_has_main
+    create_and_run_has_main(
+        "(mode=train_bench,model=mini,iters=3,reps=1)")
+    out = capsys.readouterr().out
+    assert "train_bench mini" in out and "3x-fwd est" in out
