@@ -1,0 +1,90 @@
+"""cnet-infer: run a CNN on image stream blocks, in-process.
+
+Capability parity with the reference's net-in-the-loop streaming demos
+(cap_app.cc:254 `capture_classify` / :298 `capture_feats`: camera frames
+→ run_cnet → top-k display). Cameras don't exist in a TPU VM, so the
+frame source is any image-producing data-stream stage (video-src,
+img-dir-src, lmdb-src, test-gen via data-to-img ...) and the result
+rides the stream: each block gains a named subblock `pred` holding the
+top-k (class, prob) rows and a meta text line — consumable by text-sink
+(golden tests), add-img/img-sink (annotated frames), or stream-sink
+(cross-process, the cs_disp pattern).
+
+The engine is the same ConvFwd used by run_cnet (`engine=rtc` jitted
+XLA, `engine=ref` float64 numpy), with frames resized/mean-subtracted
+through io.img.img_to_batch.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..core.config import Attr, register
+from ..core.dims import NDA, Dims
+from ..core.error import RtErr
+from ..engine.iface import ConvFwd
+from ..io.data_stream import DataBlock, DataStream
+
+
+@register(DataStream, "cnet-infer",
+          help="run a CNN on image blocks; attach top-k predictions "
+               "(capture_classify parity, net in-process)")
+class CnetInferStream(DataStream):
+    model = Attr(str, default="", help="model zoo name")
+    ptt_fn = Attr(str, default="", help="prototxt filename")
+    trained_fn = Attr(str, default="", help="caffemodel filename")
+    in_dims = Attr(Dims, default=None, help="override net input dims")
+    batch = Attr(int, default=1)
+    conv_fwd = Attr(ConvFwd, default="rtc", help="execution engine")
+    out_node = Attr(str, default="", help="output node (default: top)")
+    top_k = Attr(int, default=5)
+    label_fn = Attr(str, default="", help="label names, one per line")
+    pred_tag = Attr(str, default="pred",
+                    help="named-subblock tag for the (top_k,2) "
+                         "[class,prob] result nda")
+
+    def data_stream_init(self):
+        from ..graph.modes import _load_pipe
+        self._pipe = _load_pipe(self)
+        self._pipe.out_node_name = self.out_node
+        self.conv_fwd.init(self._pipe)
+        self._data_node = self._pipe.data_img_node_names[0]
+        self._top = (self._pipe.must_get_node(self.out_node).name
+                     if self.out_node
+                     else self._pipe.get_single_top_node().name)
+        self._labels = None
+        if self.label_fn and Path(self.label_fn).exists():
+            self._labels = [ln.strip() for ln in
+                            Path(self.label_fn).read_text().splitlines()]
+
+    def _label(self, i: int) -> str:
+        if self._labels and i < len(self._labels):
+            return self._labels[i]
+        return f"class_{i}"
+
+    def proc_block(self, db: DataBlock) -> DataBlock:
+        from ..io.img import img_to_batch
+        if not db.valid() or db.nda is None:
+            return db
+        img = np.asarray(db.nda.v)
+        if img.ndim != 3 or img.shape[2] < 3:
+            raise RtErr(f"cnet-infer: expected (y,x,3) image block, got "
+                        f"{img.shape}")
+        blob = img_to_batch(img[:, :, :3], self._pipe.get_data_img_dims())
+        out = self.conv_fwd.run_fwd({self._data_node: blob},
+                                    [self._top])[self._top]
+        p = np.asarray(out.v[0], np.float32).reshape(-1)
+        k = min(self.top_k, p.size)
+        top = np.argsort(p)[::-1][:k]
+        rows = np.stack([top.astype(np.float32), p[top]], axis=1)
+        pred = DataBlock(NDA(Dims.make(tn="float", obj=k, cls_prob=2),
+                             rows), tag=self.pred_tag)
+        pred.timestamp_ns = db.timestamp_ns
+        db.set_sdb(pred)
+        db.meta = " ".join(f"{self._label(int(i))}:{p[i]:.4f}" for i in top)
+        return db
+
+    def get_pos_info_str(self) -> str:
+        return f"cnet-infer[{self.model or self.ptt_fn}->{self._top}]"

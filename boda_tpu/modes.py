@@ -12,6 +12,7 @@ _MODE_MODULES = [
     "boda_tpu.apps.run_cnet",    # run_cnet, cnet_predict
     "boda_tpu.io.data_stream",   # scan_data_stream + stream stages
     "boda_tpu.apps.zmq_serve",   # zmq detection/classification service
+    "boda_tpu.apps.stream_infer",  # cnet-infer net-in-the-loop stream stage
     "boda_tpu.apps.aio_serve",   # asyncio dynamic-batching inference service
     "boda_tpu.apps.eval_cls",    # test_lmdb accuracy eval + labeled sources
     "boda_tpu.io.disp",          # display_test/display_pil + viz stages

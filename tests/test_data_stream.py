@@ -220,3 +220,33 @@ def test_adj_angle():
     sub_only.set_sdb(DataBlock(nda=db.nda, tag="s"))
     with pytest.raises(RtErr, match="nda was null"):
         spec("(mode=adj-angle)").proc_block(sub_only)
+
+
+def test_cnet_infer_stage(tmp_path):
+    """cnet-infer: image stream blocks flow through the rtc engine in-
+    process (capture_classify parity); each block gains a (top_k,2)
+    [class,prob] 'pred' subblock + a label meta line, and is
+    deterministic across engines (ref vs rtc agree on argmax)."""
+    pytest.importorskip("PIL")
+    import numpy as np
+
+    import boda_tpu.apps.stream_infer  # noqa: F401 (registers cnet-infer)
+    from boda_tpu.io.img import save_img
+    rng = np.random.RandomState(3)
+    for i in range(3):
+        save_img(tmp_path / f"im{i}.png",
+                 rng.randint(0, 255, (48, 48, 3)).astype(np.uint8))
+    out = []
+    for eng in ("rtc", "ref"):
+        ds = spec(f"(mode=pipe,stages=((mode=img-dir-src,dir={tmp_path}),"
+                  f"(mode=cnet-infer,model=mini,top_k=3,"
+                  f"conv_fwd=(engine={eng}))))")
+        bs = read_all_blocks(ds)
+        assert len(bs) == 3
+        for b in bs:
+            pred = b.get_sdb("pred")
+            assert pred is not None and pred.nda.v.shape == (3, 2)
+            assert b.meta.startswith("class_")
+            assert abs(pred.nda.v[:, 1].sum()) <= 1.001
+        out.append([int(b.get_sdb("pred").nda.v[0, 0]) for b in bs])
+    assert out[0] == out[1]  # engines agree on top-1
