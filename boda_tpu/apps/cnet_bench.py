@@ -642,6 +642,10 @@ class TrainBench(_NetMode):
                    help="tune record (default: shipped bf16 config; "
                         "grads via the mxu_grad custom VJP)")
     lr = Attr(float, default=0.01)
+    optimizer = Attr(str, default="sgd",
+                     help="sgd | momentum (heavy-ball, velocity state "
+                          "carried through the chain)")
+    momentum = Attr(float, default=0.9)
     mxu_prec = Attr(str, default="bfloat16",
                     help="jax default_matmul_precision during trace: "
                          "bfloat16 = one-pass MXU (mixed-precision "
@@ -677,7 +681,13 @@ class TrainBench(_NetMode):
         import jax
         import jax.numpy as jnp
 
-        def step(w, xb, labels):
+        mom = self.optimizer == "momentum"
+        if self.optimizer not in ("sgd", "momentum"):
+            from ..core.error import RtErr
+            raise RtErr(f"train_bench: unknown optimizer "
+                        f"'{self.optimizer}' (sgd | momentum)")
+
+        def step(w, vel, xb, labels):
             def loss_fn(w):
                 p = fwd({data_node: xb}, w)[top]
                 if p.ndim == 4:
@@ -687,17 +697,25 @@ class TrainBench(_NetMode):
                     logp, labels[:, None], axis=1))
 
             loss, grads = jax.value_and_grad(loss_fn)(w)
+            if mom:  # classic heavy-ball: v' = mu*v + g; w' = w - lr*v'
+                vel = jax.tree_util.tree_map(
+                    lambda v, g: jnp.asarray(self.momentum, v.dtype) * v
+                    + g.astype(v.dtype), vel, grads)
+                upd = vel
+            else:
+                upd = grads
             new_w = jax.tree_util.tree_map(
                 lambda wv, g: wv - jnp.asarray(self.lr, wv.dtype)
-                * g.astype(wv.dtype), w, grads)
-            return loss, new_w
+                * g.astype(wv.dtype), w, upd)
+            return loss, new_w, vel
 
-        def chained(w, xb, labels, n):
+        def chained(w, vel, xb, labels, n):
             def body(_i, carry):
-                wc, acc = carry
-                loss, w2 = step(wc, xb, labels)
-                return w2, acc + loss
-            wf, acc = jax.lax.fori_loop(0, n, body, (w, jnp.float32(0)))
+                wc, vc, acc = carry
+                loss, w2, v2 = step(wc, vc, xb, labels)
+                return w2, v2, acc + loss
+            wf, _vf, acc = jax.lax.fori_loop(
+                0, n, body, (w, vel, jnp.float32(0)))
             # read back a scalar that depends on EVERY final weight so no
             # update pass can be dead-coded (whole-output-sum rule)
             tot = acc
@@ -715,26 +733,28 @@ class TrainBench(_NetMode):
         fn = jax.jit(chained, compiler_options=self.compiler_options or None)
         dev = jax.devices()[0]
         w_dev = {k: jax.device_put(v, dev) for k, v in weights.items()}
+        vel_dev = {k: jax.device_put(np.zeros_like(v), dev)
+                   for k, v in weights.items()}
         x_dev = jax.device_put(x, dev)
         l_dev = jax.device_put(labels, dev)
         iters = max(self.iters, 3)
         n1 = min(max(2, iters // 5), iters - 1)
         t0 = time.perf_counter()
         with prec_ctx:  # affects tracing; part of the jit cache key
-            v1 = float(fn(w_dev, x_dev, l_dev, 1))
+            v1 = float(fn(w_dev, vel_dev, x_dev, l_dev, 1))
         compile_s = time.perf_counter() - t0
         if not np.isfinite(v1):
             from ..core.error import RtErr
             raise RtErr(f"train_bench: non-finite readback {v1}")
         with prec_ctx:  # same trace-config → same jit cache entry
-            float(fn(w_dev, x_dev, l_dev, n1))
-            float(fn(w_dev, x_dev, l_dev, iters))
+            float(fn(w_dev, vel_dev, x_dev, l_dev, n1))
+            float(fn(w_dev, vel_dev, x_dev, l_dev, iters))
             slopes = []
             for _ in range(self.reps):
                 a = time.perf_counter()
-                float(fn(w_dev, x_dev, l_dev, n1))
+                float(fn(w_dev, vel_dev, x_dev, l_dev, n1))
                 b = time.perf_counter()
-                float(fn(w_dev, x_dev, l_dev, iters))
+                float(fn(w_dev, vel_dev, x_dev, l_dev, iters))
                 c = time.perf_counter()
                 slopes.append(((c - b) - (b - a)) / (iters - n1))
         secs = statistics.median(slopes)
@@ -748,7 +768,7 @@ class TrainBench(_NetMode):
         name = self.model or self.ptt_fn
         print(f"train_bench {name} b{d['img']} {prec} "
               f"storage={'nhwc' if plan.storage_nhwc else 'nchw'} "
-              f"lr={self.lr}: step_ms={secs * 1e3:.2f} "
+              f"opt={self.optimizer} lr={self.lr}: step_ms={secs * 1e3:.2f} "
               f"imgs_per_sec={d['img'] / secs:.1f} "
               f"tflops={tfl / secs / 1e12:.1f} (3x-fwd est) "
               f"frac_roofline={tfl / secs / pk:.4f} "

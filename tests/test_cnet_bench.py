@@ -56,3 +56,11 @@ def test_train_bench_mode(capsys):
         "(mode=train_bench,model=mini,iters=3,reps=1)")
     out = capsys.readouterr().out
     assert "train_bench mini" in out and "3x-fwd est" in out
+
+
+def test_train_bench_momentum(capsys):
+    from boda_tpu.core.has_main import create_and_run_has_main
+    create_and_run_has_main(
+        "(mode=train_bench,model=mini,iters=3,reps=1,optimizer=momentum)")
+    out = capsys.readouterr().out
+    assert "opt=momentum" in out

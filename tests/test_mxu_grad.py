@@ -122,3 +122,98 @@ def test_bf16_fused_program_differentiates():
     for k in common:
         m = _mrd(gb[k], gf[k])
         assert m < 8e-2, (k, m)
+
+
+def test_autodiff_matches_add_bck_ops():
+    """The two training paths agree: reference-parity backward-op IR
+    (graph/pipe.add_bck_ops -> BckConv/... on the ref engine) vs jax
+    autodiff of the bf16 fused program via the mxu_grad custom VJP.
+    Same net, same weights (seeded builder), same loss semantics
+    (sm_grad_and_loss: SUM over images of -log softmax[label])."""
+    from boda_tpu.engine.iface import make_engine
+    from boda_tpu.engine.lower import lower_pipe
+    from boda_tpu.engine.rtc_fwd import build_fused_forward
+    from boda_tpu.models.zoo import NetBuilder
+    from boda_tpu.ops.cnn_variants import make_op_tune
+    from boda_tpu.core.dims import NDA
+
+    def build(with_loss):
+        b = NetBuilder("xnet", 2, 3, 12, 12)
+        b.conv("conv1", 8, 3, 1, 1)
+        b.pool("pool1", 2, 2)
+        b.conv("fc", 4, 1, relu=False)
+        b.pool("gpool", 0, 1, avg=True, global_=True)
+        if with_loss:
+            b.softmax_with_loss("loss")
+        return b.done(seed=11)
+
+    rng = np.random.RandomState(3)
+    bpipe = build(True)
+    bpipe.add_bck_ops()
+    d = bpipe.get_data_img_dims()
+    x = (rng.randn(*d.shape) * 0.1).astype(np.float32)
+    ld = bpipe.must_get_node("label").dims
+    label = rng.randint(0, 4, size=ld.shape).astype(ld.dtype)
+    eng = make_engine("ref")
+    eng.init(bpipe)
+    want = eng.run_fwd(
+        {"data": NDA(d, x), "label": NDA(ld, label)},
+        ["conv1_filts_grad_loss", "fc_filts_grad_loss", "loss"])
+
+    fpipe = build(False)
+    plan = lower_pipe(
+        fpipe, make_op_tune("(use_culibs=1,prec=bf16,layout=nhwc,s2d=0)"),
+        fused_storage=True)
+    fwd = build_fused_forward(plan)
+    weights = {n: fpipe.op_params[n].v for n in plan.weight_nodes}
+    li = jnp.asarray(label.reshape(ld.shape[0]).astype(np.int32))
+
+    def loss_fn(w):
+        logits = fwd({"data": x}, w)["gpool"][:, :, 0, 0].astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=1)
+        return -jnp.sum(jnp.take_along_axis(logp, li[:, None], axis=1))
+
+    v, g = jax.value_and_grad(loss_fn)(weights)
+    assert _mrd(float(v), float(want["loss"].v.reshape(())) if
+                want["loss"].v.size == 1 else float(want["loss"].v.sum())) \
+        < 3e-2
+    assert _mrd(g["conv1_filts"], want["conv1_filts_grad_loss"].v) < 5e-2
+    assert _mrd(g["fc_filts"], want["fc_filts_grad_loss"].v) < 5e-2
+
+
+def test_training_reduces_loss():
+    """End-to-end: a few SGD steps through the bf16 fused program
+    overfit a fixed batch — loss must strictly decrease."""
+    from boda_tpu.engine.lower import lower_pipe
+    from boda_tpu.engine.rtc_fwd import build_fused_forward
+    from boda_tpu.models.zoo import build_model
+    from boda_tpu.ops.cnn_variants import make_op_tune
+
+    pipe = build_model("mini", batch=4)
+    plan = lower_pipe(
+        pipe, make_op_tune("(use_culibs=1,prec=bf16,layout=nhwc,s2d=0)"),
+        fused_storage=True)
+    fwd = build_fused_forward(plan)
+    w = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+    rng = np.random.RandomState(0)
+    d = pipe.get_data_img_dims()
+    x = (rng.randn(*d.shape) * 0.1).astype(np.float32)
+    labels = jnp.asarray(rng.randint(0, 8, size=(d["img"],)), jnp.int32)
+
+    @jax.jit
+    def step(w):
+        def loss_fn(w):
+            p = fwd({"data": x}, w)["prob"]
+            if p.ndim == 4:
+                p = p.mean(axis=(2, 3))
+            logp = jnp.log(jnp.maximum(p.astype(jnp.float32), 1e-30))
+            return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], 1))
+        loss, g = jax.value_and_grad(loss_fn)(w)
+        return loss, jax.tree_util.tree_map(
+            lambda wv, gv: wv - 0.1 * gv.astype(wv.dtype), w, g)
+
+    losses = []
+    for _ in range(8):
+        loss, w = step(w)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses
