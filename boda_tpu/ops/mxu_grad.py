@@ -20,6 +20,12 @@ Reference role: the reference framework trained via hand-written
 backward CUCL kernels (BckConv/Spreading, cnn_codegen.cc:480+); here
 the TPU-native path differentiates the lowered program and this module
 supplies the mixed-precision derivative rules.
+
+Scope: wired into the conv call sites of xla_conv / xla_conv2 / deconv
+(everything the default `use_culibs=1` training config lowers to). The
+variant templates (ipconv/k1conv/tconv Pallas bodies, sgemm) remain
+inference-only — training with a tune that selects them raises at
+transpose time rather than silently running slow.
 """
 
 from __future__ import annotations
