@@ -1,0 +1,167 @@
+"""cnet_train: a usable training driver (SGD/momentum over labeled data).
+
+The reference had the full backward machinery (add_bck_ops backward-op
+synthesis, conv_util.cc:732-800; BckConv/... kernels, cnn_codegen.cc)
+but no solver — training stopped at gradient computation. This mode
+completes the surface the TPU-native way: one jitted train step
+(autodiff of the fused program via the ops/mxu_grad custom VJP — bf16
+MXU compute, f32 master weights), batches drawn from any labeled
+data-stream (`lmdb-src`, `labeled-npy-src`, ...) or a deterministic
+synthetic set, loss curve printed/loggable (goldenable via the fixed
+seed + CPU numerics), trained weights exportable straight back to
+caffemodel (graph/caffe_io.write_caffemodel — the reference's
+as_net_param export role, caffepb.cc:593)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.config import Attr
+from ..core.error import RtErr
+from ..core.has_main import mode
+from ..graph.modes import _NetMode
+from ..io.data_stream import DataBlock, DataStream
+from ..ops.cnn_variants import OpTune
+
+
+@mode("cnet_train", help="train a net: jitted fwd+bwd+update steps over "
+                         "a labeled stream (or synthetic data)")
+class CnetTrain(_NetMode):
+    op_tune = Attr(OpTune,
+                   default="(use_culibs=1,prec=bf16,layout=nhwc,s2d=0,"
+                           "fuse_siblings=1)",
+                   help="tune record (bf16: mixed-precision training via "
+                        "the mxu_grad custom VJP)")
+    stream = Attr(DataStream, default=None,
+                  help="labeled data source, e.g. (mode=lmdb-src,"
+                       "fn=...,mean=128); blocks must match the net's "
+                       "chan/y/x; labels ride the 'label' subblock. "
+                       "Default: deterministic synthetic data")
+    steps = Attr(int, default=20)
+    lr = Attr(float, default=0.01)
+    optimizer = Attr(str, default="sgd", help="sgd | momentum")
+    momentum = Attr(float, default=0.9)
+    num_classes = Attr(int, default=0,
+                       help="label range for synthetic data (default: "
+                            "the net's output channels)")
+    log_every = Attr(int, default=5)
+    loss_out_fn = Attr(str, default="", help="write one loss per line")
+    weights_out_fn = Attr(str, default="",
+                          help="export trained weights as a caffemodel")
+    seed = Attr(int, default=0)
+
+    def _next_batch(self, d, rng, n_classes):
+        """→ (x (img,chan,y,x) f32, labels (img,) i32). Stream blocks
+        cycle (re-init on exhaustion) so steps > dataset size works."""
+        if self.stream is None:
+            x = (rng.randn(*d.shape) * 0.1).astype(np.float32)
+            labels = rng.randint(0, n_classes, size=(d["img"],))
+            return x, labels.astype(np.int32)
+        xs, ls = [], []
+        while len(xs) < d["img"]:
+            db = self.stream.proc_block(DataBlock())
+            if not db.valid():
+                self.stream.data_stream_init()  # wrap around (epoch)
+                db = self.stream.proc_block(DataBlock())
+                if not db.valid():
+                    raise RtErr("cnet_train: stream yielded no blocks")
+            v = np.asarray(db.nda.v, np.float32)
+            if v.shape != tuple(d.shape[1:]):
+                raise RtErr(f"cnet_train: stream block shape {v.shape} != "
+                            f"net input {tuple(d.shape[1:])} — resize the "
+                            f"stream or set in_dims to match")
+            lab = db.get_sdb("label")
+            if lab is None:
+                raise RtErr("cnet_train: stream block has no 'label' "
+                            "subblock (use a labeled source)")
+            xs.append(v)
+            ls.append(int(np.asarray(lab.nda.v).reshape(-1)[0]))
+        return np.stack(xs), np.asarray(ls, np.int32)
+
+    def main(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ..backend.xla import enable_compilation_cache
+        from ..engine.lower import lower_pipe
+        from ..engine.rtc_fwd import build_fused_forward
+        from ..graph.modes import _load_pipe
+
+        if self.optimizer not in ("sgd", "momentum"):
+            raise RtErr(f"cnet_train: unknown optimizer '{self.optimizer}'")
+        enable_compilation_cache()
+        pipe = _load_pipe(self)
+        plan = lower_pipe(pipe, self.op_tune, fused_storage=True)
+        weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+        data_node = pipe.data_img_node_names[0]
+        top = "prob" if "prob" in plan.output_nodes else plan.output_nodes[-1]
+        # train on the LOGITS (the Softmax op's input) via log_softmax:
+        # log(prob) has zero gradient once the softmax saturates (p_true
+        # underflows to 0 — e.g. raw-scale caffe inputs on a fresh net)
+        top_op = next((op for op in pipe.ops.values() if top in op.tops),
+                      None)
+        from_logits = top_op is not None and top_op.type == "Softmax"
+        if from_logits:
+            top = top_op.bots[0]
+        fwd = build_fused_forward(plan,
+                                  keep_all_nodes=top not in
+                                  plan.output_nodes)
+        d = pipe.get_data_img_dims()
+        n_classes = self.num_classes or plan.node_dims[top].shape[1]
+        if self.stream is not None:
+            self.stream.data_stream_init()
+        rng = np.random.RandomState(self.seed)
+        mom = self.optimizer == "momentum"
+
+        @jax.jit
+        def step(w, vel, xb, labels):
+            def loss_fn(w):
+                p = fwd({data_node: xb}, w)[top]
+                if p.ndim == 4:
+                    p = p.mean(axis=(2, 3))
+                p = p.astype(jnp.float32)
+                logp = (jax.nn.log_softmax(p, axis=1) if from_logits
+                        else jnp.log(jnp.maximum(p, 1e-30)))
+                return -jnp.mean(jnp.take_along_axis(
+                    logp, labels[:, None], axis=1))
+
+            loss, grads = jax.value_and_grad(loss_fn)(w)
+            if mom:
+                vel = jax.tree_util.tree_map(
+                    lambda v, g: jnp.asarray(self.momentum, v.dtype) * v
+                    + g.astype(v.dtype), vel, grads)
+                upd = vel
+            else:
+                upd = grads
+            w = jax.tree_util.tree_map(
+                lambda wv, g: wv - jnp.asarray(self.lr, wv.dtype)
+                * g.astype(wv.dtype), w, upd)
+            return loss, w, vel
+
+        vel = {k: np.zeros_like(v) for k, v in weights.items()}
+        losses = []
+        for i in range(self.steps):
+            x, labels = self._next_batch(d, rng, n_classes)
+            loss, weights, vel = step(weights, vel, x, labels)
+            losses.append(float(loss))
+            if not np.isfinite(losses[-1]):
+                raise RtErr(f"cnet_train: non-finite loss at step {i}: "
+                            f"{losses[-1]} (reduce --lr)")
+            if (i + 1) % self.log_every == 0 or i + 1 == self.steps:
+                print(f"step {i + 1:4d}/{self.steps}: "
+                      f"loss={losses[-1]:.5f}", flush=True)
+        print(f"cnet_train {self.model or self.ptt_fn} b{d['img']} "
+              f"opt={self.optimizer} lr={self.lr}: "
+              f"loss {losses[0]:.5f} -> {losses[-1]:.5f} "
+              f"({self.steps} steps)")
+        if self.loss_out_fn:
+            self.out_path(self.loss_out_fn).write_text(
+                "".join(f"{v:.6f}\n" for v in losses))
+        if self.weights_out_fn:
+            from ..core.dims import NDA
+            from ..graph.caffe_io import write_caffemodel
+            for n, v in weights.items():
+                pipe.op_params[n] = NDA(pipe.op_params[n].dims,
+                                        np.asarray(v, np.float32))
+            write_caffemodel(pipe, self.out_path(self.weights_out_fn))
+            print(f"wrote trained weights to {self.weights_out_fn}")

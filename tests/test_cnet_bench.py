@@ -64,3 +64,20 @@ def test_train_bench_momentum(capsys):
         "(mode=train_bench,model=mini,iters=3,reps=1,optimizer=momentum)")
     out = capsys.readouterr().out
     assert "opt=momentum" in out
+
+
+def test_cnet_train_mode(tmp_path, capsys):
+    """cnet_train: synthetic-data training reduces loss; loss curve and
+    caffemodel export written."""
+    from boda_tpu.core.has_main import create_and_run_has_main
+    create_and_run_has_main(
+        f"(mode=cnet_train,model=mini,"
+        f"in_dims=(dims=(img=4,chan=3,y=32,x=32)),steps=8,lr=0.1,"
+        f"log_every=4,loss_out_fn=loss.txt,weights_out_fn=w.caffemodel,"
+        f"boda_output_dir={tmp_path})")
+    out = capsys.readouterr().out
+    assert "cnet_train mini b4" in out
+    losses = [float(v) for v in
+              (tmp_path / "loss.txt").read_text().split()]
+    assert len(losses) == 8 and losses[-1] < losses[0]
+    assert (tmp_path / "w.caffemodel").stat().st_size > 1000
