@@ -117,6 +117,10 @@ class LmdbSrc(DataStream):
     fn = Attr(str, req=True, help="lmdb directory")
     tag = Attr(str, default="data")
     mean = Attr(float, default=0.0, help="scalar mean subtracted from pixels")
+    scale = Attr(float, default=1.0,
+                 help="multiplier applied after mean subtraction (caffe "
+                      "transform_param scale; e.g. 0.0078125 = 1/128 for "
+                      "unit-range training inputs)")
 
     def data_stream_init(self):
         self._iter = open_lmdb_kv_iter(self.fn)
@@ -133,7 +137,7 @@ class LmdbSrc(DataStream):
         data = d.bytes_field(4)
         label = d.varint(5, 0)
         v = np.frombuffer(data, dtype=np.uint8).astype(np.float32)
-        v = v.reshape(chans, y, x) - self.mean
+        v = (v.reshape(chans, y, x) - self.mean) * self.scale
         ret = DataBlock(NDA(Dims.make(tn="float", chan=chans, y=y, x=x), v),
                         tag=self.tag, frame_ix=self._ix, timestamp_ns=self._ix)
         ret.set_sdb(DataBlock(NDA(Dims.make(tn="float", v=1),

@@ -48,6 +48,10 @@ class CnetTrain(_NetMode):
     loss_out_fn = Attr(str, default="", help="write one loss per line")
     weights_out_fn = Attr(str, default="",
                           help="export trained weights as a caffemodel")
+    prototxt_out_fn = Attr(str, default="",
+                           help="also export the net structure as a "
+                                "prototxt (so the trained model round-"
+                                "trips through the caffe importer)")
     seed = Attr(int, default=0)
 
     def _next_batch(self, d, rng, n_classes):
@@ -165,3 +169,7 @@ class CnetTrain(_NetMode):
                                         np.asarray(v, np.float32))
             write_caffemodel(pipe, self.out_path(self.weights_out_fn))
             print(f"wrote trained weights to {self.weights_out_fn}")
+        if self.prototxt_out_fn:
+            from ..graph.caffe_io import write_prototxt
+            write_prototxt(pipe, self.out_path(self.prototxt_out_fn))
+            print(f"wrote net structure to {self.prototxt_out_fn}")

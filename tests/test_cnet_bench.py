@@ -81,3 +81,34 @@ def test_cnet_train_mode(tmp_path, capsys):
               (tmp_path / "loss.txt").read_text().split()]
     assert len(losses) == 8 and losses[-1] < losses[0]
     assert (tmp_path / "w.caffemodel").stat().st_size > 1000
+
+
+def test_train_export_reimport_eval(tmp_path, capsys):
+    """Full loop: generate a labeled LMDB -> train mini on it ->
+    export prototxt+caffemodel -> re-import through the caffe front-end
+    -> eval accuracy with test_lmdb. Overfitting 8 images must reach
+    high top-1 (validates training AND the export/import round-trip)."""
+    from boda_tpu.core.has_main import create_and_run_has_main
+    create_and_run_has_main(
+        f"(mode=gen_lmdb,out_dir={tmp_path}/lmdb8,num_imgs=8,"
+        f"num_classes=8,ysz=32,xsz=32)")
+    create_and_run_has_main(
+        f"(mode=cnet_train,model=mini,"
+        f"in_dims=(dims=(img=4,chan=3,y=32,x=32)),"
+        f"stream=(mode=lmdb-src,fn={tmp_path}/lmdb8,mean=128,"
+        f"scale=0.0078125),"
+        f"steps=150,lr=0.02,optimizer=momentum,log_every=50,"
+        f"weights_out_fn=t.caffemodel,prototxt_out_fn=t.prototxt,"
+        f"boda_output_dir={tmp_path})")
+    capsys.readouterr()
+    create_and_run_has_main(
+        f"(mode=test_lmdb,ptt_fn={tmp_path}/t.prototxt,"
+        f"trained_fn={tmp_path}/t.caffemodel,"
+        f"in_dims=(dims=(img=4,chan=3,y=32,x=32)),"
+        f"src=(mode=lmdb-src,fn={tmp_path}/lmdb8,mean=128,"
+        f"scale=0.0078125))")
+    out = capsys.readouterr().out
+    import re
+    m = re.search(r"top_1_acc=([0-9.]+)", out)
+    assert m, out
+    assert float(m.group(1)) >= 0.75, out
