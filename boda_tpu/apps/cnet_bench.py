@@ -646,11 +646,6 @@ class TrainBench(_NetMode):
                      help="sgd | momentum (heavy-ball, velocity state "
                           "carried through the chain)")
     momentum = Attr(float, default=0.9)
-    mxu_prec = Attr(str, default="bfloat16",
-                    help="jax default_matmul_precision during trace: "
-                         "bfloat16 = one-pass MXU (mixed-precision "
-                         "training math), float32 = three-pass, "
-                         "'' = leave JAX's default")
     iters = Attr(int, default=20, help="long chain length")
     reps = Attr(int, default=3, help="slope repetitions (median)")
     compiler_options = Attr(dict[str, str], default=None,
@@ -681,33 +676,10 @@ class TrainBench(_NetMode):
         import jax
         import jax.numpy as jnp
 
-        mom = self.optimizer == "momentum"
-        if self.optimizer not in ("sgd", "momentum"):
-            from ..core.error import RtErr
-            raise RtErr(f"train_bench: unknown optimizer "
-                        f"'{self.optimizer}' (sgd | momentum)")
-
-        def step(w, vel, xb, labels):
-            def loss_fn(w):
-                p = fwd({data_node: xb}, w)[top]
-                if p.ndim == 4:
-                    p = p.mean(axis=(2, 3))
-                logp = jnp.log(jnp.maximum(p.astype(jnp.float32), 1e-30))
-                return -jnp.mean(jnp.take_along_axis(
-                    logp, labels[:, None], axis=1))
-
-            loss, grads = jax.value_and_grad(loss_fn)(w)
-            if mom:  # classic heavy-ball: v' = mu*v + g; w' = w - lr*v'
-                vel = jax.tree_util.tree_map(
-                    lambda v, g: jnp.asarray(self.momentum, v.dtype) * v
-                    + g.astype(v.dtype), vel, grads)
-                upd = vel
-            else:
-                upd = grads
-            new_w = jax.tree_util.tree_map(
-                lambda wv, g: wv - jnp.asarray(self.lr, wv.dtype)
-                * g.astype(wv.dtype), w, upd)
-            return loss, new_w, vel
+        from .train import build_train_step, check_labels
+        step = build_train_step(fwd, data_node, top, lr=self.lr,
+                                optimizer=self.optimizer,
+                                momentum=self.momentum)
 
         def chained(w, vel, xb, labels, n):
             def body(_i, carry):
@@ -724,47 +696,46 @@ class TrainBench(_NetMode):
             return tot
 
         n_classes = plan.node_dims[top].shape[1]
-        labels = rng.randint(0, max(n_classes, 2),
-                             size=(d["img"],)).astype(np.int32)
+        labels = rng.randint(0, n_classes, size=(d["img"],)).astype(np.int32)
+        check_labels(labels, n_classes, "train_bench")
 
-        import contextlib
-        prec_ctx = (jax.default_matmul_precision(self.mxu_prec)
-                    if self.mxu_prec else contextlib.nullcontext())
         fn = jax.jit(chained, compiler_options=self.compiler_options or None)
         dev = jax.devices()[0]
         w_dev = {k: jax.device_put(v, dev) for k, v in weights.items()}
-        vel_dev = {k: jax.device_put(np.zeros_like(v), dev)
-                   for k, v in weights.items()}
+        # SGD carries no state — empty pytree instead of a full
+        # weight-sized velocity copy in HBM
+        vel_dev = ({k: jax.device_put(np.zeros_like(v), dev)
+                    for k, v in weights.items()}
+                   if self.optimizer == "momentum" else {})
         x_dev = jax.device_put(x, dev)
         l_dev = jax.device_put(labels, dev)
         iters = max(self.iters, 3)
         n1 = min(max(2, iters // 5), iters - 1)
         t0 = time.perf_counter()
-        with prec_ctx:  # affects tracing; part of the jit cache key
-            v1 = float(fn(w_dev, vel_dev, x_dev, l_dev, 1))
+        v1 = float(fn(w_dev, vel_dev, x_dev, l_dev, 1))
         compile_s = time.perf_counter() - t0
         if not np.isfinite(v1):
             from ..core.error import RtErr
             raise RtErr(f"train_bench: non-finite readback {v1}")
-        with prec_ctx:  # same trace-config → same jit cache entry
+        float(fn(w_dev, vel_dev, x_dev, l_dev, n1))
+        float(fn(w_dev, vel_dev, x_dev, l_dev, iters))
+        slopes = []
+        for _ in range(self.reps):
+            a = time.perf_counter()
             float(fn(w_dev, vel_dev, x_dev, l_dev, n1))
+            b = time.perf_counter()
             float(fn(w_dev, vel_dev, x_dev, l_dev, iters))
-            slopes = []
-            for _ in range(self.reps):
-                a = time.perf_counter()
-                float(fn(w_dev, vel_dev, x_dev, l_dev, n1))
-                b = time.perf_counter()
-                float(fn(w_dev, vel_dev, x_dev, l_dev, iters))
-                c = time.perf_counter()
-                slopes.append(((c - b) - (b - a)) / (iters - n1))
+            c = time.perf_counter()
+            slopes.append(((c - b) - (b - a)) / (iters - n1))
         secs = statistics.median(slopes)
 
-        # f32 edges execute convs at the one-pass-bf16 MXU rate (TPU
-        # default precision) — the honest roofline is the bf16 peak
-        prec = self.op_tune.prec or (f"f32-edge/{self.mxu_prec}-mxu" if self.mxu_prec else "f32")
+        # prec=bf16: one-pass MXU via the mxu_conv custom VJP; prec
+        # unset: true f32 (mxu_conv passes explicit HIGHEST precision —
+        # a jax.default_matmul_precision context would NOT override it)
+        prec = self.op_tune.prec or "f32"
         fl, _ = pipe.total_flops_and_bytes()
         tfl = 3 * fl  # fwd + input-grad + weight-grad passes
-        pk = peak_flops(dev.device_kind, self.op_tune.prec or "bf16")
+        pk = peak_flops(dev.device_kind, self.op_tune.prec or "f32")
         name = self.model or self.ptt_fn
         print(f"train_bench {name} b{d['img']} {prec} "
               f"storage={'nhwc' if plan.storage_nhwc else 'nchw'} "

@@ -55,7 +55,10 @@ class CnetInferStream(DataStream):
                      if self.out_node
                      else self._pipe.get_single_top_node().name)
         self._labels = None
-        if self.label_fn and Path(self.label_fn).exists():
+        if self.label_fn:
+            if not Path(self.label_fn).exists():
+                raise RtErr(f"cnet-infer: label_fn '{self.label_fn}' "
+                            f"not found")
             self._labels = [ln.strip() for ln in
                             Path(self.label_fn).read_text().splitlines()]
 

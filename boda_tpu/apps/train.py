@@ -24,6 +24,58 @@ from ..io.data_stream import DataBlock, DataStream
 from ..ops.cnn_variants import OpTune
 
 
+def build_train_step(fwd, data_node: str, top: str, *, lr: float,
+                     optimizer: str = "sgd", momentum: float = 0.9,
+                     from_logits: bool = False):
+    """Shared fwd+bwd+update step (used by cnet_train and train_bench):
+    step(w, vel, xb, labels) -> (loss, new_w, new_vel). Softmax-CE loss
+    (log_softmax when `top` is the pre-softmax logits node — log(prob)
+    has zero gradient once the softmax saturates); SGD or heavy-ball
+    momentum update with f32 master weights."""
+    import jax
+    import jax.numpy as jnp
+
+    if optimizer not in ("sgd", "momentum"):
+        raise RtErr(f"unknown optimizer '{optimizer}' (sgd | momentum)")
+    mom = optimizer == "momentum"
+
+    def step(w, vel, xb, labels):
+        def loss_fn(w):
+            p = fwd({data_node: xb}, w)[top]
+            if p.ndim == 4:
+                p = p.mean(axis=(2, 3))
+            p = p.astype(jnp.float32)
+            logp = (jax.nn.log_softmax(p, axis=1) if from_logits
+                    else jnp.log(jnp.maximum(p, 1e-30)))
+            return -jnp.mean(jnp.take_along_axis(
+                logp, labels[:, None], axis=1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(w)
+        if mom:  # classic heavy-ball: v' = mu*v + g; w' = w - lr*v'
+            vel = jax.tree_util.tree_map(
+                lambda v, g: jnp.asarray(momentum, v.dtype) * v
+                + g.astype(v.dtype), vel, grads)
+            upd = vel
+        else:
+            upd = grads
+        new_w = jax.tree_util.tree_map(
+            lambda wv, g: wv - jnp.asarray(lr, wv.dtype)
+            * g.astype(wv.dtype), w, upd)
+        return loss, new_w, vel
+
+    return step
+
+
+def check_labels(labels, n_classes: int, what: str) -> None:
+    """Out-of-range labels turn into NaN losses via take_along_axis's
+    fill mode and masquerade as divergence — refuse them up front."""
+    import numpy as np
+    mx = int(np.max(labels)) if len(labels) else 0
+    if mx >= n_classes or int(np.min(labels) if len(labels) else 0) < 0:
+        raise RtErr(f"{what}: label {mx} out of range for {n_classes} "
+                    f"output classes (labels must be in [0,{n_classes}))")
+
+
 @mode("cnet_train", help="train a net: jitted fwd+bwd+update steps over "
                          "a labeled stream (or synthetic data)")
 class CnetTrain(_NetMode):
@@ -44,6 +96,11 @@ class CnetTrain(_NetMode):
     num_classes = Attr(int, default=0,
                        help="label range for synthetic data (default: "
                             "the net's output channels)")
+    train_dropout = Attr(bool, default=True,
+                         help="lower Dropout ops in train mode "
+                              "(deterministic seed-keyed masks — the "
+                              "reference's det-dropout semantics); 0 = "
+                              "inference-mode identity")
     log_every = Attr(int, default=5)
     loss_out_fn = Attr(str, default="", help="write one loss per line")
     weights_out_fn = Attr(str, default="",
@@ -84,7 +141,6 @@ class CnetTrain(_NetMode):
 
     def main(self):
         import jax
-        import jax.numpy as jnp
 
         from ..backend.xla import enable_compilation_cache
         from ..engine.lower import lower_pipe
@@ -93,9 +149,12 @@ class CnetTrain(_NetMode):
 
         if self.optimizer not in ("sgd", "momentum"):
             raise RtErr(f"cnet_train: unknown optimizer '{self.optimizer}'")
+        if self.steps < 1:
+            raise RtErr("cnet_train: steps must be >= 1")
         enable_compilation_cache()
         pipe = _load_pipe(self)
-        plan = lower_pipe(pipe, self.op_tune, fused_storage=True)
+        plan = lower_pipe(pipe, self.op_tune, fused_storage=True,
+                          train_dropout=self.train_dropout)
         weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
         data_node = pipe.data_img_node_names[0]
         top = "prob" if "prob" in plan.output_nodes else plan.output_nodes[-1]
@@ -112,40 +171,22 @@ class CnetTrain(_NetMode):
                                   plan.output_nodes)
         d = pipe.get_data_img_dims()
         n_classes = self.num_classes or plan.node_dims[top].shape[1]
+        n_out = plan.node_dims[top].shape[1]
         if self.stream is not None:
             self.stream.data_stream_init()
         rng = np.random.RandomState(self.seed)
-        mom = self.optimizer == "momentum"
+        step = jax.jit(build_train_step(
+            fwd, data_node, top, lr=self.lr, optimizer=self.optimizer,
+            momentum=self.momentum, from_logits=from_logits))
 
-        @jax.jit
-        def step(w, vel, xb, labels):
-            def loss_fn(w):
-                p = fwd({data_node: xb}, w)[top]
-                if p.ndim == 4:
-                    p = p.mean(axis=(2, 3))
-                p = p.astype(jnp.float32)
-                logp = (jax.nn.log_softmax(p, axis=1) if from_logits
-                        else jnp.log(jnp.maximum(p, 1e-30)))
-                return -jnp.mean(jnp.take_along_axis(
-                    logp, labels[:, None], axis=1))
-
-            loss, grads = jax.value_and_grad(loss_fn)(w)
-            if mom:
-                vel = jax.tree_util.tree_map(
-                    lambda v, g: jnp.asarray(self.momentum, v.dtype) * v
-                    + g.astype(v.dtype), vel, grads)
-                upd = vel
-            else:
-                upd = grads
-            w = jax.tree_util.tree_map(
-                lambda wv, g: wv - jnp.asarray(self.lr, wv.dtype)
-                * g.astype(wv.dtype), w, upd)
-            return loss, w, vel
-
-        vel = {k: np.zeros_like(v) for k, v in weights.items()}
+        # SGD carries no state; pass an empty pytree instead of wasting
+        # a full weight-sized velocity copy
+        vel = ({k: np.zeros_like(v) for k, v in weights.items()}
+               if self.optimizer == "momentum" else {})
         losses = []
         for i in range(self.steps):
             x, labels = self._next_batch(d, rng, n_classes)
+            check_labels(labels, n_out, "cnet_train")
             loss, weights, vel = step(weights, vel, x, labels)
             losses.append(float(loss))
             if not np.isfinite(losses[-1]):

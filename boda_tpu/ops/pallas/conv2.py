@@ -26,7 +26,6 @@ from ...core.dims import Dims
 from ..op_base import OpBase
 from ..registry import IN, OUT, KernelTemplate, adecl, template
 from .conv import _quantize_conv_operands
-from .sgemm import _dot_precision
 
 
 SIBS = ("a", "b", "c", "d")   # up to 4-way fusion (inception blocks)
