@@ -643,7 +643,7 @@ class TrainBench(_NetMode):
                         "grads via the mxu_grad custom VJP)")
     lr = Attr(float, default=0.01)
     optimizer = Attr(str, default="sgd",
-                     help="sgd | momentum (heavy-ball, velocity state "
+                     help="sgd | momentum | adam (optimizer state "
                           "carried through the chain)")
     momentum = Attr(float, default=0.9)
     iters = Attr(int, default=20, help="long chain length")
@@ -676,7 +676,7 @@ class TrainBench(_NetMode):
         import jax
         import jax.numpy as jnp
 
-        from .train import build_train_step, check_labels
+        from .train import build_train_step, check_labels, init_opt_state
         step = build_train_step(fwd, data_node, top, lr=self.lr,
                                 optimizer=self.optimizer,
                                 momentum=self.momentum)
@@ -702,11 +702,10 @@ class TrainBench(_NetMode):
         fn = jax.jit(chained, compiler_options=self.compiler_options or None)
         dev = jax.devices()[0]
         w_dev = {k: jax.device_put(v, dev) for k, v in weights.items()}
-        # SGD carries no state — empty pytree instead of a full
-        # weight-sized velocity copy in HBM
-        vel_dev = ({k: jax.device_put(np.zeros_like(v), dev)
-                    for k, v in weights.items()}
-                   if self.optimizer == "momentum" else {})
+        # SGD state is an empty pytree — no weight-sized copies in HBM
+        vel_dev = jax.tree_util.tree_map(
+            lambda v: jax.device_put(v, dev),
+            init_opt_state(self.optimizer, weights))
         x_dev = jax.device_put(x, dev)
         l_dev = jax.device_put(labels, dev)
         iters = max(self.iters, 3)

@@ -24,20 +24,37 @@ from ..io.data_stream import DataBlock, DataStream
 from ..ops.cnn_variants import OpTune
 
 
+OPTIMIZERS = ("sgd", "momentum", "adam")
+
+
+def init_opt_state(optimizer: str, weights: dict) -> dict:
+    """Optimizer state pytree for build_train_step's `vel` argument.
+    SGD is stateless (empty dict — no weight-sized copies in HBM)."""
+    import numpy as np
+    if optimizer == "momentum":
+        return {"v": {k: np.zeros_like(v) for k, v in weights.items()}}
+    if optimizer == "adam":
+        return {"m": {k: np.zeros_like(v) for k, v in weights.items()},
+                "v": {k: np.zeros_like(v) for k, v in weights.items()},
+                "t": np.float32(0)}
+    return {}
+
+
 def build_train_step(fwd, data_node: str, top: str, *, lr: float,
                      optimizer: str = "sgd", momentum: float = 0.9,
                      from_logits: bool = False):
     """Shared fwd+bwd+update step (used by cnet_train and train_bench):
-    step(w, vel, xb, labels) -> (loss, new_w, new_vel). Softmax-CE loss
-    (log_softmax when `top` is the pre-softmax logits node — log(prob)
-    has zero gradient once the softmax saturates); SGD or heavy-ball
-    momentum update with f32 master weights."""
+    step(w, vel, xb, labels) -> (loss, new_w, new_vel), where `vel` is
+    init_opt_state(optimizer, w). Softmax-CE loss (log_softmax when
+    `top` is the pre-softmax logits node — log(prob) has zero gradient
+    once the softmax saturates); SGD / heavy-ball momentum / Adam with
+    f32 master weights."""
     import jax
     import jax.numpy as jnp
 
-    if optimizer not in ("sgd", "momentum"):
-        raise RtErr(f"unknown optimizer '{optimizer}' (sgd | momentum)")
-    mom = optimizer == "momentum"
+    if optimizer not in OPTIMIZERS:
+        raise RtErr(f"unknown optimizer '{optimizer}' "
+                    f"({' | '.join(OPTIMIZERS)})")
 
     def step(w, vel, xb, labels):
         def loss_fn(w):
@@ -50,17 +67,29 @@ def build_train_step(fwd, data_node: str, top: str, *, lr: float,
             return -jnp.mean(jnp.take_along_axis(
                 logp, labels[:, None], axis=1))
 
+        tmap = jax.tree_util.tree_map
         loss, grads = jax.value_and_grad(loss_fn)(w)
-        if mom:  # classic heavy-ball: v' = mu*v + g; w' = w - lr*v'
-            vel = jax.tree_util.tree_map(
-                lambda v, g: jnp.asarray(momentum, v.dtype) * v
-                + g.astype(v.dtype), vel, grads)
-            upd = vel
+        if optimizer == "momentum":  # heavy-ball: v'=mu*v+g; w'=w-lr*v'
+            vel = {"v": tmap(lambda v, g: jnp.asarray(momentum, v.dtype)
+                             * v + g.astype(v.dtype), vel["v"], grads)}
+            upd = vel["v"]
+        elif optimizer == "adam":
+            b1, b2, eps = 0.9, 0.999, 1e-8
+            t = vel["t"] + 1
+            m = tmap(lambda m, g: b1 * m + (1 - b1) * g.astype(m.dtype),
+                     vel["m"], grads)
+            v = tmap(lambda v, g: b2 * v
+                     + (1 - b2) * jnp.square(g.astype(v.dtype)),
+                     vel["v"], grads)
+            bc1 = 1 - b1 ** t
+            bc2 = 1 - b2 ** t
+            upd = tmap(lambda m, v: (m / bc1)
+                       / (jnp.sqrt(v / bc2) + eps), m, v)
+            vel = {"m": m, "v": v, "t": t}
         else:
             upd = grads
-        new_w = jax.tree_util.tree_map(
-            lambda wv, g: wv - jnp.asarray(lr, wv.dtype)
-            * g.astype(wv.dtype), w, upd)
+        new_w = tmap(lambda wv, g: wv - jnp.asarray(lr, wv.dtype)
+                     * g.astype(wv.dtype), w, upd)
         return loss, new_w, vel
 
     return step
@@ -91,7 +120,7 @@ class CnetTrain(_NetMode):
                        "Default: deterministic synthetic data")
     steps = Attr(int, default=20)
     lr = Attr(float, default=0.01)
-    optimizer = Attr(str, default="sgd", help="sgd | momentum")
+    optimizer = Attr(str, default="sgd", help="sgd | momentum | adam")
     momentum = Attr(float, default=0.9)
     num_classes = Attr(int, default=0,
                        help="label range for synthetic data (default: "
@@ -147,8 +176,9 @@ class CnetTrain(_NetMode):
         from ..engine.rtc_fwd import build_fused_forward
         from ..graph.modes import _load_pipe
 
-        if self.optimizer not in ("sgd", "momentum"):
-            raise RtErr(f"cnet_train: unknown optimizer '{self.optimizer}'")
+        if self.optimizer not in OPTIMIZERS:
+            raise RtErr(f"cnet_train: unknown optimizer '{self.optimizer}' "
+                        f"({' | '.join(OPTIMIZERS)})")
         if self.steps < 1:
             raise RtErr("cnet_train: steps must be >= 1")
         enable_compilation_cache()
@@ -179,10 +209,7 @@ class CnetTrain(_NetMode):
             fwd, data_node, top, lr=self.lr, optimizer=self.optimizer,
             momentum=self.momentum, from_logits=from_logits))
 
-        # SGD carries no state; pass an empty pytree instead of wasting
-        # a full weight-sized velocity copy
-        vel = ({k: np.zeros_like(v) for k, v in weights.items()}
-               if self.optimizer == "momentum" else {})
+        vel = init_opt_state(self.optimizer, weights)
         losses = []
         for i in range(self.steps):
             x, labels = self._next_batch(d, rng, n_classes)

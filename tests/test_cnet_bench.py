@@ -112,3 +112,29 @@ def test_train_export_reimport_eval(tmp_path, capsys):
     m = re.search(r"top_1_acc=([0-9.]+)", out)
     assert m, out
     assert float(m.group(1)) >= 0.75, out
+
+
+def test_train_bench_adam(capsys):
+    from boda_tpu.core.has_main import create_and_run_has_main
+    create_and_run_has_main(
+        "(mode=train_bench,model=mini,iters=3,reps=1,optimizer=adam)")
+    out = capsys.readouterr().out
+    assert "opt=adam" in out
+
+
+def test_cnet_train_adam_reduces_loss(tmp_path):
+    """Adam on a fixed learnable dataset (synthetic draws NEW random
+    labels each step — nothing to learn there)."""
+    from boda_tpu.core.has_main import create_and_run_has_main
+    create_and_run_has_main(
+        f"(mode=gen_lmdb,out_dir={tmp_path}/lmdb8,num_imgs=8,"
+        f"num_classes=8,ysz=32,xsz=32)")
+    create_and_run_has_main(
+        f"(mode=cnet_train,model=mini,"
+        f"in_dims=(dims=(img=4,chan=3,y=32,x=32)),"
+        f"stream=(mode=lmdb-src,fn={tmp_path}/lmdb8,mean=128,"
+        f"scale=0.0078125),steps=30,lr=0.002,"
+        f"optimizer=adam,log_every=30,loss_out_fn=loss.txt,"
+        f"boda_output_dir={tmp_path})")
+    losses = [float(v) for v in (tmp_path / "loss.txt").read_text().split()]
+    assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
