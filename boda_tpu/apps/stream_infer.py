@@ -72,10 +72,17 @@ class CnetInferStream(DataStream):
         if not db.valid() or db.nda is None:
             return db
         img = np.asarray(db.nda.v)
-        if img.ndim != 3 or img.shape[2] < 3:
-            raise RtErr(f"cnet-infer: expected (y,x,3) image block, got "
+        if img.ndim != 3:
+            raise RtErr(f"cnet-infer: expected a 3-d image block, got "
                         f"{img.shape}")
-        blob = img_to_batch(img[:, :, :3], self._pipe.get_data_img_dims())
+        if img.shape[2] == 3:          # (y,x,3) — img-dir-src, data-to-img
+            pass
+        elif img.shape[0] == 3:        # (3,y,x) — video-src, lmdb-src
+            img = np.transpose(img, (1, 2, 0))
+        else:
+            raise RtErr(f"cnet-infer: can't infer image layout from "
+                        f"shape {img.shape} (want (y,x,3) or (3,y,x))")
+        blob = img_to_batch(img, self._pipe.get_data_img_dims())
         out = self.conv_fwd.run_fwd({self._data_node: blob},
                                     [self._top])[self._top]
         p = np.asarray(out.v[0], np.float32).reshape(-1)
