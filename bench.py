@@ -25,12 +25,16 @@ import time
 from boda_tpu.core.machine import peak_flops  # single definition site
 
 
-def _preflight(budget_s: float = 600.0) -> None:
-    """The axon tunnel sporadically wedges for tens of minutes (CLAUDE.md);
-    probe with a tiny matmul in ONE worker thread and wait out a wedge
-    (bounded) before queueing the big compile. A single probe thread is
-    re-joined each round — spawning a fresh probe per interval would stack
-    concurrent requests against the serialized tunnel (ADVICE r2)."""
+def _preflight() -> None:
+    """The axon tunnel sporadically wedges, sometimes for HOURS
+    (CLAUDE.md; a 4h wedge observed r3); probe with a tiny matmul in ONE
+    worker thread and wait it out before queueing the big compile. A
+    single probe thread is re-joined each round — spawning a fresh probe
+    per interval would stack concurrent requests against the serialized
+    tunnel (ADVICE r2). We wait WITHOUT a budget: "proceeding anyway"
+    into a wedged tunnel just hangs inside the first compile with no
+    output, while a wedge that clears late still yields a real number —
+    the driver's own timeout bounds the wait either way."""
     import sys
     import threading
     import time
@@ -50,9 +54,8 @@ def _preflight(budget_s: float = 600.0) -> None:
     th = threading.Thread(target=probe, daemon=True)
     t0 = time.perf_counter()
     th.start()
-    t_end = time.time() + budget_s
     while True:
-        th.join(timeout=min(30.0, max(1.0, t_end - time.time())))
+        th.join(timeout=30.0)
         if ok.is_set():
             dt = time.perf_counter() - t0
             if dt > 30:
@@ -63,11 +66,9 @@ def _preflight(budget_s: float = 600.0) -> None:
             print("# preflight: probe errored; proceeding anyway",
                   file=sys.stderr, flush=True)
             return
-        if time.time() >= t_end:
-            print("# preflight: tunnel still wedged after budget; "
-                  "proceeding anyway", file=sys.stderr, flush=True)
-            return
-        print("# preflight: tunnel wedged; waiting...", file=sys.stderr, flush=True)
+        print(f"# preflight: tunnel wedged; waiting "
+              f"({time.perf_counter() - t0:.0f}s)...",
+              file=sys.stderr, flush=True)
 
 
 def main() -> None:
