@@ -335,6 +335,76 @@ class AddImg(DataStream):
         return f"add-img: fmt={self.img_fmt}"
 
 
+@register(DataStream, "img-add-text",
+          help="draw a text string onto image blocks (modify in stream)")
+class ImgAddText(DataStream):
+    """Reference: data-stream-img-util.cc:12 (type_id img-add-text) —
+    render text onto the block's image at text_pos, optionally prefixed
+    with the block's meta/tag strings (stb_truetype there, PIL here).
+    Operates on an add-img 'img' subblock if present, else on a main
+    (y,x,3) image nda; errors on non-image blocks like the reference."""
+
+    text_pos = Attr(str, default="8:8", help="text position as x:y")
+    text_str = Attr(str, req=True, help="text string")
+    prefix_with_meta = Attr(bool, default=False,
+                            help="prefix text_str with the block meta")
+    prefix_with_tag = Attr(bool, default=False,
+                           help="prefix text_str with the block tag")
+    color = Attr(str, default="255:255:64", help="text rgb as r:g:b")
+
+    def data_stream_init(self):
+        try:
+            self._rgb = tuple(int(c) for c in self.color.split(":"))
+            if len(self._rgb) != 3:
+                raise ValueError
+        except ValueError:
+            raise RtErr(f"img-add-text: bad color '{self.color}' "
+                        "(want r:g:b)")
+        try:
+            x, y = (int(c) for c in self.text_pos.split(":"))
+            self._pos = Pt(y, x)
+        except ValueError:
+            raise RtErr(f"img-add-text: bad text_pos '{self.text_pos}' "
+                        "(want x:y)")
+
+    def proc_block(self, db: DataBlock) -> DataBlock:
+        if not db.valid():
+            return db
+        try:
+            from PIL import Image, ImageDraw
+        except ImportError:
+            raise RtErr("img-add-text requires PIL (feature 'pil' disabled)")
+        sdb = db.get_sdb("img")
+        on_sdb = sdb is not None and sdb.nda is not None
+        tgt = sdb if on_sdb else db
+        v = tgt.nda.v if tgt.nda is not None else None
+        if v is None or v.ndim != 3 or v.shape[-1] != 3:
+            raise RtErr("img-add-text: expected a data block with an image")
+        txt = ""
+        if self.prefix_with_meta:
+            txt += db.meta or ""
+        if self.prefix_with_tag:
+            txt += db.tag or ""
+        txt += self.text_str
+        im = Image.fromarray(np.asarray(v, np.uint8)).convert("RGB")
+        ImageDraw.Draw(im).text((self._pos.x, self._pos.y), txt,
+                                fill=self._rgb)
+        from ..core.dims import NDA
+        out = NDA(tgt.nda.dims, np.asarray(im))
+        db = db.clone()
+        if on_sdb:
+            new_sdb = sdb.clone()
+            new_sdb.nda = out
+            db.set_sdb(new_sdb)
+        else:
+            db.nda = out
+        return db
+
+    def get_pos_info_str(self) -> str:
+        return (f"img-add-text: text_pos={self.text_pos} "
+                f"text_str={self.text_str}")
+
+
 @register(DataStream, "img-sink",
           help="write image blocks as numbered PNGs (dumpvideo role)")
 class ImgSink(DataStream):

@@ -154,3 +154,49 @@ def test_display_raw_vid_mode(tmp_path, capsys):
     import numpy as np
     from PIL import Image
     assert np.asarray(Image.open(frames[0])).shape[:2] == (16, 32)  # 32x64/2
+
+def test_img_add_text():
+    """img-add-text (data-stream-img-util.cc:12): draws pixels, prefixes
+    meta/tag, errors on non-image blocks."""
+    import pytest as _pt
+    from boda_tpu.core.dims import NDA, Dims
+    from boda_tpu.core.error import RtErr as _RtErr
+    from boda_tpu.io.data_stream import DataBlock, make_data_stream
+
+    def img_db():
+        v = np.zeros((32, 64, 3), np.uint8)
+        return DataBlock(nda=NDA(Dims.make(tn="uint8_t", y=32, x=64, chan=3),
+                                 v), tag="t0", meta="m0 ")
+
+    st = make_data_stream("(mode=img-add-text,text_str=hi,text_pos=2:2,"
+                          "color=255:255:255)")
+    out = st.proc_block(img_db())
+    assert out.nda.v.shape == (32, 64, 3)
+    assert out.nda.v.sum() > 0          # text drew something on black
+    # meta/tag prefixes change the rendering (longer string -> more pixels)
+    stp = make_data_stream("(mode=img-add-text,text_str=hi,text_pos=2:2,"
+                           "color=255:255:255,prefix_with_meta=1,"
+                           "prefix_with_tag=1)")
+    outp = stp.proc_block(img_db())
+    assert outp.nda.v.sum() > out.nda.v.sum()
+    # operates on an add-img 'img' subblock when present
+    raw = DataBlock(nda=NDA(Dims.make(tn="uint16_t", y=8, x=16),
+                            np.zeros((8, 16), np.uint16)))
+    pipe = make_data_stream("(mode=pipe,stages=((mode=add-img,"
+                            "img_fmt=16u-grey),(mode=img-add-text,"
+                            "text_str=x,text_pos=1:1,color=255:0:0)))")
+    ob = pipe.proc_block(raw)
+    assert ob.get_sdb("img").nda.v.sum() > 0
+    assert ob.nda is not None           # raw frame preserved
+    # non-image block errors (reference error string)
+    bad = DataBlock(nda=NDA(Dims.make(tn="float", y=4, x=4),
+                            np.zeros((4, 4), np.float32)))
+    with _pt.raises(_RtErr, match="expected a data block with an image"):
+        st.proc_block(bad)
+    # bad arg strings
+    with _pt.raises(_RtErr, match="bad color"):
+        make_data_stream("(mode=img-add-text,text_str=a,color=red)"
+                         ).proc_block(img_db())
+    with _pt.raises(_RtErr, match="bad text_pos"):
+        make_data_stream("(mode=img-add-text,text_str=a,text_pos=zz)"
+                         ).proc_block(img_db())
