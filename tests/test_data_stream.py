@@ -250,3 +250,29 @@ def test_cnet_infer_stage(tmp_path):
             assert abs(pred.nda.v[:, 1].sum()) <= 1.001
         out.append([int(b.get_sdb("pred").nda.v[0, 0]) for b in bs])
     assert out[0] == out[1]  # engines agree on top-1
+
+def test_cnet_infer_feats_montage(tmp_path):
+    """cnet-infer feats_node: channel-map montage rides the stream as an
+    'img' subblock (capture_feats parity, cap_app.cc:298) and is
+    img-sink-able."""
+    pytest.importorskip("PIL")
+    import numpy as np
+
+    import boda_tpu.apps.stream_infer  # noqa: F401 (registers cnet-infer)
+    import boda_tpu.io.disp  # noqa: F401 (registers img-sink)
+    from boda_tpu.io.img import save_img
+    rng = np.random.RandomState(5)
+    save_img(tmp_path / "im0.png",
+             rng.randint(0, 255, (40, 40, 3)).astype(np.uint8))
+    ds = spec(f"(mode=pipe,stages=((mode=img-dir-src,dir={tmp_path}),"
+              f"(mode=cnet-infer,model=mini,top_k=2,feats_node=conv1,"
+              f"feats_max_chans=9,conv_fwd=(engine=ref)),"
+              f"(mode=img-sink,out_dir={tmp_path}/f)))")
+    bs = read_all_blocks(ds)
+    assert len(bs) == 1
+    img = bs[0].get_sdb("img")
+    assert img is not None and img.nda.v.ndim == 3
+    assert img.nda.v.shape[2] == 3        # RGB montage of 9 tiles
+    assert bs[0].get_sdb("pred") is not None   # classification still rides
+    import pathlib
+    assert len(list(pathlib.Path(f"{tmp_path}/f").glob("*.png"))) == 1
