@@ -423,13 +423,19 @@ class TestAll(HasMain):
             root = Path(__file__).resolve().parents[2]
             fns = sorted(str(p) for p in (root / "tests" / "cmds").glob("*.txt"))
             good = good or str(root / "tests" / "good_tr")
+        # default run trees under test_tr/ (gitignored) rather than cwd, so
+        # `python -m boda_tpu test_all` at the repo root can't litter / commit
+        # its per-test output dirs next to the source tree.
+        out_dir = self.boda_output_dir
+        if out_dir == ".":
+            out_dir = "test_tr"
         fails = []
         for fn in fns:
             try:
                 gtd = f",good_tr_dir={good}" if good else ""
                 create_and_run_has_main(
                     f"(mode=test_cmds,cmds_fn={fn},run_slow={int(self.run_slow)}"
-                    f"{gtd},boda_output_dir={self.boda_output_dir})")
+                    f"{gtd},boda_output_dir={out_dir})")
             except RtErr as e:
                 fails.append(f"{fn}: {e}")
         if fails:
