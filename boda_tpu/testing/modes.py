@@ -415,6 +415,13 @@ class TestAll(HasMain):
     good_tr_dir = Attr(str, default="", help="goldens dir (default: shipped "
                                              "tests/good_tr)")
     run_slow = Attr(bool, default=False)
+    run_gen = Attr(bool, default=True,
+                   help="also regenerate + run the generated suites "
+                        "(gen_test_compute_tests, gen_ops_prof_tests) — the "
+                        "reference test_all's two generated xmls "
+                        "(test_nesi.cc:652-653)")
+    update_failing = Attr(bool, default=False,
+                          help="passed through to test_cmds")
 
     def main(self):
         fns = self.cmds_fns
@@ -429,13 +436,22 @@ class TestAll(HasMain):
         out_dir = self.boda_output_dir
         if out_dir == ".":
             out_dir = "test_tr"
+        if self.run_gen:
+            # regenerate the generated suites into the run tree and append
+            # them to the suite list (reference: test_all re-emits and runs
+            # gen_test_compute_tests.xml / gen_ops_prof_tests.xml on the fly)
+            for gen_mode in ("gen_test_compute_tests", "gen_ops_prof_tests"):
+                create_and_run_has_main(
+                    f"(mode={gen_mode},boda_output_dir={out_dir})")
+                fns = fns + [str(Path(out_dir) / f"{gen_mode}.txt")]
         fails = []
+        uf = f",update_failing={int(self.update_failing)}"
         for fn in fns:
             try:
                 gtd = f",good_tr_dir={good}" if good else ""
                 create_and_run_has_main(
                     f"(mode=test_cmds,cmds_fn={fn},run_slow={int(self.run_slow)}"
-                    f"{gtd},boda_output_dir={out_dir})")
+                    f"{gtd}{uf},boda_output_dir={out_dir})")
             except RtErr as e:
                 fails.append(f"{fn}: {e}")
         if fails:
@@ -484,7 +500,10 @@ class GenOpsProfTests(HasMain):
         lines = []
         for fn in self.ops_fns:
             name = Path(fn).stem.replace("-", "_")
+            # measured rates/times are run-varying: scrub them so the golden
+            # diff pins the op list + cross-check verdicts only
             lines.append(f"(test_name=ops_prof_{name},cap_out=1,"
+                         f"scrub=secs=\\\\S+|GF/s=\\\\S+|^[0-9.e-]+$,"
                          f"cmd=(mode=ops_prof,ops_fn={fn},run_iter=2,"
                          f"rtcs=(interp=(be=interp))))")
         p = self.out_path(self.out_fn)

@@ -105,6 +105,22 @@ class _HrnEcho(HasMain):
             self.out_path(self.out_fn).write_text(self.msg + "\n")
 
 
+@pytest.mark.parametrize("gen_mode", ["gen_test_compute_tests",
+                                      "gen_ops_prof_tests"])
+def test_generated_cmds_suite(tmp_path, gen_mode):
+    """test_all's generated suites (the reference's on-the-fly
+    gen_test_compute_tests.xml / gen_ops_prof_tests.xml, test_nesi.cc:652-653):
+    regenerate the spec, then run it against the shipped goldens."""
+    from pathlib import Path
+    root = Path(__file__).resolve().parents[1]
+    # default global vars (the gen specs interpolate %(boda_test_dir))
+    create_and_run_has_main(f"(mode={gen_mode},boda_output_dir={tmp_path})")
+    create_and_run_has_main(
+        f"(mode=test_cmds,cmds_fn={tmp_path}/{gen_mode}.txt,"
+        f"good_tr_dir={root}/tests/good_tr,"
+        f"boda_output_dir={tmp_path}/out)")
+
+
 @pytest.mark.parametrize("cmds", ["base.txt", "modes.txt"])
 def test_checked_in_cmds_suite(tmp_path, cmds):
     """The shipped CLI regression suites (tests/cmds/*.txt) must pass
