@@ -141,10 +141,21 @@ def _chained_secs(fn, in_vals, iters: int) -> float:
 
     n2 = max(iters, 8)
     s = measure(max(2, n2 // 5), n2)
-    # adaptive: sub-ms ops drown in dispatch jitter (~1-2 ms) at short
-    # chains — lengthen until the span covers >= ~25 ms of device work
-    if s * n2 < 25e-3:
-        n2 = min(4096, max(n2 + 1, int(25e-3 / max(s, 1e-7))))
+    # adaptive: ops drown in dispatch jitter (~ms-scale through the tunnel)
+    # at short chains — lengthen until the n2-n1 span covers enough device
+    # work that the slope error is a few percent. A 25 ms/4096-iter cap
+    # left µs-scale sgemms (128³..1024³) with garbage (even negative)
+    # slopes; scan compile time doesn't grow with length, so a long chain
+    # only costs runtime (~4 x span per measure).
+    target_span = 250e-3
+    for _ in range(3):
+        if s > 0 and s * n2 >= target_span:
+            break
+        if s > 0:
+            n2 = min(2_000_000, max(n2 + 1, int(target_span / s)))
+        else:
+            # invalid slope: no usable per-iter estimate — grow geometrically
+            n2 = min(2_000_000, n2 * 64)
         s = measure(max(2, n2 // 5), n2)
     return s
 
