@@ -46,6 +46,24 @@ def test_wisdom_round_trip_and_merge():
     assert merged[0].tunes["(Mb=256)"].runs["xla:tpu:v5e"] == pytest.approx(1.2e-3)
 
 
+def test_sgemm_baseline_wisdom_artifact_loads():
+    """The on-chip SGEMM baseline sweep artifact (BASELINE config #1 table,
+    docs/PERF.md) must stay readable: 6 ops (128³..4096³), each with the
+    vendor kg + bf16 + pallas tunes recorded for the TPU plat tag."""
+    data = Path(__file__).parent / "data"
+    with open(data / "wisdom-sgemm-baseline.wis") as f:
+        ws = list(read_wisdom_stream(f))
+    assert len(ws) == 6
+    for w in ws:
+        # tunes are keyed by tune string: vendor f32 kg, vendor bf16, pallas
+        assert {"(use_culibs=1)", "(use_culibs=1,prec=bf16)",
+                "(prec=bf16)"} <= set(w.tunes)
+        plats = {p for t in w.tunes.values() for p in t.runs}
+        assert any(p.startswith("xla:tpu") for p in plats)
+        assert all(s > 0 for t in w.tunes.values() for s in t.runs.values())
+        assert "c" in w.kgs  # cross-check digests recorded
+
+
 def test_profile_rcg_call():
     be = make_backend("xla")
     be.init()
