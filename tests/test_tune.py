@@ -64,6 +64,25 @@ def test_sgemm_baseline_wisdom_artifact_loads():
         assert "c" in w.kgs  # cross-check digests recorded
 
 
+def test_conv_baseline_wisdom_artifact_loads():
+    """The on-chip conv baseline sweep artifact (BASELINE conv row —
+    3x3 384ch 13x13 b5, docs/PERF.md) must stay readable: one op with
+    vendor f32 kg + vendor bf16 + hand tconv tunes for the TPU plat tag."""
+    data = Path(__file__).parent / "data"
+    with open(data / "wisdom-conv-baseline.wis") as f:
+        ws = list(read_wisdom_stream(f))
+    assert len(ws) == 1
+    w = ws[0]
+    assert w.op.type == "Convolution"
+    assert w.op.get_dims("filts")["in_chan"] == 384
+    assert {"(use_culibs=1)", "(use_culibs=1,prec=bf16)",
+            "(prec=bf16)", "(tconv=0,prec=bf16)"} <= set(w.tunes)
+    plats = {p for t in w.tunes.values() for p in t.runs}
+    assert any(p.startswith("xla:tpu") for p in plats)
+    assert all(s > 0 for t in w.tunes.values() for s in t.runs.values())
+    assert "out" in w.kgs
+
+
 def test_profile_rcg_call():
     be = make_backend("xla")
     be.init()
