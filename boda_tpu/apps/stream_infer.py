@@ -51,6 +51,15 @@ class CnetInferStream(DataStream):
                            "cap_app.cc:298)")
     feats_max_chans = Attr(int, default=64,
                            help="montage at most this many channels")
+    preprocessed = Attr(str, default="auto",
+                        help="float-block handling: 1 = blocks are "
+                             "already net-input preprocessed (lmdb-src "
+                             "mean/scale) and are fed unresized with no "
+                             "further mean subtraction; 0 = blocks are "
+                             "raw [0,255] pixels (video-src) and take "
+                             "the image path (resize + mean-sub); "
+                             "auto = floats with negatives or max<=1 "
+                             "count as preprocessed")
 
     def data_stream_init(self):
         from ..graph.modes import _load_pipe
@@ -82,14 +91,47 @@ class CnetInferStream(DataStream):
         if img.ndim != 3:
             raise RtErr(f"cnet-infer: expected a 3-d image block, got "
                         f"{img.shape}")
-        if img.shape[2] == 3:          # (y,x,3) — img-dir-src, data-to-img
-            pass
-        elif img.shape[0] == 3:        # (3,y,x) — video-src, lmdb-src
-            img = np.transpose(img, (1, 2, 0))
+        if img.shape[2] in (3, 4):     # (y,x,C) — img-dir-src, data-to-img
+            img = img[:, :, :3]        # drop alpha (reference img_t is RGBA)
+            chw_in = False
+        elif img.shape[0] in (3, 4):   # (C,y,x) — video-src, lmdb-src
+            img = img[:3]
+            chw_in = True
         else:
             raise RtErr(f"cnet-infer: can't infer image layout from "
-                        f"shape {img.shape} (want (y,x,3) or (3,y,x))")
-        blob = img_to_batch(img, self._pipe.get_data_img_dims())
+                        f"shape {img.shape} (want (y,x,3|4) or (3|4,y,x))")
+        dims = self._pipe.get_data_img_dims()
+        is_float = np.issubdtype(img.dtype, np.floating)
+        if self.preprocessed == "auto":
+            # raw-pixel float frames (video-src: RGB in [0,255]) are
+            # non-negative with max > 1; mean/scale-normalized blocks
+            # (lmdb-src) have negatives (pixels below the mean) or sit
+            # in a unit range
+            pre = is_float and (float(img.min()) < 0.0
+                                or float(img.max()) <= 1.0)
+        else:
+            pre = self.preprocessed not in ("0", "", "false")
+        if is_float and pre:
+            # already-preprocessed float block (lmdb-src applies caffe
+            # transform_param mean/scale): feed as-is — the uint8 image
+            # path (PIL resize + BGR mean subtraction) would wrap
+            # negatives and subtract the mean a second time
+            chw = img if chw_in else np.transpose(img, (2, 0, 1))
+            if chw.shape[1:] != (dims["y"], dims["x"]):
+                raise RtErr(
+                    f"cnet-infer: float block spatial {chw.shape[1:]} != "
+                    f"net input ({dims['y']},{dims['x']}); float blocks "
+                    f"are fed unresized — set in_dims to match or resize "
+                    f"upstream")
+            batch = np.broadcast_to(
+                chw[None].astype(np.float32), dims.shape).copy()
+            blob = NDA(dims, batch)
+        else:
+            if chw_in:
+                img = np.transpose(img, (1, 2, 0))
+            if is_float:
+                img = np.clip(img, 0, 255).astype(np.uint8)
+            blob = img_to_batch(img, dims)
         want = [self._top]
         if self.feats_node:
             want.append(self.feats_node)

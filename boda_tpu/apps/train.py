@@ -1,4 +1,4 @@
-"""cnet_train: a usable training driver (SGD/momentum over labeled data).
+"""cnet_train: a usable training driver (SGD/momentum/Adam over labeled data).
 
 The reference had the full backward machinery (add_bck_ops backward-op
 synthesis, conv_util.cc:732-800; BckConv/... kernels, cnn_codegen.cc)
@@ -30,7 +30,6 @@ OPTIMIZERS = ("sgd", "momentum", "adam")
 def init_opt_state(optimizer: str, weights: dict) -> dict:
     """Optimizer state pytree for build_train_step's `vel` argument.
     SGD is stateless (empty dict — no weight-sized copies in HBM)."""
-    import numpy as np
     if optimizer == "momentum":
         return {"v": {k: np.zeros_like(v) for k, v in weights.items()}}
     if optimizer == "adam":

@@ -430,12 +430,14 @@ class TestAll(HasMain):
             root = Path(__file__).resolve().parents[2]
             fns = sorted(str(p) for p in (root / "tests" / "cmds").glob("*.txt"))
             good = good or str(root / "tests" / "good_tr")
-        # default run trees under test_tr/ (gitignored) rather than cwd, so
-        # `python -m boda_tpu test_all` at the repo root can't litter / commit
-        # its per-test output dirs next to the source tree.
+        # default run trees under <repo>/test_tr/ (gitignored) rather than
+        # cwd, so `python -m boda_tpu test_all` can't litter / commit its
+        # per-test output dirs next to the source tree — anchored to the
+        # repo root (matching the anchored .gitignore entry) so runs from a
+        # subdirectory don't recreate the litter problem there.
         out_dir = self.boda_output_dir
         if out_dir == ".":
-            out_dir = "test_tr"
+            out_dir = str(Path(__file__).resolve().parents[2] / "test_tr")
         if self.run_gen:
             # regenerate the generated suites into the run tree and append
             # them to the suite list (reference: test_all re-emits and runs

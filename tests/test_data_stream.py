@@ -251,6 +251,56 @@ def test_cnet_infer_stage(tmp_path):
         out.append([int(b.get_sdb("pred").nda.v[0, 0]) for b in bs])
     assert out[0] == out[1]  # engines agree on top-1
 
+def test_cnet_infer_float_and_rgba_blocks():
+    """cnet-infer layout/dtype handling: (a) already-preprocessed float
+    CHW blocks (lmdb-src applies caffe transform_param mean/scale) are
+    fed UNTOUCHED — no uint8 coercion (negatives would wrap) and no
+    second mean subtraction; (b) RGBA frames drop alpha (reference img_t
+    is RGBA); (c) wrong-size float blocks error instead of resampling."""
+    import numpy as np
+
+    import boda_tpu.apps.stream_infer  # noqa: F401 (registers cnet-infer)
+    from boda_tpu.core.dims import NDA, Dims
+    from boda_tpu.io.img import img_to_chw
+
+    st = spec("(mode=cnet-infer,model=mini,top_k=3,conv_fwd=(engine=ref))")
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, (32, 32, 3)).astype(np.uint8)
+
+    def block(v, **dims):
+        return DataBlock(NDA(Dims.make(tn="float" if v.dtype.kind == "f"
+                                       else "uint8_t", **dims), v),
+                         frame_ix=0, timestamp_ns=0)
+
+    # uint8 HWC path (the baseline)
+    b_u8 = st.proc_block(block(img, y=32, x=32, chan=3))
+    p_u8 = b_u8.get_sdb("pred").nda.v
+    # the SAME image hand-preprocessed to a float CHW block (what a
+    # mean-subtracted lmdb-src block looks like, incl. negatives)
+    chw = img_to_chw(img)
+    assert chw.min() < 0
+    b_f = st.proc_block(block(chw, chan=3, y=32, x=32))
+    p_f = b_f.get_sdb("pred").nda.v
+    np.testing.assert_allclose(p_f, p_u8, rtol=1e-5, atol=1e-6)
+    # RGBA: alpha dropped, same prediction as RGB
+    rgba = np.concatenate([img, np.full((32, 32, 1), 255, np.uint8)], axis=2)
+    p_a = st.proc_block(block(rgba, y=32, x=32, chan=4)).get_sdb("pred").nda.v
+    np.testing.assert_allclose(p_a, p_u8, rtol=1e-5, atol=1e-6)
+    # raw-pixel FLOAT frames (video-src: RGB in [0,255] as float32) take
+    # the image path — resized + mean-subtracted like uint8 frames
+    raw_f = np.transpose(img, (2, 0, 1)).astype(np.float32)
+    p_rf = st.proc_block(block(raw_f, chan=3, y=32, x=32)).get_sdb("pred").nda.v
+    np.testing.assert_allclose(p_rf, p_u8, rtol=1e-5, atol=1e-6)
+    # explicit override beats the auto heuristic
+    st1 = spec("(mode=cnet-infer,model=mini,top_k=3,preprocessed=1,"
+               "conv_fwd=(engine=ref))")
+    p_o = st1.proc_block(block(chw, chan=3, y=32, x=32)).get_sdb("pred").nda.v
+    np.testing.assert_allclose(p_o, p_u8, rtol=1e-5, atol=1e-6)
+    # wrong-size float block: loud error, not silent garbage
+    with pytest.raises(RtErr, match="float block spatial"):
+        st.proc_block(block(chw[:, :16, :16].copy(), chan=3, y=16, x=16))
+
+
 def test_cnet_infer_feats_montage(tmp_path):
     """cnet-infer feats_node: channel-map montage rides the stream as an
     'img' subblock (capture_feats parity, cap_app.cc:298) and is
