@@ -94,6 +94,133 @@ def build_train_step(fwd, data_node: str, top: str, *, lr: float,
     return step
 
 
+SNAP_MAGIC = b"boda_tpu_snapshot_v1\n"
+
+
+def write_snapshot(path, *, step: int, optimizer: str, consumed: int,
+                   weights: dict, vel: dict, losses: list,
+                   rng_state) -> None:
+    """Solver snapshot (caffe's .solverstate role — the reference never
+    reached a solver, so there is no reference format to match; this uses
+    the repo's NDA bwrite convention, core/dims.py:373). Contents: step
+    counter, stream-consumption count (for deterministic stream resume by
+    skip-with-wrap), weights, optimizer state pytree (flattened by path),
+    loss history, and the numpy RNG state (bit-identical synthetic-data
+    resume)."""
+    from ..core.dims import NDA, Dims
+
+    def nda1(v, tn):
+        v = np.atleast_1d(np.asarray(v))
+        return NDA(Dims.make(tn=tn, v=max(v.size, 1)),
+                   v if v.size else np.zeros(1, v.dtype))
+
+    def nda_nd(v):
+        v = np.atleast_1d(np.asarray(v, np.float32))
+        return NDA.from_array(v, [f"d{i}" for i in range(v.ndim)])
+
+    entries = [("losses", nda1(np.asarray(losses, np.float64), "double")),
+               ("rng/keys", nda1(rng_state[1].astype(np.uint32), "uint32_t")),
+               ("rng/meta", nda1(np.asarray(
+                   [rng_state[2], rng_state[3]], np.int64), "int64_t")),
+               ("rng/gauss", nda1(np.asarray(
+                   [rng_state[4]], np.float64), "double"))]
+    for k, v in sorted(weights.items()):
+        entries.append((f"w/{k}", nda_nd(v)))
+    flat, _ = _flatten_opt(vel)
+    for k, v in sorted(flat.items()):
+        entries.append((f"opt/{k}", nda_nd(v)))
+    with open(path, "wb") as f:
+        f.write(SNAP_MAGIC)
+        f.write(f"(step={step},optimizer={optimizer},"
+                f"consumed={consumed},n_losses={len(losses)},"
+                f"n={len(entries)})\n".encode())
+        for name, nda in entries:
+            nb = name.encode()
+            f.write(len(nb).to_bytes(4, "little") + nb + nda.bwrite())
+
+
+def read_snapshot(path) -> dict:
+    """→ dict(step, optimizer, consumed, weights, opt_flat, losses,
+    rng_state). Raises RtErr on a non-snapshot file."""
+    from ..core.dims import NDA
+    from ..core.lexp import parse_lexp
+    buf = open(path, "rb").read()
+    if not buf.startswith(SNAP_MAGIC):
+        raise RtErr(f"'{path}' is not a boda_tpu snapshot "
+                    f"(bad magic)")
+    off = len(SNAP_MAGIC)
+    eol = buf.index(b"\n", off)
+    hdr = parse_lexp(buf[off:eol].decode())
+    off = eol + 1
+
+    def want(k):
+        kid = hdr.get_kid(k)
+        if kid is None:
+            raise RtErr(f"snapshot '{path}': header missing '{k}'")
+        return kid.leaf_val
+
+    step = int(want("step"))
+    optimizer = want("optimizer")
+    consumed = int(want("consumed"))
+    n_losses = int(want("n_losses"))
+    n = int(want("n"))
+    ent = {}
+    for _ in range(n):
+        ln = int.from_bytes(buf[off:off + 4], "little")
+        off += 4
+        name = buf[off:off + ln].decode()
+        off += ln
+        nda, off = NDA.bread(buf, off)
+        ent[name] = nda
+    keys = ent["rng/keys"].v.astype(np.uint32)
+    pos, has_gauss = (int(x) for x in ent["rng/meta"].v)
+    rng_state = ("MT19937", keys, pos, has_gauss,
+                 float(ent["rng/gauss"].v[0]))
+    return {"step": step, "optimizer": optimizer, "consumed": consumed,
+            "losses": [float(v) for v in ent["losses"].v][:n_losses],
+            "rng_state": rng_state,
+            "weights": {k[2:]: v.v for k, v in ent.items()
+                        if k.startswith("w/")},
+            "opt_flat": {k[4:]: v.v for k, v in ent.items()
+                         if k.startswith("opt/")}}
+
+
+def _flatten_opt(vel: dict) -> tuple[dict, None]:
+    """Opt-state pytree → flat {path: leaf} (paths like 'v/conv1_w',
+    'm/conv1_w', 't')."""
+    flat = {}
+
+    def rec(prefix, x):
+        if isinstance(x, dict):
+            for k, v in x.items():
+                rec(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = x
+    rec("", vel)
+    return flat, None
+
+
+def _unflatten_opt(optimizer: str, weights: dict, flat: dict) -> dict:
+    """Rebuild the opt-state pytree from a flat snapshot dict, validating
+    leaf coverage against a fresh init_opt_state skeleton."""
+    skel = init_opt_state(optimizer, weights)
+    want, _ = _flatten_opt(skel)
+    if set(want) != set(flat):
+        missing = sorted(set(want) ^ set(flat))[:4]
+        raise RtErr(f"snapshot optimizer state doesn't match "
+                    f"optimizer '{optimizer}' (mismatched leaves: "
+                    f"{missing})")
+
+    def rec(prefix, x):
+        if isinstance(x, dict):
+            return {k: rec(f"{prefix}/{k}" if prefix else k, v)
+                    for k, v in x.items()}
+        v = flat[prefix]
+        return v.reshape(np.shape(x)).astype(np.asarray(x).dtype) \
+            if np.shape(x) else v.reshape(()).astype(np.asarray(x).dtype)
+    return rec("", skel)
+
+
 def check_labels(labels, n_classes: int, what: str) -> None:
     """Out-of-range labels turn into NaN losses via take_along_axis's
     fill mode and masquerade as divergence — refuse them up front."""
@@ -138,6 +265,18 @@ class CnetTrain(_NetMode):
                                 "prototxt (so the trained model round-"
                                 "trips through the caffe importer)")
     seed = Attr(int, default=0)
+    snapshot_every = Attr(int, default=0,
+                          help="write a solver snapshot (weights + "
+                               "optimizer state + RNG + stream position) "
+                               "every N steps and at the end; 0 = off")
+    snapshot_fn = Attr(str, default="snapshot.boda",
+                       help="rolling snapshot filename")
+    resume_fn = Attr(str, default="",
+                     help="resume from this snapshot: training continues "
+                          "to --steps total steps, bit-identical to an "
+                          "uninterrupted run (synthetic data via the "
+                          "saved RNG state; streams via deterministic "
+                          "skip-with-wrap to the saved position)")
 
     def _next_batch(self, d, rng, n_classes):
         """→ (x (img,chan,y,x) f32, labels (img,) i32). Stream blocks
@@ -148,12 +287,7 @@ class CnetTrain(_NetMode):
             return x, labels.astype(np.int32)
         xs, ls = [], []
         while len(xs) < d["img"]:
-            db = self.stream.proc_block(DataBlock())
-            if not db.valid():
-                self.stream.data_stream_init()  # wrap around (epoch)
-                db = self.stream.proc_block(DataBlock())
-                if not db.valid():
-                    raise RtErr("cnet_train: stream yielded no blocks")
+            db = self._next_stream_block()
             v = np.asarray(db.nda.v, np.float32)
             if v.shape != tuple(d.shape[1:]):
                 raise RtErr(f"cnet_train: stream block shape {v.shape} != "
@@ -166,6 +300,19 @@ class CnetTrain(_NetMode):
             xs.append(v)
             ls.append(int(np.asarray(lab.nda.v).reshape(-1)[0]))
         return np.stack(xs), np.asarray(ls, np.int32)
+
+    def _next_stream_block(self) -> DataBlock:
+        """One valid stream block, wrapping on EOF; counts consumed
+        blocks so snapshots can restore the stream position by replaying
+        the same skip-with-wrap sequence."""
+        db = self.stream.proc_block(DataBlock())
+        if not db.valid():
+            self.stream.data_stream_init()  # wrap around (epoch)
+            db = self.stream.proc_block(DataBlock())
+            if not db.valid():
+                raise RtErr("cnet_train: stream yielded no blocks")
+        self._consumed += 1
+        return db
 
     def main(self):
         import jax
@@ -203,6 +350,7 @@ class CnetTrain(_NetMode):
         n_out = plan.node_dims[top].shape[1]
         if self.stream is not None:
             self.stream.data_stream_init()
+        self._consumed = 0
         rng = np.random.RandomState(self.seed)
         step = jax.jit(build_train_step(
             fwd, data_node, top, lr=self.lr, optimizer=self.optimizer,
@@ -210,7 +358,31 @@ class CnetTrain(_NetMode):
 
         vel = init_opt_state(self.optimizer, weights)
         losses = []
-        for i in range(self.steps):
+        start = 0
+        if self.resume_fn:
+            snap = read_snapshot(self.resume_fn)
+            if snap["optimizer"] != self.optimizer:
+                raise RtErr(f"cnet_train: snapshot was taken with "
+                            f"optimizer '{snap['optimizer']}', not "
+                            f"'{self.optimizer}'")
+            if set(snap["weights"]) != set(weights):
+                raise RtErr("cnet_train: snapshot weights don't match "
+                            "this net's parameter set")
+            start = snap["step"]
+            if start >= self.steps:
+                raise RtErr(f"cnet_train: snapshot is already at step "
+                            f"{start} >= --steps={self.steps}")
+            weights = {k: snap["weights"][k].reshape(np.shape(v))
+                       for k, v in weights.items()}
+            vel = _unflatten_opt(self.optimizer, weights, snap["opt_flat"])
+            losses = snap["losses"]
+            rng.set_state(snap["rng_state"])
+            if self.stream is not None:
+                for _ in range(snap["consumed"]):
+                    self._next_stream_block()
+                self._consumed = snap["consumed"]
+            print(f"resumed from {self.resume_fn} at step {start}")
+        for i in range(start, self.steps):
             x, labels = self._next_batch(d, rng, n_classes)
             check_labels(labels, n_out, "cnet_train")
             loss, weights, vel = step(weights, vel, x, labels)
@@ -221,6 +393,14 @@ class CnetTrain(_NetMode):
             if (i + 1) % self.log_every == 0 or i + 1 == self.steps:
                 print(f"step {i + 1:4d}/{self.steps}: "
                       f"loss={losses[-1]:.5f}", flush=True)
+            if self.snapshot_every and ((i + 1) % self.snapshot_every == 0
+                                        or i + 1 == self.steps):
+                write_snapshot(
+                    self.out_path(self.snapshot_fn), step=i + 1,
+                    optimizer=self.optimizer, consumed=self._consumed,
+                    weights={k: np.asarray(v) for k, v in weights.items()},
+                    vel=jax.tree_util.tree_map(np.asarray, vel),
+                    losses=losses, rng_state=rng.get_state())
         print(f"cnet_train {self.model or self.ptt_fn} b{d['img']} "
               f"opt={self.optimizer} lr={self.lr}: "
               f"loss {losses[0]:.5f} -> {losses[-1]:.5f} "

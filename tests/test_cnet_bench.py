@@ -122,6 +122,81 @@ def test_train_bench_adam(capsys):
     assert "opt=adam" in out
 
 
+def test_cnet_train_snapshot_resume_synthetic(tmp_path):
+    """Solver snapshot/resume: a run interrupted at step 4 and resumed to
+    8 must reproduce the uninterrupted 8-step run BIT-IDENTICALLY
+    (weights + adam state + RNG state all restored; same jit program)."""
+    from boda_tpu.core.has_main import create_and_run_has_main
+    base = (f"(mode=cnet_train,model=mini,"
+            f"in_dims=(dims=(img=4,chan=3,y=32,x=32)),lr=0.05,"
+            f"optimizer=adam,log_every=100,loss_out_fn=loss.txt,")
+    create_and_run_has_main(
+        base + f"steps=8,boda_output_dir={tmp_path}/full)")
+    full = (tmp_path / "full/loss.txt").read_text()
+    create_and_run_has_main(
+        base + f"steps=4,snapshot_every=4,boda_output_dir={tmp_path}/a)")
+    assert (tmp_path / "a/snapshot.boda").exists()
+    create_and_run_has_main(
+        base + f"steps=8,resume_fn={tmp_path}/a/snapshot.boda,"
+               f"boda_output_dir={tmp_path}/b)")
+    assert (tmp_path / "b/loss.txt").read_text() == full
+
+
+def test_cnet_train_snapshot_resume_stream(tmp_path):
+    """Stream resume restores the data position deterministically
+    (skip-with-wrap replay): interrupted+resumed lmdb training matches
+    the uninterrupted loss curve exactly."""
+    from boda_tpu.core.has_main import create_and_run_has_main
+    create_and_run_has_main(
+        f"(mode=gen_lmdb,out_dir={tmp_path}/lmdb6,num_imgs=6,"
+        f"num_classes=6,ysz=32,xsz=32)")
+    base = (f"(mode=cnet_train,model=mini,"
+            f"in_dims=(dims=(img=4,chan=3,y=32,x=32)),"
+            f"stream=(mode=lmdb-src,fn={tmp_path}/lmdb6,mean=128,"
+            f"scale=0.0078125),lr=0.02,optimizer=momentum,"
+            f"log_every=100,loss_out_fn=loss.txt,")
+    create_and_run_has_main(
+        base + f"steps=6,boda_output_dir={tmp_path}/full)")
+    full = (tmp_path / "full/loss.txt").read_text()
+    # 6 steps x batch 4 over a 6-image set: the snapshot at step 3 sits
+    # mid-epoch (12 consumed = 2 wraps) — the interesting resume case
+    create_and_run_has_main(
+        base + f"steps=3,snapshot_every=3,boda_output_dir={tmp_path}/a)")
+    create_and_run_has_main(
+        base + f"steps=6,resume_fn={tmp_path}/a/snapshot.boda,"
+               f"boda_output_dir={tmp_path}/b)")
+    assert (tmp_path / "b/loss.txt").read_text() == full
+
+
+def test_cnet_train_snapshot_errors(tmp_path):
+    """Wrong-optimizer resume and non-snapshot files error loudly."""
+    import pytest
+
+    from boda_tpu.core.error import RtErr
+    from boda_tpu.core.has_main import create_and_run_has_main
+    base = (f"(mode=cnet_train,model=mini,"
+            f"in_dims=(dims=(img=4,chan=3,y=32,x=32)),lr=0.05,")
+    create_and_run_has_main(
+        base + f"steps=2,snapshot_every=2,optimizer=sgd,"
+               f"boda_output_dir={tmp_path})")
+    with pytest.raises(RtErr, match="optimizer 'sgd'"):
+        create_and_run_has_main(
+            base + f"steps=4,optimizer=adam,"
+                   f"resume_fn={tmp_path}/snapshot.boda,"
+                   f"boda_output_dir={tmp_path}/x)")
+    with pytest.raises(RtErr, match="already at step"):
+        create_and_run_has_main(
+            base + f"steps=2,optimizer=sgd,"
+                   f"resume_fn={tmp_path}/snapshot.boda,"
+                   f"boda_output_dir={tmp_path}/y)")
+    bogus = tmp_path / "not_a_snapshot.bin"
+    bogus.write_bytes(b"hello world")
+    with pytest.raises(RtErr, match="bad magic"):
+        create_and_run_has_main(
+            base + f"steps=4,optimizer=sgd,resume_fn={bogus},"
+                   f"boda_output_dir={tmp_path}/z)")
+
+
 def test_cnet_train_adam_reduces_loss(tmp_path):
     """Adam on a fixed learnable dataset (synthetic draws NEW random
     labels each step — nothing to learn there)."""
