@@ -19,6 +19,43 @@ def test_resnet50_sharded_matches_single_device():
     assert mrd < 1e-4
 
 
+def test_multihost_two_process_digest_match(tmp_path):
+    """True multi-HOST execution (SURVEY §2.8): two jax.distributed
+    processes (gloo CPU collectives, 2 virtual devices each) run one
+    dp-sharded forward over the 4-device GLOBAL mesh; rank digests must
+    agree (mh_test asserts this) and match an in-process unsharded run
+    within tolerance."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PYTHONPATH="")
+    r = subprocess.run(
+        [sys.executable, "-m", "boda_tpu", "mh_test", "--num-processes=2",
+         "--local-devices=2", "--model=mini", "--batch=8"],
+        capture_output=True, text=True, timeout=500, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mh_test PASSED ranks=2" in r.stdout, r.stdout
+    line = next(ln for ln in r.stdout.splitlines() if "digest (" in ln)
+    assert "global_devices=4" in line
+
+    # the sharded multi-process result must match an unsharded run
+    import numpy as np
+
+    import __graft_entry__ as ge
+    from boda_tpu.core.digest import Digest, nda_digest
+    got = Digest.from_lexp(line.split("digest ", 1)[1])
+    pipe, plan, fwd, weights = ge._fused_for("mini", batch=8, ysz=32,
+                                             xsz=32)
+    x = np.random.RandomState(0).randn(
+        *pipe.get_data_img_dims().shape).astype(np.float32) * 0.1
+    import jax
+    want = nda_digest(np.asarray(
+        jax.jit(lambda w, xv: fwd({"data": xv}, w)["prob"])(weights, x)))
+    assert want.comp(got, mrd_toler=1e-5) is None
+
+
 def test_tiny_net_gpipe_and_train_step():
     """The full dryrun entry point (training step + gpipe) is runnable
     from pytest too — the driver isn't the only thing exercising it."""
