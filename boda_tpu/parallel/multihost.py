@@ -81,6 +81,10 @@ class MhTest(HasMain):
     batch = Attr(int, default=0, help="0: 2 per global device")
     ysz = Attr(int, default=32)
     mp = Attr(int, default=1, help="model-parallel mesh width")
+    train = Attr(bool, default=False,
+                 help="run one sharded TRAINING step (softmax-CE + SGD, "
+                      "grads psum'd across hosts by GSPMD) instead of a "
+                      "forward; the digest covers the updated weights")
 
     def _apply_local_env(self) -> None:
         if not self.local_devices:
@@ -101,7 +105,8 @@ class MhTest(HasMain):
                 f"--process-id={rank}", "--spawn=0",
                 f"--local-devices={self.local_devices}",
                 f"--model={self.model}", f"--batch={self.batch}",
-                f"--ysz={self.ysz}", f"--mp={self.mp}"]
+                f"--ysz={self.ysz}", f"--mp={self.mp}",
+                f"--train={int(self.train)}"]
 
     def _digest_line(self) -> str:
         """Init distributed, run the sharded forward, return the digest
@@ -130,18 +135,36 @@ class MhTest(HasMain):
         data_node = pipe.data_img_node_names[0]
         top = plan.output_nodes[-1]
 
-        def fn(w, xv):
-            return fwd({data_node: xv}, w)[top]
-
-        # output replicated so every rank holds (and digests) all of it
-        sharded = jax.jit(fn, in_shardings=(w_sh, in_sh[data_node]),
-                          out_shardings=NamedSharding(mesh, P()))
         w_dev = {k: host_array(w_sh[k], v) for k, v in weights.items()}
-        out = np.asarray(sharded(w_dev, host_array(in_sh[data_node], x)))
+        x_dev = host_array(in_sh[data_node], x)
+        repl = NamedSharding(mesh, P())
+        if self.train:
+            from ..apps.train import build_train_step
+            n_cls = plan.node_dims[top].shape[1]
+            labels = np.random.RandomState(1).randint(
+                0, n_cls, size=(batch,)).astype(np.int32)
+            step = build_train_step(fwd, data_node, top, lr=0.01)
+            # loss + one updated weight digested (replicated outputs);
+            # the batch-sharded grads psum across HOSTS inside the jit
+            wk = sorted(w_sh)[0]
+            sharded = jax.jit(
+                lambda w, xv, lb: step(w, {}, xv, lb)[:2],
+                in_shardings=(w_sh, in_sh[data_node], repl),
+                out_shardings=(repl, {k: repl for k in w_sh}))
+            loss, new_w = sharded(w_dev, x_dev, host_array(repl, labels))
+            out = np.asarray(new_w[wk])
+            what = f"loss={float(loss):.6f} {wk}"
+        else:
+            sharded = jax.jit(
+                lambda w, xv: fwd({data_node: xv}, w)[top],
+                in_shardings=(w_sh, in_sh[data_node]),
+                out_shardings=repl)
+            out = np.asarray(sharded(w_dev, x_dev))
+            what = top
         if not np.isfinite(out).all():
             raise RtErr("mh_test: non-finite output")
         return (f"mh_test rank {self.process_id}/{self.num_processes} "
-                f"global_devices={len(devs)} {top} digest "
+                f"global_devices={len(devs)} {what} digest "
                 f"{nda_digest(out)}")
 
     def main(self):

@@ -56,6 +56,25 @@ def test_multihost_two_process_digest_match(tmp_path):
     assert want.comp(got, mrd_toler=1e-5) is None
 
 
+def test_multihost_train_step():
+    """One sharded TRAINING step across two processes: batch-sharded
+    grads psum across HOSTS inside the jit; updated-weight digests must
+    agree on every rank (mh_test --train=1 asserts it)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PYTHONPATH="")
+    r = subprocess.run(
+        [sys.executable, "-m", "boda_tpu", "mh_test", "--num-processes=2",
+         "--local-devices=2", "--model=mini", "--batch=8", "--train=1"],
+        capture_output=True, text=True, timeout=500, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mh_test PASSED ranks=2" in r.stdout, r.stdout
+    assert "loss=" in r.stdout
+
+
 def test_tiny_net_gpipe_and_train_step():
     """The full dryrun entry point (training step + gpipe) is runnable
     from pytest too — the driver isn't the only thing exercising it."""
