@@ -14,6 +14,8 @@ as_net_param export role, caffepb.cc:593)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..core.config import Attr
@@ -126,10 +128,12 @@ def write_snapshot(path, *, step: int, optimizer: str, consumed: int,
                    [rng_state[4]], np.float64), "double"))]
     for k, v in sorted(weights.items()):
         entries.append((f"w/{k}", nda_nd(v)))
-    flat, _ = _flatten_opt(vel)
-    for k, v in sorted(flat.items()):
+    for k, v in sorted(_flatten_opt(vel).items()):
         entries.append((f"opt/{k}", nda_nd(v)))
-    with open(path, "wb") as f:
+    # write-to-temp + atomic rename: a crash mid-write must not destroy
+    # the previous (only) checkpoint — the exact scenario snapshots are for
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
         f.write(SNAP_MAGIC)
         f.write(f"(step={step},optimizer={optimizer},"
                 f"consumed={consumed},n_losses={len(losses)},"
@@ -137,55 +141,65 @@ def write_snapshot(path, *, step: int, optimizer: str, consumed: int,
         for name, nda in entries:
             nb = name.encode()
             f.write(len(nb).to_bytes(4, "little") + nb + nda.bwrite())
+    os.replace(tmp, path)
 
 
 def read_snapshot(path) -> dict:
     """→ dict(step, optimizer, consumed, weights, opt_flat, losses,
-    rng_state). Raises RtErr on a non-snapshot file."""
+    rng_state). Raises RtErr on a non-snapshot, truncated, or corrupt
+    file (a half-written file is the expected failure artifact of a
+    crash, so it must surface as a clean error, not a traceback)."""
     from ..core.dims import NDA
     from ..core.lexp import parse_lexp
     buf = open(path, "rb").read()
     if not buf.startswith(SNAP_MAGIC):
         raise RtErr(f"'{path}' is not a boda_tpu snapshot "
                     f"(bad magic)")
-    off = len(SNAP_MAGIC)
-    eol = buf.index(b"\n", off)
-    hdr = parse_lexp(buf[off:eol].decode())
-    off = eol + 1
 
-    def want(k):
+    def want(hdr, k):
         kid = hdr.get_kid(k)
         if kid is None:
             raise RtErr(f"snapshot '{path}': header missing '{k}'")
         return kid.leaf_val
 
-    step = int(want("step"))
-    optimizer = want("optimizer")
-    consumed = int(want("consumed"))
-    n_losses = int(want("n_losses"))
-    n = int(want("n"))
-    ent = {}
-    for _ in range(n):
-        ln = int.from_bytes(buf[off:off + 4], "little")
-        off += 4
-        name = buf[off:off + ln].decode()
-        off += ln
-        nda, off = NDA.bread(buf, off)
-        ent[name] = nda
-    keys = ent["rng/keys"].v.astype(np.uint32)
-    pos, has_gauss = (int(x) for x in ent["rng/meta"].v)
-    rng_state = ("MT19937", keys, pos, has_gauss,
-                 float(ent["rng/gauss"].v[0]))
-    return {"step": step, "optimizer": optimizer, "consumed": consumed,
-            "losses": [float(v) for v in ent["losses"].v][:n_losses],
-            "rng_state": rng_state,
-            "weights": {k[2:]: v.v for k, v in ent.items()
-                        if k.startswith("w/")},
-            "opt_flat": {k[4:]: v.v for k, v in ent.items()
-                         if k.startswith("opt/")}}
+    try:
+        off = len(SNAP_MAGIC)
+        eol = buf.index(b"\n", off)
+        hdr = parse_lexp(buf[off:eol].decode())
+        off = eol + 1
+        step = int(want(hdr, "step"))
+        optimizer = want(hdr, "optimizer")
+        consumed = int(want(hdr, "consumed"))
+        n_losses = int(want(hdr, "n_losses"))
+        n = int(want(hdr, "n"))
+        ent = {}
+        for _ in range(n):
+            ln = int.from_bytes(buf[off:off + 4], "little")
+            off += 4
+            name = buf[off:off + ln].decode()
+            off += ln
+            nda, off = NDA.bread(buf, off)
+            ent[name] = nda
+        keys = ent["rng/keys"].v.astype(np.uint32)
+        pos, has_gauss = (int(x) for x in ent["rng/meta"].v)
+        rng_state = ("MT19937", keys, pos, has_gauss,
+                     float(ent["rng/gauss"].v[0]))
+        return {"step": step, "optimizer": optimizer,
+                "consumed": consumed,
+                "losses": [float(v) for v in ent["losses"].v][:n_losses],
+                "rng_state": rng_state,
+                "weights": {k[2:]: v.v for k, v in ent.items()
+                            if k.startswith("w/")},
+                "opt_flat": {k[4:]: v.v for k, v in ent.items()
+                             if k.startswith("opt/")}}
+    except RtErr:
+        raise
+    except Exception as e:
+        raise RtErr(f"snapshot '{path}' is truncated or corrupt: "
+                    f"{type(e).__name__}: {e}")
 
 
-def _flatten_opt(vel: dict) -> tuple[dict, None]:
+def _flatten_opt(vel: dict) -> dict:
     """Opt-state pytree → flat {path: leaf} (paths like 'v/conv1_w',
     'm/conv1_w', 't')."""
     flat = {}
@@ -197,14 +211,14 @@ def _flatten_opt(vel: dict) -> tuple[dict, None]:
         else:
             flat[prefix] = x
     rec("", vel)
-    return flat, None
+    return flat
 
 
 def _unflatten_opt(optimizer: str, weights: dict, flat: dict) -> dict:
     """Rebuild the opt-state pytree from a flat snapshot dict, validating
     leaf coverage against a fresh init_opt_state skeleton."""
     skel = init_opt_state(optimizer, weights)
-    want, _ = _flatten_opt(skel)
+    want = _flatten_opt(skel)
     if set(want) != set(flat):
         missing = sorted(set(want) ^ set(flat))[:4]
         raise RtErr(f"snapshot optimizer state doesn't match "
@@ -368,12 +382,21 @@ class CnetTrain(_NetMode):
             if set(snap["weights"]) != set(weights):
                 raise RtErr("cnet_train: snapshot weights don't match "
                             "this net's parameter set")
+            for k, v in weights.items():
+                # snapshot arrays are stored flat-shaped-as-written; a
+                # silent reshape across a mismatched net variant (e.g.
+                # resized conv, changed in_dims) would scramble weights
+                if snap["weights"][k].shape != np.shape(v):
+                    raise RtErr(
+                        f"cnet_train: snapshot weight '{k}' shape "
+                        f"{snap['weights'][k].shape} != net's "
+                        f"{np.shape(v)} — the snapshot is from a "
+                        f"different net variant")
             start = snap["step"]
             if start >= self.steps:
                 raise RtErr(f"cnet_train: snapshot is already at step "
                             f"{start} >= --steps={self.steps}")
-            weights = {k: snap["weights"][k].reshape(np.shape(v))
-                       for k, v in weights.items()}
+            weights = {k: snap["weights"][k] for k in weights}
             vel = _unflatten_opt(self.optimizer, weights, snap["opt_flat"])
             losses = snap["losses"]
             rng.set_state(snap["rng_state"])

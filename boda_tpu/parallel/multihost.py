@@ -91,10 +91,14 @@ class MhTest(HasMain):
             return
         # env alone is too late if jax.config was already imported (it
         # snapshots JAX_PLATFORMS at import) — set both, before any
-        # backend initializes
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        os.environ["XLA_FLAGS"] = (
+        # backend initializes. Append to XLA_FLAGS (don't clobber a
+        # user's dump/debug flags); strip any previous device-count flag
+        flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+                 if not f.startswith("--xla_force_host_platform_device_count")]
+        flags.append(
             f"--xla_force_host_platform_device_count={self.local_devices}")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = " ".join(flags)
         import jax
         jax.config.update("jax_platforms", "cpu")
 
@@ -182,13 +186,26 @@ class MhTest(HasMain):
             # and rank 0's communicate() never returns
             jax.distributed.shutdown()
             return
+        if self.num_processes > 1 and not self.local_devices:
+            # spawning N ranks that all open the same local real devices
+            # wedges instead of erroring (one chip, serialized access);
+            # real pods launch one externally-started rank per host
+            raise RtErr("mh_test: spawn=1 with num_processes>1 needs "
+                        "--local-devices=N (virtual CPU devices); for "
+                        "real multi-host, launch one rank per host "
+                        "externally with --spawn=0")
+        import tempfile
         coord = self.coordinator or f"localhost:{free_port()}"
         self.coordinator = coord
-        kids = [subprocess.Popen(self._spawn_cmd(r, coord),
-                                 stdout=subprocess.PIPE,
-                                 stderr=subprocess.PIPE, text=True,
-                                 env=dict(os.environ))
+        # children write to temp FILES, not pipes: a rank blocking on a
+        # full pipe before its shutdown() barrier would deadlock rank 0
+        logs = [tempfile.NamedTemporaryFile(
+                    mode="w+", suffix=f".mh{r}.log", delete=False)
                 for r in range(1, self.num_processes)]
+        kids = [subprocess.Popen(self._spawn_cmd(r, coord),
+                                 stdout=lg, stderr=subprocess.STDOUT,
+                                 text=True, env=dict(os.environ))
+                for r, lg in zip(range(1, self.num_processes), logs)]
         try:
             mine = self._digest_line()
         except BaseException:
@@ -201,11 +218,15 @@ class MhTest(HasMain):
         # children, whose own shutdown() calls wait in the same barrier
         jax.distributed.shutdown()
         my_digest = mine.split("digest ", 1)[1]
-        for r, k in enumerate(kids, start=1):
-            out, err = k.communicate(timeout=600)
-            if k.returncode != 0:
+        for r, (k, lg) in enumerate(zip(kids, logs), start=1):
+            rc = k.wait(timeout=600)
+            lg.seek(0)
+            out = lg.read()
+            lg.close()
+            os.unlink(lg.name)
+            if rc != 0:
                 raise RtErr(f"mh_test: rank {r} failed "
-                            f"(exit {k.returncode}): {err.strip()[-300:]}")
+                            f"(exit {rc}): {out.strip()[-300:]}")
             lines = [ln for ln in out.splitlines() if "digest " in ln]
             if not lines:
                 raise RtErr(f"mh_test: rank {r} printed no digest")

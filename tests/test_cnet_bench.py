@@ -195,6 +195,33 @@ def test_cnet_train_snapshot_errors(tmp_path):
         create_and_run_has_main(
             base + f"steps=4,optimizer=sgd,resume_fn={bogus},"
                    f"boda_output_dir={tmp_path}/z)")
+    # a half-written snapshot (crash artifact) must be a clean RtErr,
+    # not a numpy/struct traceback
+    good = (tmp_path / "snapshot.boda").read_bytes()
+    trunc = tmp_path / "truncated.boda"
+    trunc.write_bytes(good[:len(good) // 2])
+    with pytest.raises(RtErr, match="truncated or corrupt"):
+        create_and_run_has_main(
+            base + f"steps=4,optimizer=sgd,resume_fn={trunc},"
+                   f"boda_output_dir={tmp_path}/t)")
+    # mismatched net variant (same weight names, different dims): loud
+    # error instead of a silent reshape. Doctor a real snapshot so one
+    # weight keeps its size but swaps its shape (what resuming against a
+    # surgically-altered net looks like)
+    from boda_tpu.apps.train import read_snapshot, write_snapshot
+    snap = read_snapshot(tmp_path / "snapshot.boda")
+    w = dict(snap["weights"])
+    k = "conv1_filts"
+    w[k] = w[k].reshape(w[k].shape[::-1])
+    write_snapshot(tmp_path / "doctored.boda", step=snap["step"],
+                   optimizer="sgd", consumed=snap["consumed"], weights=w,
+                   vel={}, losses=snap["losses"],
+                   rng_state=snap["rng_state"])
+    with pytest.raises(RtErr, match="different net variant"):
+        create_and_run_has_main(
+            base + f"steps=4,optimizer=sgd,"
+                   f"resume_fn={tmp_path}/doctored.boda,"
+                   f"boda_output_dir={tmp_path}/v)")
 
 
 def test_cnet_train_adam_reduces_loss(tmp_path):
