@@ -316,10 +316,12 @@ class CnetStageProbe(_NetMode):
             seg_weights = []
             produced = set()
             consumed = []
+            zero_init = []
             for s in seg:
                 tmpl = get_template(s.sig.func_name)
                 rfs = tmpl.check_args(s.sig)
                 built.append((tmpl.build(rfs), tmpl, s))
+                io_args = set(tmpl.io_args())
                 for an in tmpl.in_args() + tmpl.io_args():
                     n = s.arg_nodes.get(an)
                     if n is None or n in produced:
@@ -327,6 +329,15 @@ class CnetStageProbe(_NetMode):
                     if n in weights:
                         if n not in seg_weights:
                             seg_weights.append(n)
+                    elif an in io_args and s.sig.func_name == "copy":
+                        # first touch is the Concat write-slice target
+                        # (copy ignores prior content at its chan range):
+                        # zero-init in-seg, exactly as build_fused_forward
+                        # does on first touch. Other io first-touchers
+                        # (in-place relu/dropout) READ content — those
+                        # stay external inputs
+                        zero_init.append(n)
+                        produced.add(n)
                     else:
                         if n not in consumed:
                             consumed.append(n)
@@ -343,10 +354,14 @@ class CnetStageProbe(_NetMode):
             flops = sum(get_template(s.sig.func_name).flops(
                 get_template(s.sig.func_name).check_args(s.sig)) for s in seg)
 
+            from ..engine.rtc_fwd import _storage_zeros
+
             def seg_fn(x, *ws, _built=built, _wn=tuple(seg_weights),
-                       _in=in_node):
+                       _in=in_node, _zi=tuple(zero_init)):
                 vals = dict(zip(_wn, ws))
                 vals[_in] = x
+                for n in _zi:  # INOUT targets (concat out buffers)
+                    vals[n] = _storage_zeros(plan.node_dims[n], plan)
                 for fn, tmpl, s in _built:
                     ins = [vals[s.arg_nodes[an]]
                            for an in tmpl.in_args() + tmpl.io_args()

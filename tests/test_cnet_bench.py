@@ -32,7 +32,31 @@ def test_stage_probe_mini(capsys):
     assert "stem" in out and "mid" in out and "head" in out
     assert "SUM" in out
 
-def test_pyra_bench_mode(capsys):
+def test_stage_probe_concat_in_stage(tmp_path, capsys):
+    """A Concat whose output buffer is first touched in-seg by its copy
+    write-slices (inception-style stage) must segment cleanly: the copy
+    INOUT target zero-inits in-seg (as build_fused_forward does) instead
+    of masquerading as an external stage input; in-place first-touchers
+    (dropout) still count as the real stage input."""
+    from boda_tpu.core.has_main import create_and_run_has_main
+    from boda_tpu.graph.caffe_io import write_prototxt
+    from boda_tpu.models.zoo import NetBuilder
+    b = NetBuilder("cat-net", 1, 3, 16, 16)
+    b.conv("c1", 8, 3, 1, 1)
+    src = b.cur
+    b.conv("br/a", 4, 1, in_node=src)
+    oa = b.cur
+    b.conv("br/b", 4, 3, pad=1, in_node=src)
+    ob = b.cur
+    b.concat("br/cat", [oa, ob])
+    b.conv("c2", 8, 1)
+    pipe = b.done()
+    write_prototxt(pipe, tmp_path / "n.prototxt")
+    create_and_run_has_main(
+        f"(mode=cnet_stage_probe,ptt_fn={tmp_path}/n.prototxt,batch=1,"
+        f"iters=2,reps=1,whole_net=0,stages=s1:c1|s2:br+c2)")
+    out = capsys.readouterr().out
+    assert "s1" in out and "s2" in out and "SUM" in out
     """pyra_bench: host blf-pack + device packed-bin forward throughput
     (BASELINE config #5 surface). On CPU pin auto out-node pick, bin
     batch wiring, and the report format; timings are noise here."""
