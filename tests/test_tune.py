@@ -64,6 +64,19 @@ def test_sgemm_baseline_wisdom_artifact_loads():
         assert "c" in w.kgs  # cross-check digests recorded
 
 
+def test_sgemm_int8_wisdom_artifact_loads():
+    """The on-chip int8 SGEMM sweep artifact (docs/PERF.md int8
+    extension): 6 ops with the (prec=int8) tune recorded for TPU."""
+    data = Path(__file__).parent / "data"
+    with open(data / "wisdom-sgemm-int8.wis") as f:
+        ws = list(read_wisdom_stream(f))
+    assert len(ws) == 6
+    for w in ws:
+        assert "(prec=int8)" in w.tunes
+        assert any(p.startswith("xla:tpu")
+                   for p in w.tunes["(prec=int8)"].runs)
+
+
 def test_conv_baseline_wisdom_artifact_loads():
     """The on-chip conv baseline sweep artifact (BASELINE conv row —
     3x3 384ch 13x13 b5, docs/PERF.md) must stay readable: one op with
