@@ -81,7 +81,10 @@ def lower_pipe(pipe: ConvPipe, tune: Optional[OpTune] = None,
     node_dims = {n: nd.dims for n, nd in pipe.nodes.items() if nd.dims is not None}
     weight_nodes: list[str] = []
     for op in pipe.ops.values():
-        if op.type in ("Convolution", "Deconvolution", "InnerProduct") and len(op.bots) >= 3:
+        # bots = [in, filts(, biases)] — a bias-less conv still has a
+        # weight at bots[1]; misclassifying it as an input would make the
+        # fused path zero-fill it on first touch (silently wrong numerics)
+        if op.type in ("Convolution", "Deconvolution", "InnerProduct") and len(op.bots) >= 2:
             weight_nodes += op.bots[1:3]
     input_nodes = [n for n in sorted(pipe.bots) if n not in weight_nodes]
     output_nodes = sorted(pipe.tops)
@@ -98,9 +101,11 @@ def lower_pipe(pipe: ConvPipe, tune: Optional[OpTune] = None,
         # in-place ops attached to this op's primary output node
         out_node = pipe.must_get_node(op.tops[0])
         for ip in out_node.in_place_ops:
-            if fuse_relu and ip.type == "ReLU" and op.type in ("Convolution", "InnerProduct") \
+            if fuse_relu and ip.type == "ReLU" \
+                    and op.type in ("Convolution", "Deconvolution",
+                                    "InnerProduct") \
                     and out_node.in_place_ops[0] is ip:
-                continue  # fused into the conv step
+                continue  # fused into the conv/deconv step
             steps += _lower_in_place(pipe, ip, train_dropout)
     if getattr(tune, "fuse_resblock", False):
         steps = _fuse_resblocks(steps, node_dims, set(output_nodes), tune)
@@ -273,7 +278,11 @@ def _fuse_stem(steps: list[Step], node_dims, outputs: set,
                   and (ppd is None or (ppd["y"] == 0 and ppd["x"] == 0))
                   and s2.arg_nodes["in"] == s1.arg_nodes["out"]
                   and uses.get(s1.arg_nodes["out"], 0) == 2
-                  and s1.arg_nodes["out"] not in outputs)
+                  and s1.arg_nodes["out"] not in outputs
+                  # per-op quant8/prec overrides don't propagate into the
+                  # fused sig — leave such a stem unfused
+                  and not s1.sig.get_u32_or("quant8", 0)
+                  and s1.sig.str_vals.get("prec", tune.prec) == tune.prec)
         if ok:
             s1, s2 = steps[i], steps[i + 1]
             sig = OpBase({"type": "fused_stem", "func_name": "fused_stem"})
@@ -340,7 +349,15 @@ def _fuse_resblocks(steps: list[Step], node_dims, outputs: set,
                   and is_conv(s3, 1, 0, False)
                   and s4.func_name == "eltwise"
                   and s4.sig.str_vals.get("ew_op", "SUM") == "SUM"
-                  and s5.func_name == "relu")
+                  and s5.func_name == "relu"
+                  # per-op quant8/prec overrides (selective-int8 preset,
+                  # wisdom tunes) don't propagate into the fused sig —
+                  # leave such members unfused rather than silently
+                  # running them at the global precision
+                  and not any(s.sig.get_u32_or("quant8", 0)
+                              or s.sig.str_vals.get("prec", tune.prec
+                                                    ) != tune.prec
+                              for s in (s1, s2, s3)))
             if ok:
                 x = s1.arg_nodes["in"]
                 u, v, w_node = (s1.arg_nodes["out"], s2.arg_nodes["out"],
@@ -541,7 +558,10 @@ def _lower_in_place(pipe: ConvPipe, ip: ConvOp, train_dropout: bool) -> list[Ste
         return [Step(sig, {"inout": node}, ip.tag)]
     if ip.type == "ZeroIfNonPos":
         sig = OpBase({"type": ip.type, "func_name": "ZeroIfNonPos"})
-        sig.set_dims("in", dims)
+        # 'in' is the FORWARD activation (bots[1]) — declare ITS dims,
+        # not the grad node's (same-shaped for ReLU-bck today, but the
+        # sig must describe the tensor the arg actually receives)
+        sig.set_dims("in", pipe.must_get_node(ip.bots[1]).dims)
         sig.set_dims("grad", dims)
         sig.set_dims("out", dims)
         return [Step(sig, {"in": ip.bots[1], "grad": node, "out": node}, ip.tag)]

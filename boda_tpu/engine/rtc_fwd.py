@@ -64,7 +64,8 @@ def _storage_zeros(dims, plan: Plan):
     return jnp.zeros(shape, dt)
 
 
-def build_fused_forward(plan: Plan, keep_all_nodes: bool = False):
+def build_fused_forward(plan: Plan, keep_all_nodes: bool = False,
+                        extra_out_nodes=(), write_hook=None):
     """Build the pure whole-net function fwd(inputs: dict, weights: dict) ->
     outputs dict from a lowered Plan. Standalone (no engine/backend) so it
     can be jitted/grad-ed/sharded directly (graft entry, multi-chip dryrun,
@@ -72,18 +73,24 @@ def build_fused_forward(plan: Plan, keep_all_nodes: bool = False):
 
     Inputs/outputs are always LOGICAL (NCHW, node dtype); when the plan's
     fused-storage pass is active (plan.storage_nhwc) the conversions happen
-    once at the program boundary and every interior edge is NHWC/edge_prec."""
+    once at the program boundary and every interior edge is NHWC/edge_prec.
+
+    `extra_out_nodes`: additional nodes returned alongside output_nodes.
+    `write_hook(node, val, aux)`: called on every step write (the engine's
+    var-stats capture); when given, fwd returns (outputs, aux) instead."""
     fns = []
     for s in plan.steps:
         tmpl = get_template(s.sig.func_name)
         rfs = tmpl.check_args(s.sig)
         fns.append((tmpl.build(rfs), tmpl, s))
-    out_nodes = list(plan.output_nodes)
+    out_nodes = list(plan.output_nodes) + [n for n in extra_out_nodes
+                                           if n not in plan.output_nodes]
     node_dims = plan.node_dims
 
     def fwd(inputs: dict, weights: dict):
         vals = dict(weights)
         vals.update({n: _storage_in(v, plan) for n, v in inputs.items()})
+        aux: dict = {}
         for fn, tmpl, s in fns:
             ins = []
             for an in tmpl.in_args() + tmpl.io_args():
@@ -98,12 +105,16 @@ def build_fused_forward(plan: Plan, keep_all_nodes: bool = False):
             for an, ov in zip(tmpl.out_args() + tmpl.io_args(), outs):
                 if an in s.arg_nodes:
                     vals[s.arg_nodes[an]] = ov
+                    if write_hook is not None:
+                        write_hook(s.arg_nodes[an], ov, aux)
         if keep_all_nodes:
-            return {n: _storage_out(v, node_dims[n], plan)
-                    for n, v in vals.items()
-                    if n not in weights and n not in inputs and n in node_dims}
-        return {n: _storage_out(vals[n], node_dims[n], plan)
-                for n in out_nodes if n in vals}
+            ret = {n: _storage_out(v, node_dims[n], plan)
+                   for n, v in vals.items()
+                   if n not in weights and n not in inputs and n in node_dims}
+        else:
+            ret = {n: _storage_out(vals[n], node_dims[n], plan)
+                   for n in out_nodes if n in vals}
+        return (ret, aux) if write_hook is not None else ret
 
     return fwd
 
@@ -146,6 +157,7 @@ class RtcFwd(ConvFwd):
         self.pipe = pipe
         self.rtc.ensure_init()
         self.codegen = Codegen(self.rtc)
+        self._info_log: list[str] = []
         with timer("rtc_fwd_init"):
             op_tunes = self._wisdom_tunes(pipe) if self.wisdom_fn else None
             self.plan = lower_pipe(pipe, self.op_tune, op_tunes=op_tunes,
@@ -162,7 +174,6 @@ class RtcFwd(ConvFwd):
                 self._init_fused()
             else:
                 self._init_per_call()
-        self._info_log: list[str] = []
         self.stats: dict[str, NDA] = {}
 
     def _wisdom_tunes(self, pipe: ConvPipe):
@@ -180,7 +191,6 @@ class RtcFwd(ConvFwd):
             if ts is not None:
                 out[op.tag] = make_op_tune(ts)
         if out:
-            self._info_log = getattr(self, "_info_log", [])
             self._info_log.append(
                 f"wisdom: tuned {len(out)} op(s) from {self.wisdom_fn}")
         return out or None
@@ -196,19 +206,27 @@ class RtcFwd(ConvFwd):
             l = parse_lexp(q) if isinstance(q, str) else q
             kid = l.get_kid("name")
             l.deep_inc_use_cnt()
+            if kid is None:
+                raise RtErr(f"quantize spec missing 'name': {q}")
             specs.append({
                 "name": kid.leaf_val,
                 "max_val": float(l.get_kid("max_val").leaf_val) if l.get_kid("max_val") else 1.0,
                 "keep_bits": int(l.get_kid("keep_bits").leaf_val) if l.get_kid("keep_bits") else 8,
+                "matched": False,
             })
         for s in self.plan.steps:
             new_steps.append(s)
+            tmpl = get_template(s.sig.func_name)
+            write_args = tmpl.out_args() + tmpl.io_args()
             for sp in specs:
                 # insert a quantize call right after any step that writes the
-                # named node (reference: gen_op_quantize after producer)
+                # named node (reference: gen_op_quantize after producer) —
+                # match the TEMPLATE's declared write args, so fused-sibling
+                # outs (out_a..), loss, and grads all count
                 writes = any(s.arg_nodes.get(a) == sp["name"]
-                             for a in ("out", "inout", "in_grad"))
+                             for a in write_args)
                 if writes:
+                    sp["matched"] = True
                     dims = self.plan.node_dims[sp["name"]]
                     qsig = OpBase({"type": "quantize", "func_name": "quantize"})
                     qsig.set_dims("inout", dims)
@@ -216,6 +234,12 @@ class RtcFwd(ConvFwd):
                     qsig.set_u32("keep_bits", sp["keep_bits"])
                     new_steps.append(Step(qsig, {"inout": sp["name"]},
                                           f"quantize__{sp['name']}"))
+        unmatched = [sp["name"] for sp in specs if not sp["matched"]]
+        if unmatched:
+            # a typo'd node name silently measuring nothing is the worst
+            # outcome for an accuracy study (reference errored on unknown
+            # vars)
+            raise RtErr(f"quantize: no step writes node(s) {unmatched}")
         self.plan.steps = new_steps
 
     def _apply_det_drop_seed(self) -> None:
@@ -250,8 +274,10 @@ class RtcFwd(ConvFwd):
         seen = set()
         extra = []
         for call, s in zip(list(self.fwd_calls), self.plan.steps):
+            writes = set(get_template(s.sig.func_name).out_args()
+                         + get_template(s.sig.func_name).io_args())
             for a, node in s.arg_nodes.items():
-                if a in ("out", "inout") and node not in seen:
+                if a in writes and node not in seen:
                     seen.add(node)
                     sig = OpBase({"type": "var_stats", "func_name": "var_stats"})
                     sig.set_dims("in", self.plan.node_dims[node])
@@ -271,60 +297,35 @@ class RtcFwd(ConvFwd):
     # ---- fused mode (one XLA program) ----
     def _init_fused(self) -> None:
         import jax
-        steps = self.plan.steps
-        fns = []
-        for s in steps:
-            tmpl = get_template(s.sig.func_name)
-            rfs = tmpl.check_args(s.sig)
-            fns.append((tmpl.build(rfs), tmpl, s))
-        input_nodes = [n for n in self.plan.input_nodes]
         weight_nodes = [n for n in self.plan.weight_nodes]
         if not hasattr(self, "_extra_out_nodes"):
             self._extra_out_nodes: list[str] = []
-        out_nodes = list(self.plan.output_nodes) + self._extra_out_nodes
-        stats_nodes = sorted({node for s in steps
-                              for a, node in s.arg_nodes.items()
-                              if a in ("out", "inout")}) if self.enable_stats else []
         stats_fns = {}
+        write_hook = None
         if self.enable_stats:
+            stats_nodes = sorted({
+                node for s in self.plan.steps
+                for a, node in s.arg_nodes.items()
+                if a in (get_template(s.sig.func_name).out_args()
+                         + get_template(s.sig.func_name).io_args())})
             for node in stats_nodes:
                 sig = OpBase({"type": "var_stats", "func_name": "var_stats"})
                 sig.set_dims("in", self.plan.node_dims[node])
                 t = get_template("var_stats")
                 stats_fns[node] = t.build(t.check_args(sig))
 
-        node_dims = self.plan.node_dims
+            def write_hook(node, ov, aux):
+                if node in stats_fns:
+                    aux[node] = stats_fns[node](ov)
 
-        plan = self.plan
-
-        def fwd(inputs: dict, weights: dict):
-            vals = dict(weights)
-            vals.update({n: _storage_in(v, plan) for n, v in inputs.items()})
-            stats = {}
-            for fn, tmpl, s in fns:
-                ins = []
-                for an in tmpl.in_args() + tmpl.io_args():
-                    if an in s.arg_nodes:
-                        node = s.arg_nodes[an]
-                        if node not in vals:  # INOUT target first touch (e.g. concat out)
-                            vals[node] = _storage_zeros(node_dims[node], plan)
-                        ins.append(vals[node])
-                outs = fn(*ins)
-                if not isinstance(outs, (tuple, list)):
-                    outs = (outs,)
-                for an, ov in zip(tmpl.out_args() + tmpl.io_args(), outs):
-                    if an in s.arg_nodes:
-                        node = s.arg_nodes[an]
-                        vals[node] = ov
-                        if self.enable_stats and node in stats_fns:
-                            stats[node] = stats_fns[node](ov)
-            if self.keep_all_nodes:
-                return {n: _storage_out(v, node_dims[n], plan)
-                        for n, v in vals.items()
-                        if n not in weights and n not in inputs
-                        and n in node_dims}, stats
-            return {n: _storage_out(vals[n], node_dims[n], plan)
-                    for n in out_nodes if n in vals}, stats
+        # one executor core: the engine reuses build_fused_forward (extras
+        # + per-write stats hook) instead of duplicating its loop
+        fwd0 = build_fused_forward(self.plan,
+                                   keep_all_nodes=self.keep_all_nodes,
+                                   extra_out_nodes=tuple(self._extra_out_nodes),
+                                   write_hook=write_hook)
+        fwd = fwd0 if write_hook is not None else \
+            (lambda inputs, weights: (fwd0(inputs, weights), {}))
 
         self._fused_fn = jax.jit(fwd)
         self._weights = {n: self.pipe.op_params[n].v for n in weight_nodes
@@ -359,14 +360,32 @@ class RtcFwd(ConvFwd):
     def _run_fused(self, to_set: dict[str, NDA], to_get: list[str]) -> dict[str, NDA]:
         import numpy as np
         # requested intermediates become program outputs (reference run_fwd
-        # copies out any named var, rtc_fwd.cc:555) — re-jit once to add them
-        want_extra = [n for n in to_get
-                      if n not in self.plan.output_nodes
-                      and n not in self._extra_out_nodes
-                      and n in self.plan.node_dims]
-        if want_extra:
-            self._extra_out_nodes += want_extra
-            self._init_fused()
+        # copies out any named var, rtc_fwd.cc:555) — re-jit once to add
+        # them. Weight nodes are served from self._weights directly (they
+        # are stored NCHW and must NOT pass the storage-out transpose);
+        # keep_all_nodes already returns every intermediate, so no re-jit.
+        weight_gets = {n for n in to_get if n in self.plan.weight_nodes}
+        if not self.keep_all_nodes:
+            produced = {node for s in self.plan.steps
+                        for a, node in s.arg_nodes.items()
+                        if a in (get_template(s.sig.func_name).out_args()
+                                 + get_template(s.sig.func_name).io_args())}
+            produced |= set(self.plan.input_nodes)  # fed, hence fetchable
+            want_extra = [n for n in to_get
+                          if n not in self.plan.output_nodes
+                          and n not in self._extra_out_nodes
+                          and n not in weight_gets
+                          and n in self.plan.node_dims]
+            bad = [n for n in want_extra if n not in produced]
+            if bad:
+                # don't pay a whole-net recompile to then fail: nodes
+                # eliminated by fusion (resblock/stem/sibling interiors)
+                # are not fetchable
+                raise RtErr(f"run_fwd: node(s) {bad} are not produced by "
+                            f"any step (eliminated by fusion?)")
+            if want_extra:
+                self._extra_out_nodes += want_extra
+                self._init_fused()
         with timer("run_fwd"):
             inputs = {k: v.v for k, v in to_set.items()}
             if self._in_sh is not None:
@@ -380,6 +399,8 @@ class RtcFwd(ConvFwd):
             self.last_run_secs = time.perf_counter() - t0
         if self.enable_stats:
             self.stats = {k: NDA(Dims.make(n=4), np.asarray(v)) for k, v in stats.items()}
+        for n in weight_gets:
+            outs[n] = np.asarray(self._weights[n])
         missing = [n for n in to_get if n not in outs]
         if missing:
             raise RtErr(f"run_fwd: requested nodes not produced: {missing} "

@@ -48,6 +48,84 @@ def data_for(pipe, batch=1):
     return {"data": NDA(d, gen_test_nda(d, mode=0, scale=0.1))}
 
 
+def test_biasless_conv_fused_matches_ref():
+    """A bias-less conv (bots=[in, filts], a form the importer/lowering
+    support) must classify filts as a WEIGHT in the fused plan — the
+    regression was weight_nodes requiring len(bots)>=3, which let the
+    fused program zero-fill filts on first touch (silently wrong, while
+    per-call mode worked)."""
+    b = NetBuilder("biasless", 1, 3, 16, 16)
+    b.conv("c1", 8, 3, 1, 1)
+    b.conv("fc", 5, 1, relu=False)
+    b.softmax("prob")
+    pipe = b.done(seed=7)
+    op = pipe.ops["c1"]
+    op.bots = op.bots[:2]  # drop the bias bot
+    pipe.bots.discard("c1_biases")
+    pipe.nodes.pop("c1_biases", None)
+    pipe.op_params.pop("c1_biases", None)
+    ins = data_for(pipe)
+
+    ref = make_engine("ref")
+    ref.init(pipe)
+    want = ref.run_fwd(ins, ["prob"])["prob"].v
+
+    rtc = make_engine("(engine=rtc,fuse=1)")
+    rtc.init(pipe)
+    assert "c1_filts" in rtc.plan.weight_nodes
+    got = rtc.run_fwd(ins, ["prob"])["prob"].v
+    assert mrd(got, want) < MRD_TOLER
+    assert float(np.abs(np.asarray(got)).sum()) > 0
+
+
+def test_fetch_weight_node_fused_nhwc():
+    """run_fwd(to_get=[<weight>]) under the NHWC storage pass must return
+    the weight UNtransposed (the regression storage-out-transposed any
+    fetched 4-d tensor) and without recompiling the net."""
+    pipe = small_nin()
+    eng = make_engine(
+        "(engine=rtc,fuse=1,op_tune=(use_culibs=1,layout=nhwc))")
+    eng.init(pipe)
+    w = np.asarray(pipe.op_params["conv1_filts"].v)
+    got = eng.run_fwd(data_for(pipe), ["conv1_filts", "prob"])
+    np.testing.assert_allclose(np.asarray(got["conv1_filts"].v,
+                                          np.float32), w, rtol=1e-6)
+
+
+def test_fetch_fusion_eliminated_node_errors_fast():
+    """Requesting an interior node eliminated by resblock fusion raises a
+    clear error WITHOUT paying a whole-net re-jit first."""
+    import pytest
+
+    from boda_tpu.core.error import RtErr
+    pipe = build_model("resnet-50", batch=1, ysz=64, xsz=64)
+    eng = make_engine(
+        "(engine=rtc,fuse=1,op_tune=(use_culibs=1,fuse_resblock=1))")
+    eng.init(pipe)
+    assert any(s.sig.func_name == "resblock" for s in eng.plan.steps)
+    # res2b is an identity bottleneck -> its interior 1x1 output was
+    # consumed by the fused resblock step and no longer exists
+    with pytest.raises(RtErr, match="not produced by any step"):
+        eng.run_fwd(data_for(pipe), ["res2b_branch2a", "prob"])
+
+
+def test_quantize_spec_errors():
+    """Quantize specs must fail loudly: a typo'd node name silently
+    measuring nothing was the regression (the reference errored on
+    unknown vars); a spec without name= is malformed."""
+    import pytest
+
+    from boda_tpu.core.error import RtErr
+    pipe = small_nin()
+    eng = make_engine(
+        "(engine=rtc,fuse=1,quantize=(_=(name=no_such_node,max_val=2)))")
+    with pytest.raises(RtErr, match="no step writes"):
+        eng.init(pipe)
+    eng2 = make_engine("(engine=rtc,fuse=1,quantize=(_=(max_val=2)))")
+    with pytest.raises(RtErr, match="missing 'name'"):
+        eng2.init(small_nin())
+
+
 def run_engine(spec, pipe, to_get=("prob",)):
     eng = make_engine(spec)
     eng.init(pipe)
