@@ -141,6 +141,15 @@ def create_pipe_from_param(net: PbNode, in_dims: Optional[Dims] = None,
 
     layers = net.get_all("layer") or net.get_all("layers")
     is_v1 = not net.get_all("layer")
+    # raw-name consumer counts: aliasing a non-in-place activation
+    # (top != bottom) onto its bottom is only sound when nothing else
+    # reads the pre-activation blob
+    bot_consumers: dict = {}
+    for l in layers:
+        if _phase_ok(l, phase):
+            for bname in l.get_all("bottom"):
+                bname = str(bname)
+                bot_consumers[bname] = bot_consumers.get(bname, 0) + 1
     seen_data = False
     for l in layers:
         if not _phase_ok(l, phase):
@@ -185,6 +194,20 @@ def create_pipe_from_param(net: PbNode, in_dims: Optional[Dims] = None,
         op_type = ltype
         if ltype in ("Convolution", "Deconvolution"):
             cp = l.get("convolution_param") or PbNode()
+            # unsupported conv features must fail at parse time: silently
+            # ignoring group would crash weight copy with a raw reshape
+            # error (blob has out*in/g elements) and ignoring dilation
+            # would compute a different net (the reference ignored both
+            # and shipped _ng "no groups" net variants instead)
+            grp = int(cp.get("group", 1) or 1)
+            if grp != 1:
+                raise RtErr(f"caffe import: convolution group={grp} is "
+                            f"unsupported (layer '{name}'); use a "
+                            f"no-groups net variant")
+            dil = _geom(cp, "dilation", 1)
+            if tuple(dil) != (1, 1):
+                raise RtErr(f"caffe import: dilation={tuple(dil)} is "
+                            f"unsupported (layer '{name}')")
             params["out_chans"] = int(cp.get("num_output", 0))
             params["kern_sz"] = _geom(cp, "kernel", 0)
             params["stride"] = _geom(cp, "stride", 1)
@@ -198,6 +221,9 @@ def create_pipe_from_param(net: PbNode, in_dims: Optional[Dims] = None,
         elif ltype == "Pooling":
             pp = l.get("pooling_param") or PbNode()
             pool = str(pp.get("pool", "MAX"))
+            if pool in ("STOCHASTIC", "2"):
+                raise RtErr(f"caffe import: STOCHASTIC pooling is "
+                            f"unsupported (layer '{name}')")
             params["avg_pool"] = 1 if pool in ("AVE", "1") else 0
             if pp.get("global_pooling", False):
                 params["kern_sz"] = (0, 0)
@@ -230,6 +256,15 @@ def create_pipe_from_param(net: PbNode, in_dims: Optional[Dims] = None,
         from .pipe import IN_PLACE_TYPES
         if op_type in IN_PLACE_TYPES:
             if tops and bots and tops[0] != bots[0]:
+                raw_bot = str(l.get_all("bottom")[0])
+                if bot_consumers.get(raw_bot, 0) > 1:
+                    # another layer reads the PRE-activation blob; aliasing
+                    # would silently hand it post-activation values
+                    raise RtErr(
+                        f"caffe import: non-in-place {op_type} '{name}' "
+                        f"(top '{tops[0]}' != bottom '{raw_bot}') whose "
+                        f"bottom has other consumers — unsupported; make "
+                        f"the layer in-place or copy the blob first")
                 alias[tops[0]] = bots[0]
             tops = [bots[0]]
             bots = [bots[0]]
@@ -276,9 +311,16 @@ def _blob_to_nda(blob: WireNode, names_hint: Optional[list[str]] = None) -> NDA:
                  blob.varint(_F.b_h, 1), blob.varint(_F.b_w, 1)]
     shape = [int(s) for s in shape if s is not None]
     arr = np.asarray(data, np.float32).reshape(shape)
-    default_names = ["out_chan", "in_chan", "y", "x"]
-    names = names_hint or default_names[4 - len(shape):] if len(shape) <= 4 else \
-        [f"d{i}" for i in range(len(shape))]
+    if names_hint and len(names_hint) == len(shape):
+        names = list(names_hint)
+    elif len(shape) == 4:
+        names = ["out_chan", "in_chan", "y", "x"]
+    elif len(shape) == 2:   # modern 2-d InnerProduct weight blob
+        names = ["out_chan", "in_chan"]
+    elif len(shape) == 1:   # bias / BN stat vector
+        names = ["out_chan"]
+    else:
+        names = [f"d{i}" for i in range(len(shape))]
     return NDA.from_array(arr, names)
 
 
@@ -358,6 +400,14 @@ def fold_bn_scale(pipe: ConvPipe, blobs_by_layer: dict[str, list[NDA]],
             blobs = blobs_by_layer.get(ip.str_vals.get("caffe_name", ip.tag))
             if blobs is None:
                 raise RtErr(f"fold_bn_scale: no blobs for '{ip.tag}'")
+            for wn in conv.bots[1:3]:
+                if wn not in pipe.op_params:
+                    # the caffemodel omitted/renamed the conv's own blobs
+                    # (copy tolerates missing layers) — name the layer
+                    # instead of a raw KeyError
+                    raise RtErr(f"fold_bn_scale: conv '{conv.tag}' has no "
+                                f"loaded weights ('{wn}') to fold "
+                                f"'{ip.tag}' into")
             w = pipe.op_params[conv.bots[1]].v.astype(np.float64)
             b = pipe.op_params[conv.bots[2]].v.astype(np.float64)
             if ip.type == "BatchNorm":

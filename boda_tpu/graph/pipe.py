@@ -361,6 +361,15 @@ class ConvPipe:
                                 f"same non-chan dims. template (from first input) was: "
                                 f"{tmpl}. mismatching input was (index={i}): {jd}")
             if op.type == "Eltwise":
+                # elementwise: chan counts must MATCH (the template above
+                # wildcards chan, which is right for Concat only)
+                c0 = self.must_get_node(op.bots[0]).dims["chan"]
+                for i, b in enumerate(op.bots[1:], start=1):
+                    ci = self.must_get_node(b).dims["chan"]
+                    if ci != c0:
+                        raise RtErr(f"eltwise layer '{op.tag}' input "
+                                    f"{i} has chan={ci} != chan={c0} of "
+                                    f"input 0")
                 out_node.dims = self.must_get_node(op.bots[0]).dims
             else:
                 out_node.dims = tmpl.with_dim("chan", chans)
@@ -506,6 +515,11 @@ class ConvPipe:
             csi_out.support_sz = Pt(0, 0)  # global support
         else:
             csi_out.support_sz = csi_in.support_sz + (in_sz_1x1 - Pt(1, 1)) * csi_in.support_stride
+        # NOTE reference parity (conv_util.cc:373-378): this composition
+        # does not model Deconvolution (upsampling would need a RATIONAL
+        # composed stride; out_sz_to_in_sz(1,1) collapses to 0 for k>1+2p
+        # so deconv support reads 'global'). The reference computed the
+        # same; dense/sliding-window geometry is conv-net-only.
         if op.has_param("stride"):
             csi_out.support_stride = csi_in.support_stride * op.stride()
         else:
@@ -569,6 +583,13 @@ class ConvPipe:
             return ConvOp("BckLRN", cop.tag + "_bck",
                           [cop.bots[0], cop.tops[0], cop.tops[0] + "_grad_loss"],
                           [self._grad_onn(cop, cop.bots[0])], params)
+        if t in ("InnerProduct", "Deconvolution"):
+            # the reference's bck set is conv-only too (conv_util.cc:732-
+            # 800); its grad-test nets are fc_to_conv-converted models
+            raise RtErr(f"add_bck_ops: '{t}' (op '{cop.tag}') has no "
+                        f"backward op — convert with cnet_fc_to_conv "
+                        f"first (the autodiff training path, cnet_train/"
+                        f"mxu_grad, differentiates these natively)")
         raise RtErr(f"add_bck_ops: unhandled op type '{t}' (op '{cop.tag}')")
 
     def add_bck_ops(self) -> None:
@@ -611,10 +632,22 @@ class ConvPipe:
         for b in sorted(self.bots):
             rec(b)
         # add in reverse walk order; drop Reduce ops whose inputs never
-        # materialized (consumer produced no grads) — reference behavior
+        # materialized (consumer produced no grads) — reference behavior.
+        # A PARTIAL set of materialized contributions means some consumer
+        # wrote its gradient under a different name (e.g. SoftmaxWithLoss
+        # writes the plain `_grad_loss` at import time): summing a subset
+        # would silently train on an incomplete gradient — refuse instead.
         for bcop in reversed(bck_ops):
-            if bcop.is_type("Reduce") and not all(b in self.nodes for b in bcop.bots):
-                continue
+            if bcop.is_type("Reduce"):
+                have = [b for b in bcop.bots if b in self.nodes]
+                if not have:
+                    continue
+                if len(have) != len(bcop.bots):
+                    raise RtErr(
+                        f"add_bck_ops: node '{bcop.tops[0]}' received only "
+                        f"{len(have)}/{len(bcop.bots)} gradient "
+                        f"contributions ({sorted(set(bcop.bots) - set(have))} "
+                        f"missing) — mixed-name partials are unsupported")
             self.add_op(bcop)
         self.has_bck_ops = True
         self.calc_dims()  # infer dims for the new grad nodes
@@ -723,7 +756,6 @@ class ConvPipe:
 
     # ---- flops / sizes analysis (reference: cnet_ana / conv_ana support) ----
     def total_flops_and_bytes(self) -> tuple[int, int]:
-        from ..ops.registry import get_template
         flops = 0
         bytes_ = 0
         for op in self.topo_order():
@@ -731,6 +763,13 @@ class ConvPipe:
                 od = self.must_get_node(op.tops[0]).dims
                 fd = self.must_get_node(op.bots[1]).dims
                 flops += 2 * od.sz() * fd["in_chan"] * fd.get("y", 1) * fd.get("x", 1)
+            elif op.type == "Deconvolution":
+                # scatter form: every INPUT position contributes k² taps
+                # per out_chan (od.sz()-based counting would overcount by
+                # stride²)
+                ind = self.must_get_node(op.bots[0]).dims
+                fd = self.must_get_node(op.bots[1]).dims
+                flops += 2 * ind.sz() * fd["out_chan"] * fd.get("y", 1) * fd.get("x", 1)
             for b in op.bots:
                 nd = self.nodes[b]
                 if nd.dims is not None:

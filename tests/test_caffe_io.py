@@ -195,3 +195,108 @@ def test_binary_weights_format(tmp_path):
     assert "c1" in blobs
     np.testing.assert_allclose(blobs["c1"][0].v, pipe.op_params["c1_filts"].v)
     assert blobs["c1"][0].dims.shape == (4, 3, 3, 3)
+
+
+HDR = """
+name: "t"
+input: "data"
+input_shape { dim: 1 dim: 3 dim: 16 dim: 16 }
+"""
+
+
+def test_unsupported_conv_features_error():
+    """group/dilation must fail at PARSE time: silently ignoring group
+    crashed weight copy with a raw reshape error, silently ignoring
+    dilation computed a different net (the reference ignored both and
+    shipped _ng 'no groups' net variants)."""
+    import pytest
+
+    from boda_tpu.core.error import RtErr
+    g = HDR + ('layer { name: "c" type: "Convolution" bottom: "data" '
+               'top: "c" convolution_param { num_output: 8 '
+               'kernel_size: 3 group: 2 } }')
+    with pytest.raises(RtErr, match="group=2"):
+        create_pipe_from_param(parse_pbtext(g))
+    d = HDR + ('layer { name: "c" type: "Convolution" bottom: "data" '
+               'top: "c" convolution_param { num_output: 8 '
+               'kernel_size: 3 dilation: 2 } }')
+    with pytest.raises(RtErr, match="dilation"):
+        create_pipe_from_param(parse_pbtext(d))
+    s = HDR + ('layer { name: "p" type: "Pooling" bottom: "data" top: "p" '
+               'pooling_param { pool: STOCHASTIC kernel_size: 2 } }')
+    with pytest.raises(RtErr, match="STOCHASTIC"):
+        create_pipe_from_param(parse_pbtext(s))
+
+
+def test_non_inplace_relu_with_other_consumer_errors():
+    """ReLU(bottom=conv1, top=relu1) while another layer also reads conv1:
+    aliasing would silently hand the branch POST-activation values."""
+    import pytest
+
+    from boda_tpu.core.error import RtErr
+    p = HDR + """
+layer { name: "c1" type: "Convolution" bottom: "data" top: "c1"
+  convolution_param { num_output: 8 kernel_size: 3 pad: 1 } }
+layer { name: "r1" type: "ReLU" bottom: "c1" top: "r1" }
+layer { name: "c2" type: "Convolution" bottom: "c1" top: "c2"
+  convolution_param { num_output: 8 kernel_size: 1 } }
+layer { name: "cat" type: "Concat" bottom: "r1" bottom: "c2" top: "cat" }
+"""
+    with pytest.raises(RtErr, match="other consumers"):
+        create_pipe_from_param(parse_pbtext(p))
+    # the single-consumer form still imports (plain alias)
+    ok = HDR + """
+layer { name: "c1" type: "Convolution" bottom: "data" top: "c1"
+  convolution_param { num_output: 8 kernel_size: 3 pad: 1 } }
+layer { name: "r1" type: "ReLU" bottom: "c1" top: "r1" }
+layer { name: "prob" type: "Softmax" bottom: "r1" top: "prob" }
+"""
+    pipe = create_pipe_from_param(parse_pbtext(ok))
+    pipe.calc_dims()
+    assert "prob" in pipe.tops
+
+
+def test_eltwise_chan_mismatch_errors():
+    import pytest
+
+    from boda_tpu.core.error import RtErr
+    p = HDR + """
+layer { name: "a" type: "Convolution" bottom: "data" top: "a"
+  convolution_param { num_output: 8 kernel_size: 1 } }
+layer { name: "b" type: "Convolution" bottom: "data" top: "b"
+  convolution_param { num_output: 16 kernel_size: 1 } }
+layer { name: "s" type: "Eltwise" bottom: "a" bottom: "b" top: "s" }
+"""
+    pipe = create_pipe_from_param(parse_pbtext(p))
+    with pytest.raises(RtErr, match="chan=16 != chan=8"):
+        pipe.calc_dims()
+
+
+def test_blob_default_dim_names():
+    """2-d InnerProduct weight blobs default to (out_chan,in_chan) and
+    1-d bias blobs to (out_chan,) when no hint dims exist."""
+    import numpy as np
+
+    from boda_tpu.graph.caffe_io import _blob_to_nda
+    from boda_tpu.graph.pbwire import WireNode
+
+    class FakeBlob:
+        def __init__(self, shape):
+            self._shape = shape
+
+        def floats(self, _):
+            return np.zeros(int(np.prod(self._shape)), np.float32)
+
+        def msg(self, _):
+            class S:
+                def __init__(s, dims):
+                    s._d = dims
+
+                def varints(s, _):
+                    return s._d
+            return S(self._shape)
+
+    nda2 = _blob_to_nda(FakeBlob([10, 64]))
+    assert [d.name for d in nda2.dims] == ["out_chan", "in_chan"]
+    nda1 = _blob_to_nda(FakeBlob([10]))
+    assert [d.name for d in nda1.dims] == ["out_chan"]
