@@ -315,6 +315,17 @@ class NDA:
         return NDA(Dims((), tn=tn), np.asarray(val, dtype=tn_to_dtype(tn)))
 
     @staticmethod
+    def dims_only(dims: Dims) -> "NDA":
+        """Metadata-only NDA (v=None) even for typed dims — op SIGNATURES
+        declare shapes, they don't carry buffers (a b128 conv sig would
+        otherwise pin ~200MB of zeros and make signature keys hash the
+        buffer bytes)."""
+        nda = NDA.__new__(NDA)
+        nda.dims = dims
+        nda.v = None
+        return nda
+
+    @staticmethod
     def from_array(v: np.ndarray, names: Sequence[str]) -> "NDA":
         v = np.asarray(v)
         if len(names) != v.ndim:

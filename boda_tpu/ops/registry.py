@@ -89,10 +89,10 @@ class KernelTemplate:
                     raise RtErr(f"template '{cls.name}' arg '{a.name}': dims "
                                 f"({','.join(dims.names())}) don't match declared "
                                 f"({','.join(a.tmpl.names())})")
-            if not dims.matches_template(a.tmpl.with_tn(a.tmpl.tn)):
+            if not dims.matches_template(a.tmpl):
                 raise RtErr(f"template '{cls.name}' arg '{a.name}': dims {dims} "
                             f"don't match template {a.tmpl}")
-            rfs.nda_vals[a.name] = NDA(dims) if dims.tn != "none" else NDA(dims, None)
+            rfs.nda_vals[a.name] = NDA.dims_only(dims)
         for k in cls.sig_nda_keys:
             if k in op.nda_vals:
                 rfs.nda_vals[k] = op.nda_vals[k]
@@ -165,11 +165,14 @@ def _ensure_builtin_templates() -> None:
     global _builtins_loaded
     if _builtins_loaded:
         return
-    _builtins_loaded = True
     from .pallas import (elementwise, sgemm, conv, tconv, pool, lrn,  # noqa: F401
                          softmax, reduce as _reduce, xpose, gen_data,
                          var_stats, quantize, qsgemm, resblock, bck, bwai,
                          stem, conv2)
+    # set AFTER the import succeeds: a failed partial import must retry
+    # (and re-raise the real error) on the next get_template, not mask it
+    # behind "no kernel template named ... (known: )"
+    _builtins_loaded = True
 
 
 class Codegen:
@@ -229,17 +232,22 @@ class Codegen:
             return
         pend, self.compile_pend_list = self.compile_pend_list, []
         with timer("rtc_compile"):
-            for cf in pend:
+            for i, cf in enumerate(pend):
                 try:
                     self.backend.compile([cf])
                 except Exception:
                     # purge the failed instance so it can't poison later
                     # compiles or be run_func'd; the caller sees the error
                     # attributed to this op (tune sweeps record it and
-                    # continue — reference OOM-tagging behavior)
+                    # continue — reference OOM-tagging behavior). The
+                    # REMAINING pend entries stay queued: their sig_cache
+                    # entries are alive, so dropping them would leave
+                    # cached-but-never-compiled instances that every later
+                    # run_func trips over ('unknown function')
                     self.sig_cache = {k: v for k, v in self.sig_cache.items()
                                       if v != cf.name}
                     self.instances.pop(cf.name, None)
+                    self.compile_pend_list = pend[i + 1:] + self.compile_pend_list
                     raise
 
     def run_func(self, call: RtcFuncCall) -> int:

@@ -77,8 +77,13 @@ def profile_rcg_call(cg: Codegen, op: OpBase, run_iter: int = 5,
             # under the axon tunnel per-call wall timing is unreliable
             # (cached same-input dispatch, non-blocking readiness): re-time
             # with iterations chained inside one XLA program (bench.py
-            # methodology)
-            fn = tmpl.build(rfs)
+            # methodology). Build under the backend's platform hint — the
+            # process-global default backend may differ (gen_func does the
+            # same; a bare build could select interpret-mode pallas)
+            from ..ops.pallas.util import platform_hint
+            dev = getattr(be, "_device", None)
+            with platform_hint(dev.platform if dev is not None else None):
+                fn = tmpl.build(rfs)
             in_vals = [be.var_device_value(args[a.name])
                        for a in tmpl.args
                        if a.kind in ("IN", "INOUT") and a.name in args]
@@ -111,8 +116,15 @@ def _chained_secs(fn, in_vals, iters: int) -> float:
         x0 = args[0]
 
         def body(c, _):
-            a0 = x0 + c.astype(x0.dtype) if jnp.issubdtype(
-                x0.dtype, jnp.floating) or x0.dtype == jnp.bfloat16 else x0
+            if jnp.issubdtype(x0.dtype, jnp.floating) \
+                    or x0.dtype == jnp.bfloat16:
+                a0 = x0 + c.astype(x0.dtype)
+            else:
+                # integer inputs (int8 sgemm / quantized ops) must be
+                # perturbed too, or the body is loop-invariant and XLA
+                # hoists it out of the scan — the timed work runs ONCE
+                # (c stays tiny, so the +0/+1 wobble can't overflow int8)
+                a0 = x0 + (c.astype(jnp.int32) % 2).astype(x0.dtype)
             outs = fn(a0, *args[1:])
             o = outs[0] if isinstance(outs, (tuple, list)) else outs
             # consume the WHOLE output: a single-element readback lets
@@ -280,7 +292,11 @@ class OpsProf(HasMain):
         cgs = {bn: Codegen(be) for bn, be in rtcs.items()}
         for op in ops:
             w = OpWisdom(op)
-            tune_items = list(tunes.items())
+            # the kg tune MUST run first: every other tune is cross-checked
+            # against kg_outs, and a user tune ordered before kg would print
+            # 'ok' without any output verification
+            tune_items = sorted(tunes.items(),
+                                key=lambda kv: kv[0] != self.kg_tune_tag)
             if self.auto_sweep:
                 tune_items += auto_sweep_tunes(op, self.auto_sweep)
             kg_outs: Optional[dict] = None
@@ -314,6 +330,10 @@ class OpsProf(HasMain):
                         if errs:
                             status = "COMP_FAIL: " + "; ".join(errs)
                             n_err += 1
+                    else:
+                        # the kg tune itself failed for this op — nothing
+                        # to verify against; don't record unverified runs
+                        status = "UNVERIFIED (kg tune produced no outputs)"
                     kw = wis_in.get(op._key())
                     if kw is not None and kw.kgs:
                         errs = comp_digests(outs, {k: v for k, v in kw.kgs.items()
@@ -321,12 +341,16 @@ class OpsProf(HasMain):
                         if errs:
                             status += " KG_DIGEST_FAIL: " + "; ".join(errs)
                             n_err += 1
-                    flops = get_template(top.func_name).flops(
-                        get_template(top.func_name).check_args(top))
+                    tmpl = get_template(top.func_name)
+                    flops = tmpl.flops(tmpl.check_args(top))
                     gfs = flops / secs / 1e9 if secs else 0.0
                     print(f"OP {op.to_compact_lexp()} tune={tname} be={be_name} "
                           f"func={top.func_name} secs={secs:.3e} GF/s={gfs:.1f} {status}")
-                    w.tune(str(tune.to_lexp())).add_run(plat, secs)
+                    if status == "ok":
+                        # wisdom records only VERIFIED timings: best_tune
+                        # selects by min secs, so a fast-but-wrong tune
+                        # (COMP_FAIL) must never enter the store
+                        w.tune(str(tune.to_lexp())).add_run(plat, secs)
             out_ws.append(w)
         if self.wisdom_out_fn:
             merged = merge_wisdoms([list(wis_in.values()), out_ws]) if wis_in else out_ws

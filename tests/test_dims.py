@@ -98,3 +98,34 @@ def test_digest_round_trip_and_compare():
     d4 = nda_digest(NDA.from_array(x * 1.1, ["a", "b"]))
     msg = d4.comp(d, 1e-4)
     assert msg is not None and "mismatch" in msg
+
+
+def test_sig_ndas_are_dims_only():
+    """Op signatures declare shapes, they never carry buffers: a b128
+    conv sig used to pin ~200MB of zeros per entry and its cache key
+    repr'd the bytes (measured 0.8GB/3.9s per gen_func). dims_only NDAs
+    + crc-capped keys keep signature handling metadata-sized."""
+    from boda_tpu.core.dims import NDA, Dims
+    from boda_tpu.ops.op_base import OpBase
+
+    sig = OpBase({"type": "Convolution", "func_name": "xla_conv"})
+    sig.set_dims("in", Dims.make(tn="float", img=128, chan=64, y=56, x=56))
+    sig.set_dims("in_pad", Dims.make(tn="none", y=1, x=1))
+    assert all(v.v is None for v in sig.nda_vals.values())
+    assert len(repr(sig._key())) < 4096
+    # dims_only is metadata-only even for typed dims
+    nda = NDA.dims_only(Dims.make(tn="float", a=1024, b=1024))
+    assert nda.v is None and nda.dims.shape == (1024, 1024)
+    # values that DO matter still key by content; big buffers key by crc
+    import numpy as np
+    s1 = OpBase({"type": "t"})
+    s2 = OpBase({"type": "t"})
+    s1.nda_vals["m"] = NDA.scalar(1, "uint32_t")
+    s2.nda_vals["m"] = NDA.scalar(2, "uint32_t")
+    assert s1._key() != s2._key()
+    big = Dims.make(tn="float", n=100000)
+    b1 = NDA(big, np.zeros(100000, np.float32))
+    b2 = NDA(big, np.ones(100000, np.float32))
+    s1.nda_vals["m"], s2.nda_vals["m"] = b1, b2
+    assert s1._key() != s2._key()
+    assert len(repr(s1._key())) < 4096
