@@ -127,6 +127,21 @@ class DataStream(Config):
     def get_pos_info_str(self) -> str:
         return "<no-pos-info>"
 
+    def stream_eof(self) -> None:
+        """End-of-scan notification. Sinks that buffer until EOF override
+        this to finalize (and still finalize on an in-band invalid block —
+        the pipe-flow EOF convention); the default recurses into child
+        stages declared as Attrs so the notification reaches sinks nested
+        anywhere in a stage tree."""
+        for name in self._attrs:
+            v = getattr(self, name, None)
+            if isinstance(v, DataStream):
+                v.stream_eof()
+            elif isinstance(v, list):
+                for s in v:
+                    if isinstance(s, DataStream):
+                        s.stream_eof()
+
 
 def make_data_stream(spec) -> DataStream:
     from ..core.lexp import Lexp
@@ -270,10 +285,10 @@ class NpySrc(DataStream):
     def proc_block(self, db: DataBlock) -> DataBlock:
         if self._ix >= self._arr.shape[0]:
             return DataBlock()
+        from ..core.dims import dtype_to_tn
         v = np.ascontiguousarray(self._arr[self._ix])
         dims = Dims([(f"d{i}", s) for i, s in enumerate(v.shape)],
-                    tn={"float32": "float", "uint8": "uint8_t"}.get(
-                        str(v.dtype), str(v.dtype)))
+                    tn=dtype_to_tn(v.dtype))
         ret = DataBlock(NDA(dims, v), tag=self.tag, frame_ix=self._ix,
                         timestamp_ns=self._ix)
         self._ix += 1
@@ -742,11 +757,15 @@ class NpySink(DataStream):
     def proc_block(self, db: DataBlock) -> DataBlock:
         if db.valid() and db.nda is not None:
             self._vs.append(db.nda.v)
-        elif not db.valid() and not self._saved:
+        elif not db.valid():
+            self.stream_eof()
+        return db
+
+    def stream_eof(self) -> None:
+        if not self._saved:
             np.save(resolve_stage_fn(self.fn),
                     np.stack(self._vs) if self._vs else np.zeros(0))
             self._saved = True
-        return db
 
     def get_pos_info_str(self) -> str:
         return f"npy-sink: {len(self._vs)} buffered"
@@ -811,6 +830,11 @@ class ScanDataStream(HasMain):
             n += 1
             tot_bytes += db.sz_bytes()
             last_ts = db.timestamp_ns
+        # end-of-scan finalization: a max_blocks-limited scan never flows
+        # an invalid block through the pipe (and pushing one would PULL a
+        # fresh block from any source-headed pipe), so sinks finalize via
+        # the explicit stream_eof protocol instead
+        self.stream.stream_eof()
         print(f"scan-data-stream: {n} blocks, {tot_bytes} bytes, "
               f"last_ts={last_ts} pos=[{self.stream.get_pos_info_str()}]")
 
@@ -853,7 +877,16 @@ class HashCheck(DataStream):
                 if err is not None:
                     raise RtErr(f"hash-check: block {self._n} mismatch: {err}")
             self._n += 1
+        elif not db.valid():
+            self.stream_eof()
         return db
+
+    def stream_eof(self) -> None:
+        # a truncated stream must FAIL verification, not silently pass
+        # with partial coverage
+        if self._want is not None and self._n < len(self._want):
+            raise RtErr(f"hash-check: stream ended after {self._n} blocks "
+                        f"but {len(self._want)} digests were recorded")
 
     def get_pos_info_str(self) -> str:
         return f"hash-check: {self._n} blocks " + \
@@ -949,12 +982,15 @@ class StreamSink(DataStream):
 
     def proc_block(self, db: DataBlock) -> DataBlock:
         if not db.valid():
-            if not self._eos_sent:
-                self._st.write_frame(b"")  # EOS sentinel
-                self._eos_sent = True
+            self.stream_eof()
             return db
         self._st.write_frame(_pack_block(db))
         return db
+
+    def stream_eof(self) -> None:
+        if not self._eos_sent:
+            self._st.write_frame(b"")  # EOS sentinel
+            self._eos_sent = True
 
     def get_pos_info_str(self) -> str:
         return f"stream-sink[{self.addr}]"
@@ -1104,6 +1140,9 @@ class MxnetBrickSink(DataStream):
         self._f.write(struct.pack("<II", _MX_MAGIC,
                                   len(payload) | (cflag << 29)))
         self._f.write(payload)
+
+    def stream_eof(self) -> None:
+        self._f.flush()
 
     def proc_block(self, db: DataBlock) -> DataBlock:
         import struct

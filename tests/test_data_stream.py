@@ -326,3 +326,44 @@ def test_cnet_infer_feats_montage(tmp_path):
     assert bs[0].get_sdb("pred") is not None   # classification still rides
     import pathlib
     assert len(list(pathlib.Path(f"{tmp_path}/f").glob("*.png"))) == 1
+
+
+def test_scan_max_blocks_finalizes_sinks(tmp_path, capsys):
+    """A max_blocks-limited scan never flows an in-band EOF through the
+    pipe; sinks must finalize via the stream_eof protocol (pushing an
+    empty block instead would PULL a fresh block from the source)."""
+    from boda_tpu.core.has_main import create_and_run_has_main
+    npy = tmp_path / "o.npy"
+    create_and_run_has_main(
+        f"(mode=scan_data_stream,max_blocks=2,verbose=0,"
+        f"stream=(mode=pipe,stages=((mode=test-gen,num=10,sz=4),"
+        f"(mode=npy-sink,fn={npy}))))", global_vars={})
+    assert "2 blocks" in capsys.readouterr().out
+    assert np.load(npy).shape == (2, 4)  # exactly the scanned blocks
+
+
+def test_hash_check_truncation_fails(tmp_path):
+    """A stream that ends before covering every recorded digest must fail
+    verification at end-of-scan, not silently pass with partial coverage."""
+    from boda_tpu.core.has_main import create_and_run_has_main
+    fn = tmp_path / "h.digests"
+    read_all_blocks(spec(f"(mode=pipe,stages=((mode=test-gen,num=5,sz=8),"
+                         f"(mode=hash-check,fn={fn},write=1)))"))
+    with pytest.raises(RtErr, match="ended after 3 blocks but 5"):
+        create_and_run_has_main(
+            f"(mode=scan_data_stream,verbose=0,"
+            f"stream=(mode=pipe,stages=((mode=test-gen,num=3,sz=8),"
+            f"(mode=hash-check,fn={fn}))))", global_vars={})
+
+
+def test_npy_src_dtype_tns(tmp_path):
+    """npy-src maps ALL registered dtypes through dtype_to_tn (float64 /
+    int32 stacks used to produce invalid tns that broke digest/bwrite)."""
+    from boda_tpu.core.digest import nda_digest
+    for dt, tn in ((np.float64, "double"), (np.int32, "int32_t"),
+                   (np.uint8, "uint8_t")):
+        fn = tmp_path / f"s_{np.dtype(dt).name}.npy"
+        np.save(fn, np.arange(6, dtype=dt).reshape(2, 3))
+        bs = read_all_blocks(spec(f"(mode=npy-src,fn={fn})"))
+        assert len(bs) == 2 and bs[0].nda.dims.tn == tn
+        nda_digest(bs[0].nda)  # digestable => tn round-trips
