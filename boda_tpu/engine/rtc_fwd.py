@@ -143,6 +143,12 @@ class RtcFwd(ConvFwd):
     keep_all_nodes = Attr(bool, default=False,
                           help="fused mode: keep every intermediate node "
                                "fetchable (for digest comparison; disables DCE)")
+    nan_check = Attr(bool, default=False,
+                     help="sanitizer: flag non-finite values (NaN/Inf) in "
+                          "every float node each forward; raises naming the "
+                          "first offending node in step order. Fused mode "
+                          "computes the flags device-side (fused reductions, "
+                          "no extra readback of the activations)")
     mesh_dp = Attr(int, default=0,
                    help="data-parallel mesh size: shard the batch (img dim) "
                         "over this many devices (0 = single device)")
@@ -318,6 +324,21 @@ class RtcFwd(ConvFwd):
                 if node in stats_fns:
                     aux[node] = stats_fns[node](ov)
 
+        self._nan_node_order: list[str] = []
+        if self.nan_check:
+            import jax.numpy as jnp
+            stats_hook = write_hook
+
+            def write_hook(node, ov, aux, _sh=stats_hook):
+                if _sh is not None:
+                    _sh(node, ov, aux)
+                key = ("__nonfinite__", node)
+                if (jnp.issubdtype(ov.dtype, jnp.floating)
+                        and key not in aux):
+                    if node not in self._nan_node_order:
+                        self._nan_node_order.append(node)
+                    aux[key] = ~jnp.all(jnp.isfinite(ov))
+
         # one executor core: the engine reuses build_fused_forward (extras
         # + per-write stats hook) instead of duplicating its loop
         fwd0 = build_fused_forward(self.plan,
@@ -397,6 +418,14 @@ class RtcFwd(ConvFwd):
             outs, stats = self._fused_fn(inputs, self._weights)
             outs = {k: np.asarray(v) for k, v in outs.items()}
             self.last_run_secs = time.perf_counter() - t0
+        if self.nan_check:
+            bad = [n for n in self._nan_node_order
+                   if bool(stats.get(("__nonfinite__", n), False))]
+            stats = {k: v for k, v in stats.items()
+                     if not (isinstance(k, tuple) and k[0] == "__nonfinite__")}
+            if bad:
+                raise RtErr(f"nan_check: non-finite values in node(s) "
+                            f"{bad} (first in step order: '{bad[0]}')")
         if self.enable_stats:
             self.stats = {k: NDA(Dims.make(n=4), np.asarray(v)) for k, v in stats.items()}
         for n in weight_gets:
@@ -455,6 +484,19 @@ class RtcFwd(ConvFwd):
                     else:
                         f.write(f"{c.call_tag} {c.func_name} "
                                 f"{be.get_dur(cid, cid):.9f}\n")
+        if self.nan_check:
+            import numpy as np
+            seen: set = set()
+            for s in self.plan.steps:
+                writes = set(get_template(s.sig.func_name).out_args()
+                             + get_template(s.sig.func_name).io_args())
+                for a, node in s.arg_nodes.items():
+                    if a in writes and node not in seen:
+                        seen.add(node)
+                        v = be.copy_var_to_nda(node).v
+                        if v.dtype.kind == "f" and not np.isfinite(v).all():
+                            raise RtErr(f"nan_check: non-finite values in "
+                                        f"node '{node}' (first in step order)")
         if self.enable_stats:
             for n in be.var_names():
                 if n.endswith("__stats"):

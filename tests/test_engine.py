@@ -240,3 +240,30 @@ def test_determinism_hooks():
         assert both_pos.any()
         np.testing.assert_allclose((with_bias - out)[both_pos], 1.0,
                                    rtol=1e-4)
+
+
+@pytest.mark.parametrize("fuse", [1, 0])
+def test_nan_check_sanitizer(fuse):
+    """nan_check=1 (SURVEY §5.2 sanitizer role): a non-finite weight must
+    raise naming the FIRST node (step order) it poisons; clean nets run
+    unchanged. Fused mode computes the flags device-side."""
+    from boda_tpu.core.error import RtErr
+    pipe = small_nin()
+    ins = data_for(pipe)
+    eng = make_engine(f"(engine=rtc,fuse={fuse},nan_check=1)")
+    eng.init(pipe)
+    eng.run_fwd(ins, ["prob"])  # clean net: no false positive
+
+    pipe2 = small_nin()
+    w = pipe2.op_params["conv2a_filts"]
+    w.v = w.v.copy()
+    w.v.reshape(-1)[3] = np.nan
+    eng2 = make_engine(f"(engine=rtc,fuse={fuse},nan_check=1)")
+    eng2.init(pipe2)
+    with pytest.raises(RtErr, match="nan_check: non-finite.*conv2a"):
+        eng2.run_fwd(data_for(pipe2), ["prob"])
+    # without the sanitizer the same net runs to completion (NaNs flow)
+    eng3 = make_engine(f"(engine=rtc,fuse={fuse})")
+    eng3.init(pipe2)
+    out = eng3.run_fwd(data_for(pipe2), ["prob"])["prob"].v
+    assert np.isnan(np.asarray(out, np.float64)).any()
