@@ -122,7 +122,12 @@ class Backend(Config):
 
     def _resolve(self, name: str) -> tuple[str, Optional[Dims]]:
         if name in self._views:
-            return self._views[name]
+            base, vdims = self._views[name]
+            if base not in self._vars:
+                # the base was release_var'd out from under the view —
+                # raise the backend's error, not a raw KeyError downstream
+                raise RtErr(f"view '{name}' refers to released var '{base}'")
+            return base, vdims
         if name not in self._vars:
             raise RtErr(f"no var '{name}'")
         return name, None
@@ -223,6 +228,16 @@ class Backend(Config):
                 raise RtErr(f"output arg '{an}' of '{call.func_name}' must be a var name")
             src, _ = self._resolve(av)
             var = self._vars[src]
+            want_dt = var.dims.dtype
+            # strict on device backends only: the interp/ref backend runs
+            # ref_impls in float64 on purpose (higher-precision known-good
+            # path; its goldens pin the f64 values)
+            if want_dt is not None and self.kind != "ref" \
+                    and getattr(ov, "dtype", None) is not None \
+                    and ov.dtype != want_dt:
+                raise RtErr(f"func '{call.func_name}' output '{an}': dtype "
+                            f"{ov.dtype} != var '{av}' dtype {want_dt} — a "
+                            f"template returned the wrong precision")
             var.v = ov.reshape(var.dims.shape)
         self._events.append((t0, t1))
         call.call_id = len(self._events) - 1
