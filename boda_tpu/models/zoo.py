@@ -331,7 +331,16 @@ def build_resnet(depth: int = 50, batch: int = 1, ysz: int = 224, xsz: int = 224
     chans = 64
     for stage, reps in enumerate(blocks, 2):
         for r in range(reps):
-            tag = f"res{stage}{chr(ord('a') + r)}"
+            # caffe naming (nets/resnet-{50,101,152}/train_val.prototxt):
+            # resnet-50 letters every stage (res4a..res4f); 101/152 keep
+            # letters only for 3-block stages and use res{S}a,
+            # res{S}b1..b{N-1} for the deep ones (res4b35) — chr(ord('a')+r)
+            # beyond 26 blocks produced NON-PRINTABLE tags ('res4\x7f')
+            # that [a-z0-9] site regexes silently skipped
+            if depth == 50 or reps <= 3:
+                tag = f"res{stage}{chr(ord('a') + r)}"
+            else:
+                tag = f"res{stage}a" if r == 0 else f"res{stage}b{r}"
             stride = 2 if (r == 0 and stage > 2) else 1
             cur = _res_block(b, tag, cur, chans, stride, project=(r == 0))
         chans *= 2

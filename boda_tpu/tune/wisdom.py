@@ -95,6 +95,16 @@ def write_op_wisdom(w: OpWisdom, f: TextIO) -> None:
     f.write("\n")
 
 
+def _next_line(lines, what: str) -> str:
+    try:
+        return next(lines).rstrip("\n")
+    except StopIteration:
+        # inside a generator a bare StopIteration becomes RuntimeError
+        # (PEP 479) — surface a parse error instead
+        raise RtErr(f"wisdom parse: truncated stream ({what} expected)") \
+            from None
+
+
 def read_wisdom_stream(f) -> Iterator[OpWisdom]:
     """Parse a wisdom stream; f is an iterable of lines."""
     lines = iter(f)
@@ -110,7 +120,7 @@ def read_wisdom_stream(f) -> Iterator[OpWisdom]:
         if line == "op_wisdom_t":
             if cur is not None:
                 yield cur
-            sig_line = next(lines).rstrip("\n")
+            sig_line = _next_line(lines, "op sig lexp")
             cur = OpWisdom(OpBase.from_lexp(sig_line))
             cur_tune = None
         elif line.startswith("op_kg_t "):
@@ -121,13 +131,13 @@ def read_wisdom_stream(f) -> Iterator[OpWisdom]:
         elif line == "op_tune_wisdom_t":
             if cur is None:
                 raise RtErr("wisdom parse: op_tune_wisdom_t before op_wisdom_t")
-            tune_line = next(lines).rstrip("\n")
+            tune_line = _next_line(lines, "tune lexp")
             cur_tune = cur.tune(tune_line)
         elif line == "op_run_t":
             if cur_tune is None:
                 raise RtErr("wisdom parse: op_run_t before op_tune_wisdom_t")
-            plat = next(lines).rstrip("\n")
-            secs = float(next(lines).rstrip("\n"))
+            plat = _next_line(lines, "plat tag")
+            secs = float(_next_line(lines, "rt_secs"))
             cur_tune.add_run(plat, secs)
         else:
             raise RtErr(f"wisdom parse: unexpected line '{line}'")

@@ -166,3 +166,31 @@ def test_cnet_bpt_dump(capsys):
     out = capsys.readouterr().out
     assert "layer conv1: type=Convolution" in out
     assert "blob conv1_filts: out_chan:16,in_chan:3,y:5,x:5" in out
+
+
+@pytest.mark.parametrize("depth", [50, 101, 152])
+def test_resnet_zoo_names_match_caffe(depth):
+    """Zoo resnet block tags follow caffe's naming exactly (res4a,
+    res4b1..res4b35 for deep stages): chr(ord('a')+r) past 26 blocks
+    produced NON-PRINTABLE tags ('res4\\x7f') that every [a-z0-9] site
+    regex (int8 presets, calibration) silently skipped — resnet-152 ran
+    10 of 36 stage-4 blocks un-quantized while reporting the int8 config."""
+    import re
+    from pathlib import Path
+    pipe = build_model(f"resnet-{depth}", batch=1, ysz=32, xsz=32)
+    got = {op.tag for op in pipe.ops.values()
+           if re.fullmatch(r"res[0-9][a-z0-9]*", op.tag)}
+    assert all(t.isascii() and t.isprintable() for t in got)
+    ref = Path(f"/root/reference/nets/resnet-{depth}/train_val.prototxt")
+    if not ref.exists():
+        pytest.skip("reference prototxt unavailable")
+    want = set(re.findall(r'name: "(res[0-9][a-z0-9]*)"', ref.read_text()))
+    assert got == want
+    # and the int8 preset site set covers EVERY deep-stage 3x3
+    from boda_tpu.tune.presets import resnet_int8_site_tunes
+    site = resnet_int8_site_tunes(pipe, "(use_culibs=1)")
+    n_3x3_s345 = sum(1 for op in pipe.ops.values()
+                     if op.tag.endswith("_branch2b")
+                     and op.tag[3] in "345")
+    assert sum(1 for t in site if t.endswith("_branch2b")
+               and t[3] in "345") == n_3x3_s345
