@@ -87,24 +87,36 @@ class OpTune(Config):
                     "(exact; thin channels waste the MXU)")
 
     def to_lexp(self) -> Lexp:
+        # serialize EVERY non-default knob (vs a pristine instance): wisdom
+        # records key tunes by this string, so a dropped field (quant8,
+        # act_scale, s2d, fuse_*) would collapse distinct tunes into one
+        # wisdom key and silently lose the knob on re-application
+        dflt = _default_op_tune()
         l = Lexp.empty_list()
-        for k in ("use_culibs", "k1conv", "ipconv", "tconv"):
+        for k in type(self)._attrs:
             v = getattr(self, k)
-            if v != type(self)._attrs[k].default:
+            if v == getattr(dflt, k):
+                continue
+            if isinstance(v, bool):
                 l.add_key_val(k, "1" if v else "0")
-        for k in ("Mb", "Nb", "Kb"):
-            if getattr(self, k):
-                l.add_key_val(k, str(getattr(self, k)))
-        if self.prec:
-            l.add_key_val("prec", self.prec)
-        if self.layout:
-            l.add_key_val("layout", self.layout)
-        if self.edge_prec:
-            l.add_key_val("edge_prec", self.edge_prec)
+            elif isinstance(v, list):
+                l.add_key_val(k, " ".join(str(x) for x in v))
+            else:
+                l.add_key_val(k, str(v))
         return l
 
     def __str__(self):
         return str(self.to_lexp())
+
+
+_DEFAULT_OP_TUNE: Optional[OpTune] = None
+
+
+def _default_op_tune() -> OpTune:
+    global _DEFAULT_OP_TUNE
+    if _DEFAULT_OP_TUNE is None:
+        _DEFAULT_OP_TUNE = OpTune.init_from_lexp("()")
+    return _DEFAULT_OP_TUNE
 
 
 def make_op_tune(spec: Union[str, None] = None) -> OpTune:
