@@ -66,9 +66,14 @@ class IpcBackend(Backend):
                             help="connect to worker at this address "
                                  "(tcp:host:port); default: spawn subprocess")
     spawn_str = Attr(str, default="",
-                     help="worker launch command; %%(addr) expands (e.g. "
-                          "'ssh tpu-vm python -m boda_tpu ipc_compute_worker "
-                          "--boda-parent-addr=%%(addr)')")
+                     help="worker launch command (shell-split); %%(addr), "
+                          "%%(host), %%(port) expand to the master's TCP "
+                          "listener (e.g. 'ssh -R %%(port):127.0.0.1:%%(port)"
+                          " tpu-vm python -m boda_tpu ipc_compute_worker "
+                          "--boda-parent-addr=tcp:127.0.0.1:%%(port) "
+                          "--rtc=xla' drives a remote TPU VM over a "
+                          "reverse-forwarded port, the reference's "
+                          "adb-phone-worker pattern, rtc_ipc.cc:290)")
     worker_be = Attr(str, default="xla", help="inner backend spec for the worker")
     print_dont_fork = Attr(bool, default=False,
                            help="print the worker command and wait instead "
@@ -78,6 +83,29 @@ class IpcBackend(Backend):
         self._proc: Optional[subprocess.Popen] = None
         if self.boda_parent_addr:
             self.stream = make_stream(self.boda_parent_addr)
+        elif self.spawn_str:
+            # bind an ephemeral listener FIRST so the spawned worker's
+            # connect can't race the accept; then expand the launch command
+            import socket
+            from ..core.lexp import NameValScope, str_format_from_nvm
+            srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            srv.bind(("127.0.0.1", 0))
+            srv.listen(1)
+            port = srv.getsockname()[1]
+            nvm = NameValScope()
+            nvm.insert_leafs_from({"addr": f"tcp:127.0.0.1:{port}",
+                                   "host": "127.0.0.1", "port": port})
+            cmd = shlex.split(str_format_from_nvm(self.spawn_str, nvm))
+            if self.print_dont_fork:
+                print("launch worker manually: " + shlex.join(cmd))
+            else:
+                self._proc = subprocess.Popen(cmd)
+            srv.settimeout(300.0)  # remote env setup can be slow (ssh+init)
+            conn, _ = srv.accept()
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            srv.close()
+            self.stream = Stream(sock=conn)
         else:
             import socket
             par, chi = socket.socketpair()

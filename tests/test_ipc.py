@@ -149,3 +149,26 @@ def test_ipc_tcp_remote_worker():
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_ipc_spawn_str_worker():
+    """spawn_str launches the worker via an expanded shell command with
+    %(addr)/%(port) pointing at the master's pre-bound TCP listener (the
+    reference's adb/ssh worker-launch pattern, rtc_ipc.cc:290)."""
+    import sys
+    # %%(addr): the config layer expands %(var) at init, so spawn strings
+    # double the % to defer expansion to spawn time (master listener addr)
+    spawn = (f"{sys.executable} -m boda_tpu ipc_compute_worker "
+             f"--boda-parent-addr=%%(addr) --rtc=interp")
+    be = make_backend({"be": "ipc", "spawn_str": spawn})
+    be.init()
+    try:
+        assert be.get_plat_tag() == "ipc:interp:numpy"
+        d = Dims.make(y=2, x=2)
+        be.create_var_with_dims("v", d)
+        x = np.arange(4, dtype=np.float32).reshape(2, 2)
+        be.copy_nda_to_var("v", NDA(d, x))
+        np.testing.assert_array_equal(be.copy_var_to_nda("v").v, x)
+    finally:
+        be.quit_worker()
+    assert be._proc.returncode == 0
