@@ -243,3 +243,57 @@ def test_fused_siblings_carry_act_scale():
     q_single = [s for s in plan.steps if s.func_name == "xla_conv"
                 and s.sig.get_u32_or("quant8", 0)]
     assert q_single and all("act_scale" in s.sig.nda_vals for s in q_single)
+
+
+@pytest.mark.parametrize("model,pats,sz", [
+    ("googlenet_conv", r"inception_.*/[35]x[35]", 128),
+    ("nin_imagenet", r"conv2|conv3|conv4-1024", 128),
+    # alexnet's fc6-conv needs the full 227 input (6x6 kernel after pools)
+    ("alexnet_ng_conv", r"conv[2-5]|fc[67]-conv", 227),
+])
+def test_shipped_static_int8_site_sets_track_float(model, pats, sz):
+    """The session-8 shipped static-int8 configs (googlenet 4.09 ms /
+    nin 1.34 ms / alexnet 3.57 ms, docs/PERF.md) must track the float
+    path on their exact site sets — same validation shape as the
+    resnet test above, calibrated inline at test size."""
+    import re
+    from boda_tpu.models.zoo import build_model
+    from boda_tpu.tune.presets import calibrate_int8_act_scales
+    pipe = build_model(model, batch=2, ysz=sz, xsz=sz)
+    base = "(use_culibs=1,prec=bf16,layout=nhwc,s2d=0)"
+    q = make_op_tune(base[:-1] + ",quant8=1)")
+    rxs = [re.compile(p) for p in pats.split(";")]
+    site = {op.tag: q for op in pipe.ops.values()
+            if op.type == "Convolution"
+            and any(r.fullmatch(op.tag) for r in rxs)}
+    assert site, f"no sites matched for {model}"
+    d = pipe.get_data_img_dims()
+    x = (np.random.RandomState(5).randn(*d.shape) * 0.3).astype(np.float32)
+    stat = calibrate_int8_act_scales(pipe, base, x, site)
+    top = [n for n in pipe.nodes
+           if pipe.nodes[n].top_for and n.endswith("prob")] or \
+          [pipe.get_single_top_node().name]
+    weights = None
+
+    def run(op_t):
+        nonlocal weights
+        plan = lower_pipe(pipe, make_op_tune(base), op_tunes=op_t,
+                          fused_storage=True)
+        fwd = build_fused_forward(plan, keep_all_nodes=True)
+        if weights is None:
+            weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+        outs = fwd({"data": x}, weights)
+        # compare the logits feeding the softmax (see resnet note above)
+        logits = [n for n in outs if "classifier" in n or n.startswith("fc")
+                  or n.startswith("cccp8")]
+        return np.asarray(outs[logits[0] if logits else top[0]])
+
+    def mrd(a, b):
+        return np.abs(a - b).max() / (np.maximum(np.abs(a), np.abs(b)).max()
+                                      + 1e-30)
+
+    lf = run(None)
+    ls = run(stat)
+    assert mrd(lf, ls) < 1e-1
+    # int8 really ran: outputs must differ from float beyond fp noise
+    assert mrd(lf, ls) > 1e-6
