@@ -80,7 +80,7 @@ def main() -> None:
     _preflight()
     enable_compilation_cache()
 
-    from boda_tpu.engine.lower import lower_pipe
+    from boda_tpu.engine.lower import lower_pipe, resolve_plan_weights
     from boda_tpu.engine.rtc_fwd import build_fused_forward
     from boda_tpu.models.zoo import build_model
     from boda_tpu.ops.cnn_variants import make_op_tune
@@ -99,7 +99,7 @@ def main() -> None:
     tune_s = f"(use_culibs=1,prec={prec},layout=nhwc,s2d=0,fuse_siblings=1)"
     plan = lower_pipe(pipe, make_op_tune(tune_s), fused_storage=True)
     fwd = build_fused_forward(plan)
-    weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+    weights = resolve_plan_weights(plan, pipe.op_params)
 
     # selective-int8 variant (accuracy-validated top-1 agreement, not
     # within the 5e-4 float tolerance — reported alongside, NOT as the
@@ -120,6 +120,8 @@ def main() -> None:
     plan_q = lower_pipe(pipe, make_op_tune(tune_s), op_tunes=op_tunes,
                         fused_storage=True)
     fwd_q = build_fused_forward(plan_q)
+    # the int8 plan's weights differ: prequantized int8 filters + scales
+    weights_q = resolve_plan_weights(plan_q, pipe.op_params)
 
     d = pipe.get_data_img_dims()
     rng = np.random.RandomState(0)
@@ -142,22 +144,23 @@ def main() -> None:
 
     dev = jax.devices()[0]
     w_dev = {k: jax.device_put(v, dev) for k, v in weights.items()}
+    w_dev_q = {k: jax.device_put(v, dev) for k, v in weights_q.items()}
     x_dev = jax.device_put(x, dev)
 
     # slope timing: the tunnel adds a ~35 ms fixed dispatch+readback cost
     # per call; (T(iters) - T(n1)) / (iters - n1) cancels it (median of 3)
     import statistics
 
-    def slope_time(fn):
+    def slope_time(fn, w):
         n1 = max(2, iters // 5)
-        float(fn(w_dev, x_dev, n1))  # warm
-        float(fn(w_dev, x_dev, iters))
+        float(fn(w, x_dev, n1))  # warm
+        float(fn(w, x_dev, iters))
         slopes = []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(fn(w_dev, x_dev, n1))
+            float(fn(w, x_dev, n1))
             t1 = time.perf_counter()
-            float(fn(w_dev, x_dev, iters))  # scalar readback = real barrier
+            float(fn(w, x_dev, iters))  # scalar readback = real barrier
             t2 = time.perf_counter()
             slopes.append(((t2 - t1) - (t1 - t0)) / (iters - n1))
         return statistics.median(slopes) * iters
@@ -166,11 +169,11 @@ def main() -> None:
     t0 = time.perf_counter()
     float(fn(w_dev, x_dev, 1))  # compile + warm transfer path
     compile_s = time.perf_counter() - t0
-    dt = slope_time(fn)
+    dt = slope_time(fn, w_dev)
 
     fn_q = make_chained(fwd_q)
-    float(fn_q(w_dev, x_dev, 1))
-    dt_q = slope_time(fn_q)
+    float(fn_q(w_dev_q, x_dev, 1))
+    dt_q = slope_time(fn_q, w_dev_q)
 
     imgs_per_sec = batch * iters / dt
     flops_per_batch, _ = pipe.total_flops_and_bytes()

@@ -93,7 +93,7 @@ class CnetTune(_NetMode):
         import numpy as np
 
         from ..backend.xla import enable_compilation_cache
-        from ..engine.lower import lower_pipe
+        from ..engine.lower import lower_pipe, resolve_plan_weights
         from ..engine.rtc_fwd import build_fused_forward
         from ..graph.modes import _load_pipe
         from ..ops.cnn_variants import make_op_tune
@@ -110,7 +110,7 @@ class CnetTune(_NetMode):
             for ts in (self.tunes or self.DEFAULT_TUNES):
                 plan = lower_pipe(pipe, make_op_tune(ts), fused_storage=True)
                 fwd = build_fused_forward(plan)
-                weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+                weights = resolve_plan_weights(plan, pipe.op_params)
                 secs, _c = chained_net_secs(fwd, weights, x, self.iters,
                                             reps=self.reps)
                 ips = d["img"] / secs
@@ -162,7 +162,7 @@ class FusionPenalty(_NetMode):
 
         from ..backend.iface import make_backend
         from ..backend.xla import enable_compilation_cache
-        from ..engine.lower import lower_pipe
+        from ..engine.lower import lower_pipe, resolve_plan_weights
         from ..engine.rtc_fwd import build_fused_forward
         from ..graph.modes import _load_pipe
         from ..ops.cnn_variants import make_op_tune
@@ -196,7 +196,7 @@ class FusionPenalty(_NetMode):
             plan = lower_pipe(pipe, self.op_tune, op_tunes=op_tunes,
                               fused_storage=True)
             fwd = build_fused_forward(plan)
-            weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+            weights = resolve_plan_weights(plan, pipe.op_params)
             secs, _c = chained_net_secs(fwd, weights, x, self.iters,
                                         reps=self.reps)
             return secs
@@ -270,7 +270,7 @@ class CnetStageProbe(_NetMode):
         import numpy as np
 
         from ..backend.xla import enable_compilation_cache
-        from ..engine.lower import lower_pipe
+        from ..engine.lower import lower_pipe, resolve_plan_weights
         from ..engine.rtc_fwd import build_fused_forward
         from ..graph.modes import _load_pipe
         from ..ops.registry import get_template
@@ -296,7 +296,7 @@ class CnetStageProbe(_NetMode):
             if g is not None:
                 segs[g].append(s)
 
-        weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+        weights = resolve_plan_weights(plan, pipe.op_params)
         d = pipe.get_data_img_dims()
         x0 = (np.random.RandomState(0).randn(*d.shape) * 0.1).astype(np.float32)
         # run the whole net once (unjitted trace values are fine on CPU, but
@@ -457,7 +457,7 @@ class CnetBench(_NetMode):
         import numpy as np
 
         from ..backend.xla import enable_compilation_cache
-        from ..engine.lower import lower_pipe
+        from ..engine.lower import lower_pipe, resolve_plan_weights
         from ..engine.rtc_fwd import build_fused_forward
         from ..graph.modes import _load_pipe
 
@@ -477,7 +477,7 @@ class CnetBench(_NetMode):
         plan = lower_pipe(pipe, self.op_tune, op_tunes=op_tunes,
                           fused_storage=True)
         fwd = build_fused_forward(plan)
-        weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+        weights = resolve_plan_weights(plan, pipe.op_params)
         d = pipe.get_data_img_dims()
         x = (np.random.RandomState(0).randn(*d.shape) * 0.1).astype(np.float32)
 
@@ -536,7 +536,7 @@ class PyraBench(_NetMode):
 
         from ..backend.xla import enable_compilation_cache
         from ..core.geom import Pt
-        from ..engine.lower import lower_pipe
+        from ..engine.lower import lower_pipe, resolve_plan_weights
         from ..engine.rtc_fwd import build_fused_forward
         from ..graph.modes import _load_pipe
         from ..io.img import img_to_chw, make_test_pattern_img
@@ -583,7 +583,7 @@ class PyraBench(_NetMode):
         bpipe = bpipe.pruned_to(out_node.name)
         plan = lower_pipe(bpipe, self.op_tune, fused_storage=True)
         fwd = build_fused_forward(plan)
-        weights = {n: bpipe.op_params[n].v for n in plan.weight_nodes}
+        weights = resolve_plan_weights(plan, bpipe.op_params)
 
         img = make_test_pattern_img(in_sz.y, in_sz.x, 2)
         data_node = bpipe.data_img_node_names[0]
@@ -673,7 +673,7 @@ class TrainBench(_NetMode):
         import numpy as np
 
         from ..backend.xla import enable_compilation_cache
-        from ..engine.lower import lower_pipe
+        from ..engine.lower import lower_pipe, resolve_plan_weights
         from ..engine.rtc_fwd import build_fused_forward
         from ..graph.modes import _load_pipe
 
@@ -681,7 +681,7 @@ class TrainBench(_NetMode):
         pipe = _load_pipe(self)
         plan = lower_pipe(pipe, self.op_tune, fused_storage=True)
         fwd = build_fused_forward(plan)
-        weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+        weights = resolve_plan_weights(plan, pipe.op_params)
         data_node = pipe.data_img_node_names[0]
         top = "prob" if "prob" in plan.output_nodes else plan.output_nodes[-1]
         d = pipe.get_data_img_dims()

@@ -332,7 +332,7 @@ class CnetTrain(_NetMode):
         import jax
 
         from ..backend.xla import enable_compilation_cache
-        from ..engine.lower import lower_pipe
+        from ..engine.lower import lower_pipe, resolve_plan_weights
         from ..engine.rtc_fwd import build_fused_forward
         from ..graph.modes import _load_pipe
 
@@ -345,7 +345,7 @@ class CnetTrain(_NetMode):
         pipe = _load_pipe(self)
         plan = lower_pipe(pipe, self.op_tune, fused_storage=True,
                           train_dropout=self.train_dropout)
-        weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+        weights = resolve_plan_weights(plan, pipe.op_params)
         data_node = pipe.data_img_node_names[0]
         top = "prob" if "prob" in plan.output_nodes else plan.output_nodes[-1]
         # train on the LOGITS (the Softmax op's input) via log_softmax:

@@ -55,7 +55,7 @@ class CompiledFunc:
     """
 
     __slots__ = ("name", "fn", "in_args", "out_args", "io_args", "flops",
-                 "in_specs", "sig_meta")
+                 "in_specs", "sig_meta", "present_args")
 
     def __init__(self, name: str, fn, in_args: list[str], out_args: list[str],
                  io_args: list[str], flops: int = 0):
@@ -67,6 +67,10 @@ class CompiledFunc:
         self.flops = flops
         self.in_specs: list[tuple[str, Dims]] = []
         self.sig_meta = None  # (template name, reduced sig) for remote compile
+        # arg names actually PRESENT in this instance's reduced sig —
+        # declared-optional args absent from the sig are skipped by run()
+        # (None: every declared arg required, the pre-opt behavior)
+        self.present_args: Optional[set] = None
 
 
 class _Var:
@@ -197,8 +201,11 @@ class Backend(Config):
         f = self._funcs.get(call.func_name)
         if f is None:
             raise RtErr(f"no compiled func '{call.func_name}'")
+        pres = f.present_args
         in_vals = []
         for an in f.in_args + f.io_args:
+            if pres is not None and an not in pres:
+                continue  # optional arg not in this instance's sig
             av = call.args.get(an)
             if av is None:
                 raise RtErr(f"call to '{call.func_name}' missing arg '{an}'")
@@ -216,7 +223,8 @@ class Backend(Config):
             outs = (outs,)
         self._block_on(outs)
         t1 = time.perf_counter()
-        out_names = f.out_args + f.io_args
+        out_names = [an for an in f.out_args + f.io_args
+                     if pres is None or an in pres]
         if len(outs) != len(out_names):
             raise RtErr(f"func '{call.func_name}' returned {len(outs)} values, "
                         f"expected {len(out_names)}")

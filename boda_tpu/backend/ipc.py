@@ -306,6 +306,8 @@ class IpcComputeWorker(HasMain):
                                        for a in tmpl.args
                                        if a.kind in ("IN", "INOUT")
                                        and a.name in rfs.nda_vals]
+                        cf.present_args = {a.name for a in tmpl.args
+                                           if a.name in rfs.nda_vals}
                         cfs.append(cf)
                     be.compile(cfs)
                     st.write_frame(_pack(_hdr("r", ret="ok")))

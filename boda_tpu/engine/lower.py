@@ -55,6 +55,10 @@ class Plan:
     # "" = logical node dtype); boundaries convert once (rtc_fwd fwd)
     storage_nhwc: bool = False
     edge_prec: str = ""
+    # weight-prequantization pass: derived node → (source weight node,
+    # "q8" int8 tensor | "q8s" per-out_chan f32 scale vector). Engines
+    # resolve these via resolve_plan_weights at init.
+    weight_transforms: dict = field(default_factory=dict)
 
 
 def _sig_from_op(op: ConvOp, arg_map: dict[str, str], pipe: ConvPipe,
@@ -118,9 +122,94 @@ def lower_pipe(pipe: ConvPipe, tune: Optional[OpTune] = None,
     for s in steps:
         node_dims.update(s.temps)
     plan = Plan(steps, node_dims, input_nodes, weight_nodes, output_nodes)
+    _prequant_int8_weights(plan)
     if fused_storage and tune.layout == "nhwc":
         _apply_fused_storage(plan, tune)
     return plan
+
+
+def _q8_weight(w) -> tuple:
+    """Per-out_chan symmetric int8 weight quantization — the same math
+    _quantize_conv_operands applies in-program (f32 ops, half-even
+    rounding), hoisted to engine init. Returns (wq int8 OIHW-shaped,
+    per-out_chan f32 scale vector)."""
+    import numpy as np
+    wf = np.asarray(w, np.float32)
+    axes = tuple(range(1, wf.ndim))
+    sw = (np.max(np.abs(wf), axis=axes, keepdims=True) / np.float32(127.0)
+          + np.float32(1e-30)).astype(np.float32)
+    wq = np.clip(np.round(wf / sw), -127, 127).astype(np.int8)
+    return wq, sw.reshape(-1)
+
+
+def _prequant_int8_weights(plan: Plan) -> None:
+    """Hoist int8 WEIGHT quantization out of the per-call program: weight
+    scales are input-independent (per-out_chan absmax of the weight
+    itself), so quantizing on every forward re-reads and re-rounds every
+    quantized filter for nothing — measured as the whole reason the
+    vgg fc6 int8 site lost (103M params re-quantized per call,
+    ROUND3_NOTES session 8). Each quant8 conv step's filts arg is
+    rewritten to a derived int8 node + an f32 scale-vector node, both
+    resolved from op_params at engine init (resolve_plan_weights); the
+    templates see prequant_w=1 and skip the in-program weight quant.
+    Halves the quantized filters' HBM footprint as a side effect."""
+    from ..ops.pallas.conv2 import SIBS
+    for s in plan.steps:
+        if not s.sig.get_u32_or("quant8", 0):
+            continue
+        if s.func_name not in ("xla_conv", "xla_conv2"):
+            continue
+        fas = ["filts"] if s.func_name == "xla_conv" else \
+            [f"filts_{t}" for t in SIBS if f"filts_{t}" in s.arg_nodes]
+        for fa in fas:
+            wnode = s.arg_nodes[fa]
+            wd = plan.node_dims[wnode]
+            qn, sn = wnode + "__q8", wnode + "__q8s"
+            plan.node_dims[qn] = wd.with_tn("int8_t")
+            plan.node_dims[sn] = Dims.make(tn="float",
+                                           out_chan=wd["out_chan"])
+            plan.weight_transforms[qn] = (wnode, "q8")
+            plan.weight_transforms[sn] = (wnode, "q8s")
+            s.arg_nodes[fa] = qn
+            s.arg_nodes[fa + "_scale"] = sn
+            s.sig.set_dims(fa, plan.node_dims[qn])
+            s.sig.set_dims(fa + "_scale", plan.node_dims[sn])
+        s.sig.set_u32("prequant_w", 1)
+    if not plan.weight_transforms:
+        return
+    referenced = {n for s in plan.steps for n in s.arg_nodes.values()}
+    plan.weight_nodes = (
+        [n for n in plan.weight_nodes if n in referenced]
+        + [n for n in plan.weight_transforms if n in referenced])
+
+
+def resolve_plan_weights(plan: Plan, op_params: dict) -> dict:
+    """plan.weight_nodes → numpy values: raw op_params plus the
+    prequantization pass's derived nodes (shared per-source cache so each
+    weight quantizes once)."""
+    import numpy as np
+    out: dict = {}
+    qcache: dict = {}
+    missing = []
+    for n in plan.weight_nodes:
+        tr = plan.weight_transforms.get(n)
+        if tr is not None:
+            src, kind = tr
+            if src not in op_params:
+                missing.append(src)
+                continue
+            if src not in qcache:
+                v = op_params[src]
+                qcache[src] = _q8_weight(v.v if hasattr(v, "v") else v)
+            out[n] = qcache[src][0 if kind == "q8" else 1]
+        elif n in op_params:
+            v = op_params[n]
+            out[n] = v.v if hasattr(v, "v") else np.asarray(v)
+        else:
+            missing.append(n)
+    if missing:
+        raise RtErr(f"missing weights for {sorted(set(missing))}")
+    return out
 
 
 def _apply_fused_storage(plan: Plan, tune) -> None:

@@ -86,6 +86,7 @@ def build_fused_forward(plan: Plan, keep_all_nodes: bool = False,
     out_nodes = list(plan.output_nodes) + [n for n in extra_out_nodes
                                            if n not in plan.output_nodes]
     node_dims = plan.node_dims
+    weight_set = set(plan.weight_nodes)
 
     def fwd(inputs: dict, weights: dict):
         vals = dict(weights)
@@ -97,6 +98,15 @@ def build_fused_forward(plan: Plan, keep_all_nodes: bool = False,
                 if an in s.arg_nodes:
                     node = s.arg_nodes[an]
                     if node not in vals:  # INOUT target first touch
+                        if node in weight_set:
+                            # zero-filling a missing WEIGHT is silently
+                            # wrong numerics (the caller resolved weights
+                            # for a different plan — e.g. a float-plan
+                            # dict fed to a prequantized-int8 plan)
+                            raise RtErr(
+                                f"build_fused_forward: weight node "
+                                f"'{node}' missing from the weights dict "
+                                f"(resolve_plan_weights on THIS plan)")
                         vals[node] = _storage_zeros(node_dims[node], plan)
                     ins.append(vals[node])
             outs = fn(*ins)
@@ -268,9 +278,15 @@ class RtcFwd(ConvFwd):
         if self.enable_stats:
             self._add_stats_calls()
         self.codegen.compile_pend()
-        params = self.pipe.op_params
+        # resolved = raw op_params + prequantized int8 weights/scales; the
+        # original float weight vars of rewritten sites stay allocated but
+        # unread (node_dims keeps every node)
+        from .lower import resolve_plan_weights
+        import numpy as np
+        resolved = resolve_plan_weights(self.plan, self.pipe.op_params)
+        params = {n: NDA(self.plan.node_dims[n], v)
+                  for n, v in resolved.items()}
         if self.force_zero_bias:
-            import numpy as np
             params = {n: (NDA(v.dims, np.zeros(v.dims.shape, v.v.dtype))
                           if n.endswith("biases") else v)
                       for n, v in params.items()}
@@ -349,8 +365,10 @@ class RtcFwd(ConvFwd):
             (lambda inputs, weights: (fwd0(inputs, weights), {}))
 
         self._fused_fn = jax.jit(fwd)
-        self._weights = {n: self.pipe.op_params[n].v for n in weight_nodes
-                         if n in self.pipe.op_params}
+        # raw op_params plus the prequantization pass's derived int8
+        # weights/scales (weight quant runs ONCE here, not per forward)
+        from .lower import resolve_plan_weights
+        self._weights = resolve_plan_weights(self.plan, self.pipe.op_params)
         if self.force_zero_bias:
             import numpy as np
             self._weights = {n: (np.zeros_like(v) if n.endswith("biases")
@@ -367,9 +385,6 @@ class RtcFwd(ConvFwd):
                                                shard_weights=self.mesh_mp > 1)
             self._weights = {n: jax.device_put(v, w_sh[n])
                              for n, v in self._weights.items()}
-        missing = [n for n in weight_nodes if n not in self.pipe.op_params]
-        if missing:
-            raise RtErr(f"rtc_fwd init: missing weights for {sorted(missing)}")
         self._fused_compiled = False
 
     # ---- run ----

@@ -38,18 +38,24 @@ class XlaConv2(KernelTemplate):
     args = [adecl("in", IN, "img chan y x"),
             adecl("filts_a", IN, "out_chan in_chan y x"),
             adecl("biases_a", IN, "out_chan", opt=True),
+            # *_scale: per-out_chan dequant scales set by the weight-
+            # prequantization pass (engine/lower.py) — filts arrive int8
+            adecl("filts_a_scale", IN, "out_chan", opt=True),
             adecl("filts_b", IN, "out_chan in_chan y x"),
             adecl("biases_b", IN, "out_chan", opt=True),
+            adecl("filts_b_scale", IN, "out_chan", opt=True),
             adecl("filts_c", IN, "out_chan in_chan y x", opt=True),
             adecl("biases_c", IN, "out_chan", opt=True),
+            adecl("filts_c_scale", IN, "out_chan", opt=True),
             adecl("filts_d", IN, "out_chan in_chan y x", opt=True),
             adecl("biases_d", IN, "out_chan", opt=True),
+            adecl("filts_d_scale", IN, "out_chan", opt=True),
             adecl("out_a", OUT, "img chan y x"),
             adecl("out_b", OUT, "img chan y x"),
             adecl("out_c", OUT, "img chan y x", opt=True),
             adecl("out_d", OUT, "img chan y x", opt=True)]
     sig_nda_keys = ["in_pad", "stride", "kern_sz", "relu_a", "relu_b",
-                    "relu_c", "relu_d", "quant8", "act_scale"]
+                    "relu_c", "relu_d", "quant8", "act_scale", "prequant_w"]
     sig_str_keys = ["prec", "layout"]
 
     @classmethod
@@ -69,6 +75,14 @@ class XlaConv2(KernelTemplate):
     def ref_impl(cls, rfs: OpBase, x, *wbs):
         from .conv import _ConvBase
         sibs = cls._sibs(rfs)
+        if rfs.get_u32_or("prequant_w", 0):
+            # (w, b, scale) triplets: dequantize back to float pairs
+            ws = [np.asarray(wbs[3 * i], np.float64)
+                  * np.asarray(wbs[3 * i + 2], np.float64
+                               ).reshape(-1, 1, 1, 1)
+                  for i in range(len(sibs))]
+            wbs = [v for i in range(len(sibs))
+                   for v in (ws[i], wbs[3 * i + 1])]
         fds = [rfs.get_dims(f"filts_{s}") for s in sibs]
         ky_f = max(d["y"] for d in fds)
         kx_f = max(d["x"] for d in fds)
@@ -112,6 +126,7 @@ class XlaConv2(KernelTemplate):
         out_dts = [rfs.get_dims(f"out_{s}").dtype for s in sibs]
         bf16 = rfs.str_vals.get("prec") == "bf16"
         quant8 = rfs.get_u32_or("quant8", 0) == 1
+        prequant = rfs.get_u32_or("prequant_w", 0) == 1
         act_absmax = float(rfs.nda_vals["act_scale"].item()) \
             if "act_scale" in rfs.nda_vals else 0.0
         io_nhwc, edt = storage_io(rfs)
@@ -120,6 +135,42 @@ class XlaConv2(KernelTemplate):
             out_dts = [edt] * len(sibs)
 
         def fn(x, *wbs):
+            if prequant:
+                # (wq, b, sws) triplets (lower.py prequant pass): only the
+                # activation quantizes in-program. Embedding pads int8
+                # zeros — exact, same as zero float taps.
+                wq_l, b_l, sw_l = wbs[0::3], wbs[1::3], wbs[2::3]
+                ws = [jnp.pad(w_i, ((0, 0), (0, 0), (dy, dy), (dx, dx)))
+                      if (dy or dx) else w_i
+                      for w_i, (dy, dx) in zip(wq_l, embeds)]
+                wq = jnp.transpose(jnp.concatenate(ws, axis=0), (2, 3, 1, 0))
+                b = jnp.concatenate(b_l, axis=0)
+                sws = jnp.concatenate(sw_l, axis=0)
+                xh = x if io_nhwc else jnp.transpose(x, (0, 2, 3, 1))
+                xf = xh.astype(jnp.float32)
+                # s_act, NOT sx: the stride sx is in scope
+                s_act = jnp.float32(act_absmax / 127.0) if act_absmax else \
+                    jnp.max(jnp.abs(xf)) / 127.0 + 1e-30
+                xq = jnp.clip(jnp.round(xf / s_act),
+                              -127, 127).astype(jnp.int8)
+                y = jax.lax.conv_general_dilated(
+                    xq, wq, window_strides=(sy, sx),
+                    padding=((py, py), (px, px)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                y = y.astype(jnp.float32) * (s_act * sws)[None, None, None, :]
+                y = y + b.astype(y.dtype)[None, None, None, :]
+                outs = []
+                off = 0
+                for n_i, relu_i, dt_i in zip(ns, relus, out_dts):
+                    yi = y[..., off:off + n_i]
+                    off += n_i
+                    if relu_i:
+                        yi = jnp.maximum(yi, 0)
+                    if not io_nhwc:
+                        yi = jnp.transpose(yi, (0, 3, 1, 2))
+                    outs.append(yi.astype(dt_i))
+                return tuple(outs)
             # mixed kernel sizes: center-embed each smaller kernel in the
             # group max (zero weight taps — exact; squeezenet fire expand
             # 1x1s ride their 3x3 partners' MXU contraction)

@@ -222,6 +222,8 @@ class Codegen:
         cf.sig_meta = (tname, rfs)
         cf.in_specs = [(a.name, rfs.get_dims(a.name)) for a in tmpl.args
                        if a.kind in (IN, INOUT) and a.name in rfs.nda_vals]
+        cf.present_args = {a.name for a in tmpl.args
+                           if a.name in rfs.nda_vals}
         self.compile_pend_list.append(cf)
         self.sig_cache[key] = inst
         self.instances[inst] = (tmpl, rfs)

@@ -44,12 +44,12 @@ def calibrate_int8_act_scales(pipe, base_tune_spec: str, x,
     import numpy as np
 
     from ..core.error import RtErr
-    from ..engine.lower import lower_pipe
+    from ..engine.lower import lower_pipe, resolve_plan_weights
     from ..engine.rtc_fwd import build_fused_forward
 
     plan = lower_pipe(pipe, make_op_tune(base_tune_spec), fused_storage=True)
     fwd = build_fused_forward(plan, keep_all_nodes=True)
-    weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+    weights = resolve_plan_weights(plan, pipe.op_params)
     data_node = pipe.data_img_node_names[0]
     vals = fwd({data_node: x}, weights)
     out = {}

@@ -42,12 +42,17 @@ def profile_rcg_call(cg: Codegen, op: OpBase, run_iter: int = 5,
     made: list[str] = []
     try:
         gd = get_template("gen_data")
-        for i, a in enumerate(tmpl.args):
+        i = -1  # pattern index counts PRESENT args, not declared positions:
+        # an inserted optional decl (filts_scale) must not shift the test
+        # patterns of later args — shipped wisdom artifacts pin kg digests
+        # produced under the original in/filts/biases/out numbering
+        for a in tmpl.args:
             if a.name not in rfs.nda_vals:
                 continue
             dims = rfs.get_dims(a.name)
             if dims.tn == "none":
                 continue
+            i += 1
             vn = f"{var_prefix}{a.name}"
             if be.var_exists(vn) and be.get_var_dims(vn) != dims:
                 # stale var from a prior profiled op (e.g. one whose

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from boda_tpu.backend.xla import enable_compilation_cache
-from boda_tpu.engine.lower import lower_pipe
+from boda_tpu.engine.lower import lower_pipe, resolve_plan_weights
 from boda_tpu.engine.rtc_fwd import build_fused_forward
 from boda_tpu.models.zoo import build_model
 from boda_tpu.ops.cnn_variants import make_op_tune
@@ -25,7 +25,7 @@ op_tunes = load_act_scales(scales_fn, op_tunes)
 plan_q = lower_pipe(pipe, make_op_tune(tune_s), op_tunes=op_tunes,
                     fused_storage=True)
 fwd_q = build_fused_forward(plan_q)
-weights = {n: pipe.op_params[n].v for n in plan_q.weight_nodes}
+weights = resolve_plan_weights(plan_q, pipe.op_params)
 d = pipe.get_data_img_dims()
 x = np.random.RandomState(0).randn(*d.shape).astype(np.float32) * 0.1
 dev = jax.devices()[0]

@@ -86,7 +86,7 @@ def test_mxu_conv_primal_matches_raw():
 def test_bf16_fused_program_differentiates():
     """value_and_grad through the whole bf16 fused-NHWC program (the
     shipped inference config) now works; grads track the f32 program."""
-    from boda_tpu.engine.lower import lower_pipe
+    from boda_tpu.engine.lower import lower_pipe, resolve_plan_weights
     from boda_tpu.engine.rtc_fwd import build_fused_forward
     from boda_tpu.models.zoo import build_model
     from boda_tpu.ops.cnn_variants import make_op_tune
@@ -100,7 +100,7 @@ def test_bf16_fused_program_differentiates():
     def make_loss(tune_s, fused):
         plan = lower_pipe(pipe, make_op_tune(tune_s), fused_storage=fused)
         fwd = build_fused_forward(plan)
-        weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+        weights = resolve_plan_weights(plan, pipe.op_params)
 
         def loss(w):
             p = fwd({"data": x}, w)["prob"]
@@ -131,7 +131,7 @@ def test_autodiff_matches_add_bck_ops():
     Same net, same weights (seeded builder), same loss semantics
     (sm_grad_and_loss: SUM over images of -log softmax[label])."""
     from boda_tpu.engine.iface import make_engine
-    from boda_tpu.engine.lower import lower_pipe
+    from boda_tpu.engine.lower import lower_pipe, resolve_plan_weights
     from boda_tpu.engine.rtc_fwd import build_fused_forward
     from boda_tpu.models.zoo import NetBuilder
     from boda_tpu.ops.cnn_variants import make_op_tune
@@ -165,7 +165,7 @@ def test_autodiff_matches_add_bck_ops():
         fpipe, make_op_tune("(use_culibs=1,prec=bf16,layout=nhwc,s2d=0)"),
         fused_storage=True)
     fwd = build_fused_forward(plan)
-    weights = {n: fpipe.op_params[n].v for n in plan.weight_nodes}
+    weights = resolve_plan_weights(plan, fpipe.op_params)
     li = jnp.asarray(label.reshape(ld.shape[0]).astype(np.int32))
 
     def loss_fn(w):
@@ -184,7 +184,7 @@ def test_autodiff_matches_add_bck_ops():
 def test_training_reduces_loss():
     """End-to-end: a few SGD steps through the bf16 fused program
     overfit a fixed batch — loss must strictly decrease."""
-    from boda_tpu.engine.lower import lower_pipe
+    from boda_tpu.engine.lower import lower_pipe, resolve_plan_weights
     from boda_tpu.engine.rtc_fwd import build_fused_forward
     from boda_tpu.models.zoo import build_model
     from boda_tpu.ops.cnn_variants import make_op_tune
@@ -194,7 +194,7 @@ def test_training_reduces_loss():
         pipe, make_op_tune("(use_culibs=1,prec=bf16,layout=nhwc,s2d=0)"),
         fused_storage=True)
     fwd = build_fused_forward(plan)
-    w = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+    w = resolve_plan_weights(plan, pipe.op_params)
     rng = np.random.RandomState(0)
     d = pipe.get_data_img_dims()
     x = (rng.randn(*d.shape) * 0.1).astype(np.float32)

@@ -6,7 +6,7 @@ extended to actual int8 MXU execution."""
 import numpy as np
 import pytest
 
-from boda_tpu.engine.lower import lower_pipe
+from boda_tpu.engine.lower import lower_pipe, resolve_plan_weights
 from boda_tpu.engine.rtc_fwd import build_fused_forward
 from boda_tpu.ops.cnn_variants import make_op_tune
 from boda_tpu.ops.op_base import OpBase
@@ -41,14 +41,10 @@ def test_quant8_whole_net_top1_agrees(storage):
     pipe = resnet_micro()
     d = pipe.get_data_img_dims()
     x = (np.random.RandomState(3).randn(*d.shape) * 0.3).astype(np.float32)
-    weights = None
-
     def run(tune_s, fused):
-        nonlocal weights
         plan = lower_pipe(pipe, make_op_tune(tune_s), fused_storage=fused)
         fwd = build_fused_forward(plan)
-        if weights is None:
-            weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+        weights = resolve_plan_weights(plan, pipe.op_params)
         return np.asarray(fwd({"data": x}, weights)["prob"]), plan
 
     base_tune = "(use_culibs=1,prec=bf16,layout=nhwc)" if storage \
@@ -94,15 +90,11 @@ def test_selective_quant8_3x3_top1_agrees():
                 if op.type == "Convolution" and op.kern_sz() == Pt(3, 3)
                 and op.tag != "conv1"}
     assert op_tunes, "micro-resnet has 3x3 convs"
-    weights = None
-
     def run(op_t):
-        nonlocal weights
         plan = lower_pipe(pipe, make_op_tune(base), op_tunes=op_t,
                           fused_storage=True)
         fwd = build_fused_forward(plan)
-        if weights is None:
-            weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+        weights = resolve_plan_weights(plan, pipe.op_params)
         return np.asarray(fwd({"data": x}, weights)["prob"]), plan
 
     pf, _ = run(None)
@@ -137,15 +129,11 @@ def test_resnet_int8_preset_top1_agrees():
     assert len(tunes) == 33  # 4 s3-3x3 + 19 s4 + 10 s5 convs
     d = pipe.get_data_img_dims()
     x = (np.random.RandomState(3).randn(*d.shape) * 0.3).astype(np.float32)
-    weights = None
-
     def run(op_t):
-        nonlocal weights
         plan = lower_pipe(pipe, make_op_tune(base), op_tunes=op_t,
                           fused_storage=True)
         fwd = build_fused_forward(plan)
-        if weights is None:
-            weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+        weights = resolve_plan_weights(plan, pipe.op_params)
         return np.asarray(fwd({"data": x}, weights)["prob"]), plan
 
     pf, _ = run(None)
@@ -169,17 +157,13 @@ def test_calibrated_static_int8_matches_dynamic():
     x = (np.random.RandomState(3).randn(*d.shape) * 0.3).astype(np.float32)
     stat = calibrate_int8_act_scales(pipe, base, x, dyn)
     assert all(t.act_scale > 0 for t in stat.values())
-    weights = None
-
     def run(op_t):
-        nonlocal weights
         plan = lower_pipe(pipe, make_op_tune(base), op_tunes=op_t,
                           fused_storage=True)
         if op_t is stat:
             assert any("act_scale" in s.sig.nda_vals for s in plan.steps)
         fwd = build_fused_forward(plan, keep_all_nodes=True)
-        if weights is None:
-            weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+        weights = resolve_plan_weights(plan, pipe.op_params)
         return np.asarray(fwd({"data": x}, weights)["fc1000-conv"])
 
     def mrd(a, b):
@@ -273,15 +257,11 @@ def test_shipped_static_int8_site_sets_track_float(model, pats, sz):
     top = [n for n in pipe.nodes
            if pipe.nodes[n].top_for and n.endswith("prob")] or \
           [pipe.get_single_top_node().name]
-    weights = None
-
     def run(op_t):
-        nonlocal weights
         plan = lower_pipe(pipe, make_op_tune(base), op_tunes=op_t,
                           fused_storage=True)
         fwd = build_fused_forward(plan, keep_all_nodes=True)
-        if weights is None:
-            weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+        weights = resolve_plan_weights(plan, pipe.op_params)
         outs = fwd({"data": x}, weights)
         # compare the logits feeding the softmax (see resnet note above)
         logits = [n for n in outs if "classifier" in n or n.startswith("fc")
@@ -297,3 +277,52 @@ def test_shipped_static_int8_site_sets_track_float(model, pats, sz):
     assert mrd(lf, ls) < 1e-1
     # int8 really ran: outputs must differ from float beyond fp noise
     assert mrd(lf, ls) > 1e-6
+
+
+def test_prequant_weights_match_in_program_quant():
+    """The weight-prequantization pass (engine/lower.py) must be
+    numerically equivalent to in-program weight quantization: same
+    per-out_chan scale formula (f32 ops, half-even rounding), hoisted to
+    init. Compared through the full lowered path (prequant, plan carries
+    derived int8 weight + scale nodes) vs the standalone template
+    (in-fn quant)."""
+    from boda_tpu.models.zoo import NetBuilder
+    b = NetBuilder("pq", 2, 16, 16, 16)
+    b.conv("c1", 32, 3, 1, 1)
+    b.conv("head", 8, 1, relu=False)
+    b.softmax("prob")
+    pipe = b.done(seed=11)
+    base = "(use_culibs=1)"
+    q = make_op_tune(base[:-1] + ",quant8=1)")
+    plan = lower_pipe(pipe, make_op_tune(base), op_tunes={"c1": q})
+    qsteps = [s for s in plan.steps if s.sig.get_u32_or("quant8", 0)]
+    assert len(qsteps) == 1
+    s = qsteps[0]
+    assert s.sig.get_u32_or("prequant_w", 0) == 1
+    assert s.arg_nodes["filts"].endswith("__q8")
+    assert plan.node_dims[s.arg_nodes["filts"]].tn == "int8_t"
+    assert "c1_filts" not in plan.weight_nodes  # source dropped, derived in
+    assert "c1_filts__q8" in plan.weight_nodes
+    weights = resolve_plan_weights(plan, pipe.op_params)
+    assert weights["c1_filts__q8"].dtype == np.int8
+    fwd = build_fused_forward(plan, keep_all_nodes=True)
+    d = pipe.get_data_img_dims()
+    x = (np.random.RandomState(7).randn(*d.shape) * 0.3).astype(np.float32)
+    got = np.asarray(fwd({"data": x}, weights)["c1"])
+    # in-fn quant on the standalone template (no prequant)
+    from boda_tpu.ops.pallas.conv import make_conv_op
+    op = make_conv_op(2, 16, 16, 16, 32, 3, 3, py=1, px=1, relu=True)
+    op.set_u32("quant8", 1)
+    t = get_template("xla_conv")
+    fn = t.build(t.check_args(op))
+    want = np.asarray(fn(x, pipe.op_params["c1_filts"].v,
+                         pipe.op_params["c1_biases"].v))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # feeding a float-plan weights dict to a prequant plan must ERROR,
+    # not zero-fill the missing derived weights
+    from boda_tpu.core.error import RtErr
+    wf = {n: pipe.op_params[n].v for n in pipe.op_params}
+    wf.pop("c1_filts")
+    with pytest.raises(RtErr, match="missing from the weights dict"):
+        fwd({"data": x}, {k: v for k, v in wf.items()
+                          if not k.startswith("c1_filts")})

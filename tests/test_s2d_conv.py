@@ -57,7 +57,7 @@ def test_variant_selection_picks_s2d_for_conv1():
 def test_whole_net_with_s2d_matches_without():
     """ResNet-ish first layer inside a small fused net: s2d on/off digests
     agree (f32)."""
-    from boda_tpu.engine.lower import lower_pipe
+    from boda_tpu.engine.lower import lower_pipe, resolve_plan_weights
     from boda_tpu.engine.rtc_fwd import build_fused_forward
     from boda_tpu.models.zoo import NetBuilder
     b = NetBuilder("s2dnet", batch=2, chans=3, ysz=48, xsz=48)
@@ -74,6 +74,6 @@ def test_whole_net_with_s2d_matches_without():
         fns = [st.func_name for st in plan.steps]
         assert ("s2d_conv" in fns) == (s2d == "1"), fns
         fwd = build_fused_forward(plan)
-        w = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+        w = resolve_plan_weights(plan, pipe.op_params)
         outs[s2d] = np.asarray(fwd({"data": x}, w)["prob"])
     np.testing.assert_allclose(outs["0"], outs["1"], rtol=1e-5, atol=1e-6)

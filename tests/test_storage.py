@@ -12,7 +12,7 @@ import pytest
 
 from boda_tpu.core.dims import NDA
 from boda_tpu.engine.iface import make_engine
-from boda_tpu.engine.lower import _apply_fused_storage, lower_pipe
+from boda_tpu.engine.lower import (_apply_fused_storage, lower_pipe, resolve_plan_weights)
 from boda_tpu.engine.rtc_fwd import build_fused_forward
 from boda_tpu.models.zoo import NetBuilder, build_model
 from boda_tpu.ops.cnn_variants import make_op_tune
@@ -70,7 +70,7 @@ def incep_micro(batch=2):
 def _run(pipe, tune_s, fused_storage, x):
     plan = lower_pipe(pipe, make_op_tune(tune_s), fused_storage=fused_storage)
     fwd = build_fused_forward(plan)
-    weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+    weights = resolve_plan_weights(plan, pipe.op_params)
     outs = fwd({"data": x}, weights)
     return plan, {k: np.asarray(v) for k, v in outs.items()}
 

@@ -79,7 +79,7 @@ def test_video_batch_scan_mode(clip, capsys):
 
 def test_video_frames_feed_a_net(clip):
     """Decoded frames actually run through a conv net end-to-end."""
-    from boda_tpu.engine.lower import lower_pipe
+    from boda_tpu.engine.lower import lower_pipe, resolve_plan_weights
     from boda_tpu.engine.rtc_fwd import build_fused_forward
     from boda_tpu.models.zoo import build_model
     src = make_data_stream({"mode": "batch", "n": "4",
@@ -91,7 +91,7 @@ def test_video_frames_feed_a_net(clip):
     pipe = build_model("mini", batch=4)
     plan = lower_pipe(pipe)
     fwd = build_fused_forward(plan)
-    weights = {n: pipe.op_params[n].v for n in plan.weight_nodes}
+    weights = resolve_plan_weights(plan, pipe.op_params)
     out = np.asarray(fwd({"data": (b.nda.v / 255.0).astype(np.float32)},
                          weights)["prob"])
     assert out.shape[0] == 4 and np.isfinite(out).all()
