@@ -159,6 +159,11 @@ def _prequant_int8_weights(plan: Plan) -> None:
             continue
         if s.func_name not in ("xla_conv", "xla_conv2"):
             continue
+        if s.sig.get_u32_or("no_prequant", 0):
+            # per-site opt-out (OpTune prequant_w=0): keep in-program
+            # weight quant — measured better on small-weight huge-K convs
+            s.sig.nda_vals.pop("no_prequant", None)
+            continue
         fas = ["filts"] if s.func_name == "xla_conv" else \
             [f"filts_{t}" for t in SIBS if f"filts_{t}" in s.arg_nodes]
         for fa in fas:
@@ -323,6 +328,8 @@ def _fuse_sibling_convs(steps: list[Step], node_dims,
             sig.set_null_dims("in_pad", y=py_f, x=px_f)
         if s.sig.get_u32_or("quant8", 0):
             sig.set_u32("quant8", 1)
+            if any(m.sig.get_u32_or("no_prequant", 0) for m in members):
+                sig.set_u32("no_prequant", 1)
             # calibrated static act scales: the siblings share one input
             # node so their scales agree by construction (max = defensive)
             scales = [float(m.sig.nda_vals["act_scale"].item())

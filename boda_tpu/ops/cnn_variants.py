@@ -80,6 +80,14 @@ class OpTune(Config):
                           "this site (static quantization — skips the "
                           "per-call dynamic max reduction); 0 = dynamic. "
                           "Produced by tune/presets.calibrate_int8_act_scales")
+    prequant_w = Attr(bool, default=True,
+                      help="with quant8: pre-quantize this site's weights "
+                           "at engine init (int8 weights + per-oc scales "
+                           "as program inputs) instead of in-program — the "
+                           "default and the big-weight win (vgg fc sites "
+                           "flipped loss->win); 0 = in-program weight "
+                           "quant (measured better on nin's small-weight "
+                           "huge-K convs: 1.34 vs 1.42 ms)")
     s2d = Attr(bool, default=True,
                help="space-to-depth first-layer transform: stride-2 "
                     "thin-channel convs (conv1 7x7 s2 C<=4) run as "
@@ -225,9 +233,16 @@ def add_cnn_codegen_annotations(op: OpBase, tune: OpTune,
                 op.nda_vals["act_scale"] = _NDA.scalar(t.act_scale, "float")
             else:
                 op.nda_vals.pop("act_scale", None)
+            # opt-out marker consumed (and popped) by the lowering's
+            # weight-prequantization pass
+            if not t.prequant_w:
+                op.set_u32("no_prequant", 1)
+            else:
+                op.nda_vals.pop("no_prequant", None)
         else:
             op.nda_vals.pop("quant8", None)
             op.nda_vals.pop("act_scale", None)
+            op.nda_vals.pop("no_prequant", None)
     elif op.type == "InnerProduct":
         op.set_func_name("ipconv" if t.ipconv else "xla_conv")
         _set_or_pop_str(op, "prec", t.prec)
