@@ -267,3 +267,32 @@ def test_nan_check_sanitizer(fuse):
     eng3.init(pipe2)
     out = eng3.run_fwd(data_for(pipe2), ["prob"])["prob"].v
     assert np.isnan(np.asarray(out, np.float64)).any()
+
+
+def test_per_call_mode_fused_siblings():
+    """Per-call (fuse=0) execution of an xla_conv2 sibling step: the
+    backend's run() must handle a template whose DECLARED outs (out_c/
+    out_d) are absent from this instance's sig (present_args filtering —
+    previously only the fused path exercised xla_conv2)."""
+    from tests.test_storage import resnet_micro
+    pipe = resnet_micro()
+    ins = data_for(pipe, batch=2)
+    ref = make_engine("ref")
+    ref.init(pipe)
+    want = ref.run_fwd(ins, ["prob"])["prob"].v
+
+    pc = make_engine("(engine=rtc,fuse=0,op_tune=(use_culibs=1,"
+                     "fuse_siblings=1))")
+    pc.init(pipe)
+    assert any(s.func_name == "xla_conv2" for s in pc.plan.steps), \
+        "expected a fused sibling pair (r1_c1 + r1_proj share the stem)"
+    got = pc.run_fwd(ins, ["prob"])["prob"].v
+    assert mrd(got, want) < MRD_TOLER
+    # and the int8+prequant form of the same step runs per-call too
+    pq = make_engine("(engine=rtc,fuse=0,op_tune=(use_culibs=1,"
+                     "fuse_siblings=1,quant8=1))")
+    pq.init(pipe)
+    assert any(s.sig.get_u32_or("prequant_w", 0) for s in pq.plan.steps)
+    gq = pq.run_fwd(ins, ["prob"])["prob"].v
+    assert (np.asarray(gq).reshape(2, -1).argmax(1)
+            == np.asarray(want).reshape(2, -1).argmax(1)).all()
