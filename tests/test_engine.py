@@ -296,3 +296,23 @@ def test_per_call_mode_fused_siblings():
     gq = pq.run_fwd(ins, ["prob"])["prob"].v
     assert (np.asarray(gq).reshape(2, -1).argmax(1)
             == np.asarray(want).reshape(2, -1).argmax(1)).all()
+
+
+def test_interp_backend_runs_prequant_sigs():
+    """be=interp executes prequant int8 sigs through _ConvBase.ref_impl's
+    dequantize branch (the numpy known-good path must understand every
+    sig shape the device path produces)."""
+    from tests.test_storage import resnet_micro
+    pipe = resnet_micro()
+    ins = data_for(pipe, batch=2)
+    ref = make_engine("ref")
+    ref.init(pipe)
+    want = ref.run_fwd(ins, ["prob"])["prob"].v
+    ie = make_engine("(engine=rtc,fuse=0,rtc=(be=interp),"
+                     "op_tune=(use_culibs=1,quant8=1))")
+    ie.init(pipe)
+    assert any(s.sig.get_u32_or("prequant_w", 0) for s in ie.plan.steps)
+    got = ie.run_fwd(ins, ["prob"])["prob"].v
+    assert mrd(got, want) < 0.05  # int8 quantization error band
+    assert (np.asarray(got).reshape(2, -1).argmax(1)
+            == np.asarray(want).reshape(2, -1).argmax(1)).all()
