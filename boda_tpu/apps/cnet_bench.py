@@ -265,6 +265,10 @@ class CnetStageProbe(_NetMode):
     iters = Attr(int, default=24)
     reps = Attr(int, default=3)
     whole_net = Attr(bool, default=True, help="also time the whole net")
+    bwd = Attr(bool, default=False,
+               help="probe TRAINING floors: per-stage fwd+bwd (input-grad "
+                    "+ weight-grad via the mxu_grad custom VJP), 3x-fwd "
+                    "flops estimate — the per-stage view of train_bench")
 
     def main(self):
         import numpy as np
@@ -384,7 +388,29 @@ class CnetStageProbe(_NetMode):
             else:
                 xin = _storage_in(np.asarray(all_vals[in_node]), plan)
             ws = [weights[n] for n in seg_weights]
-            secs = _chained_secs(seg_fn, [xin] + ws, self.iters)
+            timed_fn = seg_fn
+            if self.bwd:
+                # per-stage fwd+bwd floor: grad of a whole-output-sum loss
+                # w.r.t. the stage input AND its weights (dgrad + wgrad
+                # convs both run). Every grad leaf feeds the returned
+                # scalar — a partial readback would let XLA dead-code the
+                # weight-grad pass (the round-1 single-element lesson).
+                import jax.numpy as jnp
+
+                def seg_loss(x, wt, _seg=seg_fn):
+                    return _seg(x, *wt).ravel().astype(jnp.float32).sum()
+
+                grad_fn = jax.grad(seg_loss, argnums=(0, 1))
+
+                def timed_fn(x, *wt, _g=grad_fn):
+                    gx, gws = _g(x, wt)
+                    tot = gx.ravel().astype(jnp.float32).sum()
+                    for g in gws:
+                        tot = tot + g.ravel().astype(jnp.float32).sum()
+                    return tot
+
+                flops *= 3  # fwd + input-grad + weight-grad passes
+            secs = _chained_secs(timed_fn, [xin] + ws, self.iters)
             total += secs
             tfs = flops / secs / 1e12 if secs > 0 else 0.0
             rows.append((name, len(seg), secs, flops))
@@ -393,8 +419,28 @@ class CnetStageProbe(_NetMode):
         print(f"{'SUM':8s} {'':5s} {total * 1e3:9.3f}")
         if self.whole_net:
             fwd = build_fused_forward(plan)
-            secs, _c = chained_net_secs(fwd, weights, x0, self.iters,
-                                        reps=self.reps)
+            if self.bwd:
+                import jax.numpy as jnp
+                top = ("prob" if "prob" in plan.output_nodes
+                       else plan.output_nodes[-1])
+
+                def net_loss(w, xb):
+                    return fwd({"data": xb}, w)[top] \
+                        .ravel().astype(jnp.float32).sum()
+
+                ngrad = jax.grad(net_loss)
+
+                def net_bwd(x, w, _g=ngrad):
+                    g = _g(w, x)
+                    tot = jnp.float32(0)
+                    for v in jax.tree_util.tree_leaves(g):
+                        tot = tot + v.ravel().astype(jnp.float32).sum()
+                    return tot
+
+                secs = _chained_secs(net_bwd, [x0, weights], self.iters)
+            else:
+                secs, _c = chained_net_secs(fwd, weights, x0, self.iters,
+                                            reps=self.reps)
             print(f"{'WHOLE':8s} {'':5s} {secs * 1e3:9.3f}   "
                   f"(isolated-sum / whole = {total / secs:.3f})")
 

@@ -32,6 +32,20 @@ def test_stage_probe_mini(capsys):
     assert "stem" in out and "mid" in out and "head" in out
     assert "SUM" in out
 
+def test_stage_probe_bwd(capsys):
+    """bwd=1 probes per-stage TRAINING floors (fwd + input-grad +
+    weight-grad): grads flow through every segment AND the whole-net
+    grad path; 3x-fwd flops reported. On CPU pins wiring, not timing."""
+    from boda_tpu.core.has_main import create_and_run_has_main
+    create_and_run_has_main(
+        "(mode=cnet_stage_probe,model=mini,batch=1,iters=3,reps=1,bwd=1,"
+        "op_tune=(use_culibs=1,prec=bf16,layout=nhwc,s2d=0),"
+        "stages=stem:conv1|mid:cccp1+conv2+cat2+pool|"
+        "head:drop+fc-conv+gpool+prob)")
+    out = capsys.readouterr().out
+    assert "stem" in out and "WHOLE" in out and "SUM" in out
+
+
 def test_stage_probe_concat_in_stage(tmp_path, capsys):
     """A Concat whose output buffer is first touched in-seg by its copy
     write-slices (inception-style stage) must segment cleanly: the copy
