@@ -395,21 +395,32 @@ class CnetStageProbe(_NetMode):
                 # convs both run). Every grad leaf feeds the returned
                 # scalar — a partial readback would let XLA dead-code the
                 # weight-grad pass (the round-1 single-element lesson).
+                # The data-fed stage skips the input grad: a real train
+                # step never differentiates w.r.t. the image, and conv1's
+                # 64->3-chan dgrad is expensive dead work XLA DCEs there.
                 import jax.numpy as jnp
 
                 def seg_loss(x, wt, _seg=seg_fn):
                     return _seg(x, *wt).ravel().astype(jnp.float32).sum()
 
-                grad_fn = jax.grad(seg_loss, argnums=(0, 1))
+                data_in = in_node == "data" or \
+                    in_node in pipe.data_img_node_names
+                grad_fn = jax.grad(
+                    seg_loss, argnums=(1,) if data_in else (0, 1))
 
-                def timed_fn(x, *wt, _g=grad_fn):
-                    gx, gws = _g(x, wt)
-                    tot = gx.ravel().astype(jnp.float32).sum()
+                def timed_fn(x, *wt, _g=grad_fn, _di=data_in):
+                    if _di:
+                        (gws,) = _g(x, wt)
+                        tot = jnp.float32(0)
+                    else:
+                        gx, gws = _g(x, wt)
+                        tot = gx.ravel().astype(jnp.float32).sum()
                     for g in gws:
                         tot = tot + g.ravel().astype(jnp.float32).sum()
                     return tot
 
-                flops *= 3  # fwd + input-grad + weight-grad passes
+                # fwd + weight-grad (+ input-grad for interior stages)
+                flops *= 2 if data_in else 3
             secs = _chained_secs(timed_fn, [xin] + ws, self.iters)
             total += secs
             tfs = flops / secs / 1e12 if secs > 0 else 0.0
