@@ -21,7 +21,8 @@ from ..core.machine import peak_flops  # single definition site (core/machine.py
 
 
 def chained_net_secs(fwd, weights, x, iters: int, n1: int = 0, reps: int = 3,
-                     compiler_options: dict | None = None):
+                     compiler_options: dict | None = None,
+                     data_node: str = "data", top: str = "prob"):
     """Per-forward seconds: serial fori_loop chain, slope of two lengths."""
     import statistics
     import time
@@ -36,7 +37,7 @@ def chained_net_secs(fwd, weights, x, iters: int, n1: int = 0, reps: int = 3,
     def chained(w, x, n):
         def body(_i, carry):
             c, acc = carry
-            p = fwd({"data": c}, w)["prob"]
+            p = fwd({data_node: c}, w)[top]
             return c + p.sum().astype(c.dtype) * 1e-12, acc + p.ravel()[0]
         _c, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
         return acc
@@ -111,8 +112,11 @@ class CnetTune(_NetMode):
                 plan = lower_pipe(pipe, make_op_tune(ts), fused_storage=True)
                 fwd = build_fused_forward(plan)
                 weights = resolve_plan_weights(plan, pipe.op_params)
-                secs, _c = chained_net_secs(fwd, weights, x, self.iters,
-                                            reps=self.reps)
+                secs, _c = chained_net_secs(
+                    fwd, weights, x, self.iters, reps=self.reps,
+                    data_node=pipe.data_img_node_names[0],
+                    top="prob" if "prob" in plan.output_nodes
+                    else plan.output_nodes[-1])
                 ips = d["img"] / secs
                 results.append((ips, bsz, ts))
                 print(f"b{bsz} tune {ts}: step_ms={secs * 1e3:.2f} "
@@ -197,8 +201,11 @@ class FusionPenalty(_NetMode):
                               fused_storage=True)
             fwd = build_fused_forward(plan)
             weights = resolve_plan_weights(plan, pipe.op_params)
-            secs, _c = chained_net_secs(fwd, weights, x, self.iters,
-                                        reps=self.reps)
+            secs, _c = chained_net_secs(
+                fwd, weights, x, self.iters, reps=self.reps,
+                data_node=pipe.data_img_node_names[0],
+                top="prob" if "prob" in plan.output_nodes
+                else plan.output_nodes[-1])
             return secs
 
         vendor_secs = net_secs(None)
@@ -395,33 +402,39 @@ class CnetStageProbe(_NetMode):
                 # convs both run). Every grad leaf feeds the returned
                 # scalar — a partial readback would let XLA dead-code the
                 # weight-grad pass (the round-1 single-element lesson).
-                # The data-fed stage skips the input grad: a real train
-                # step never differentiates w.r.t. the image, and conv1's
-                # 64->3-chan dgrad is expensive dead work XLA DCEs there.
                 import jax.numpy as jnp
 
                 def seg_loss(x, wt, _seg=seg_fn):
                     return _seg(x, *wt).ravel().astype(jnp.float32).sum()
 
-                data_in = in_node == "data" or \
+                # a real train step never differentiates w.r.t. the image,
+                # so data-fed stages skip the input grad — UNLESS the stage
+                # has no weights at all (pool/preprocessing-only): an empty
+                # grad tuple makes timed_fn a constant, the scan body goes
+                # loop-invariant, and XLA hoists the timed work (ADVICE r3)
+                data_fed = in_node == "data" or \
                     in_node in pipe.data_img_node_names
-                grad_fn = jax.grad(
-                    seg_loss, argnums=(1,) if data_in else (0, 1))
+                want_dgrad = (not data_fed) or not seg_weights
+                argnums = tuple(a for a, use in
+                                ((0, want_dgrad), (1, bool(seg_weights)))
+                                if use)
+                grad_fn = jax.grad(seg_loss, argnums=argnums)
 
-                def timed_fn(x, *wt, _g=grad_fn, _di=data_in):
-                    if _di:
-                        (gws,) = _g(x, wt)
-                        tot = jnp.float32(0)
-                    else:
-                        gx, gws = _g(x, wt)
-                        tot = gx.ravel().astype(jnp.float32).sum()
-                    for g in gws:
-                        tot = tot + g.ravel().astype(jnp.float32).sum()
+                def timed_fn(x, *wt, _g=grad_fn, _dg=want_dgrad):
+                    gs = _g(x, wt)
+                    tot = jnp.float32(0)
+                    if _dg:
+                        tot = tot + gs[0].ravel().astype(jnp.float32).sum()
+                        gs = gs[1:]
+                    for gws in gs:
+                        for g in gws:
+                            tot = tot + g.ravel().astype(jnp.float32).sum()
                     return tot
 
-                # fwd + weight-grad (+ input-grad for interior stages)
-                flops *= 2 if data_in else 3
-            secs = _chained_secs(timed_fn, [xin] + ws, self.iters)
+                # fwd (+ input-grad for interior stages) (+ weight-grad)
+                flops *= 1 + int(want_dgrad) + int(bool(seg_weights))
+            secs = _chained_secs(timed_fn, [xin] + ws, self.iters,
+                                 reps=self.reps)
             total += secs
             tfs = flops / secs / 1e12 if secs > 0 else 0.0
             rows.append((name, len(seg), secs, flops))
@@ -429,14 +442,25 @@ class CnetStageProbe(_NetMode):
                   f"{flops / 1e9:9.2f} {tfs:7.1f}", flush=True)
         print(f"{'SUM':8s} {'':5s} {total * 1e3:9.3f}")
         if self.whole_net:
-            fwd = build_fused_forward(plan)
+            data_node = pipe.data_img_node_names[0]
             if self.bwd:
                 import jax.numpy as jnp
                 top = ("prob" if "prob" in plan.output_nodes
                        else plan.output_nodes[-1])
+                # backprop from the pre-softmax LOGITS, as cnet_train does:
+                # the softmax VJP of an all-ones cotangent is p*(1-sum(p))
+                # ~= 0, which would run the whole backward on near-zero
+                # cotangents (valid as a pure timing floor, but divergent
+                # from the training loss shape — ADVICE r3)
+                top_op = next((op for op in pipe.ops.values()
+                               if top in op.tops), None)
+                if top_op is not None and top_op.type == "Softmax":
+                    top = top_op.bots[0]
+                fwd = build_fused_forward(
+                    plan, keep_all_nodes=top not in plan.output_nodes)
 
                 def net_loss(w, xb):
-                    return fwd({"data": xb}, w)[top] \
+                    return fwd({data_node: xb}, w)[top] \
                         .ravel().astype(jnp.float32).sum()
 
                 ngrad = jax.grad(net_loss)
@@ -448,10 +472,13 @@ class CnetStageProbe(_NetMode):
                         tot = tot + v.ravel().astype(jnp.float32).sum()
                     return tot
 
-                secs = _chained_secs(net_bwd, [x0, weights], self.iters)
+                secs = _chained_secs(net_bwd, [x0, weights], self.iters,
+                                     reps=self.reps)
             else:
+                fwd = build_fused_forward(plan)
                 secs, _c = chained_net_secs(fwd, weights, x0, self.iters,
-                                            reps=self.reps)
+                                            reps=self.reps,
+                                            data_node=data_node)
             print(f"{'WHOLE':8s} {'':5s} {secs * 1e3:9.3f}   "
                   f"(isolated-sum / whole = {total / secs:.3f})")
 
@@ -540,7 +567,10 @@ class CnetBench(_NetMode):
 
         secs, compile_s = chained_net_secs(
             fwd, weights, x, self.iters, reps=self.reps,
-            compiler_options=self.compiler_options)
+            compiler_options=self.compiler_options,
+            data_node=pipe.data_img_node_names[0],
+            top="prob" if "prob" in plan.output_nodes
+            else plan.output_nodes[-1])
         import jax
         dev = jax.devices()[0]
         prec = self.op_tune.prec or "f32"

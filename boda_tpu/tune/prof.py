@@ -101,7 +101,7 @@ def profile_rcg_call(cg: Codegen, op: OpBase, run_iter: int = 5,
             be.release_var(vn)
 
 
-def _chained_secs(fn, in_vals, iters: int) -> float:
+def _chained_secs(fn, in_vals, iters: int, reps: int = 3) -> float:
     """Per-iteration seconds for fn(*in_vals) with a serial dependency
     between iterations (defeats dispatch caching; scalar readback is the
     completion barrier).
@@ -143,7 +143,7 @@ def _chained_secs(fn, in_vals, iters: int) -> float:
 
     ch = jax.jit(chained, static_argnums=1)
 
-    def measure(n1, n2, reps=3):
+    def measure(n1, n2, reps=reps):
         float(ch(in_vals, n1))  # compile + warm
         float(ch(in_vals, n2))
         slopes = []
