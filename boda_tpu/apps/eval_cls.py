@@ -83,6 +83,55 @@ class LabeledNpySrc(DataStream):
         return f"labeled-npy-src: {self._ix}/{self._imgs.shape[0]}"
 
 
+@register(DataStream, "shapes-src",
+          help="labeled blocks from the procedural shapes dataset")
+class ShapesSrc(DataStream):
+    """Deterministic trainable dataset (io/synth.py): image i is a pure
+    function of (seed, start_ix + i), so train/val splits are index
+    ranges reproducible in any process. Images are pre-rendered once at
+    first init (re-init after EOF — cnet_train's epoch wrap — reuses the
+    cache) and served preprocessed: (pixel - mean) * scale."""
+
+    num_imgs = Attr(int, req=True)
+    start_ix = Attr(int, default=0, help="first dataset index (split base)")
+    ysz = Attr(int, default=32)
+    xsz = Attr(int, default=32)
+    num_classes = Attr(int, default=10)
+    seed = Attr(int, default=0)
+    mean = Attr(float, default=128.0)
+    scale = Attr(float, default=1.0 / 64.0)
+    tag = Attr(str, default="data")
+
+    def data_stream_init(self):
+        from ..io.synth import render_shapes
+        if getattr(self, "_imgs", None) is None:
+            self._imgs, self._labels = render_shapes(
+                range(self.start_ix, self.start_ix + self.num_imgs),
+                self.ysz, self.xsz, self.num_classes, self.seed)
+        self._ix = 0
+
+    def proc_block(self, db: DataBlock) -> DataBlock:
+        if self._ix >= self.num_imgs:
+            return DataBlock()
+        v = (self._imgs[self._ix].astype(np.float32) - self.mean) * self.scale
+        ret = DataBlock(NDA(Dims.make(tn="float", chan=3, y=self.ysz,
+                                      x=self.xsz), v),
+                        tag=self.tag, frame_ix=self._ix,
+                        timestamp_ns=self._ix)
+        ret.set_sdb(DataBlock(NDA(Dims.make(tn="float", v=1),
+                                  np.array([self._labels[self._ix]],
+                                           np.float32)), tag="label"))
+        self._ix += 1
+        return ret
+
+    def seek_to_block(self, frame_ix: int) -> bool:
+        self._ix = min(frame_ix, self.num_imgs)
+        return True
+
+    def get_pos_info_str(self) -> str:
+        return f"shapes-src: {self._ix}/{self.num_imgs}"
+
+
 def encode_datum(img_u8: np.ndarray, label: int) -> bytes:
     """Serialize a caffe Datum (caffe.proto fields: 1=channels 2=height
     3=width 4=data 5=label) for LMDB fixtures/benches."""
@@ -298,12 +347,32 @@ class GenLmdb(HasMain):
     xsz = Attr(int, default=32)
     num_classes = Attr(int, default=10)
     seed = Attr(int, default=42)
+    kind = Attr(str, default="pattern",
+                help="pattern = label-banded noise (fast fixture); "
+                     "shapes = the procedural shape-classification "
+                     "dataset (io/synth.py — same pixels shapes-src "
+                     "serves, so a net trained on shapes-src evaluates "
+                     "against this LMDB through test_lmdb)")
+    start_ix = Attr(int, default=0,
+                    help="first dataset index (kind=shapes split base)")
 
     def main(self):
         from ..utils.lmdbmini import write_lmdb
         rng = np.random.RandomState(self.seed)
         kvs = []
-        for i in range(self.num_imgs):
+        if self.kind == "shapes":
+            if self.chan != 3:
+                raise RtErr("gen_lmdb: kind=shapes renders chan=3 images")
+            from ..io.synth import render_shapes
+            imgs, labels = render_shapes(
+                range(self.start_ix, self.start_ix + self.num_imgs),
+                self.ysz, self.xsz, self.num_classes, self.seed)
+            kvs = [(b"%08d" % i, encode_datum(imgs[i], int(labels[i])))
+                   for i in range(self.num_imgs)]
+        elif self.kind != "pattern":
+            raise RtErr(f"gen_lmdb: unknown kind '{self.kind}' "
+                        f"(pattern | shapes)")
+        for i in range(len(kvs), self.num_imgs):
             label = i % self.num_classes
             img = rng.randint(0, 256, size=(self.chan, self.ysz, self.xsz),
                               dtype=np.uint8)

