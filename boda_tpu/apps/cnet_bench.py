@@ -456,8 +456,12 @@ class CnetStageProbe(_NetMode):
                                if top in op.tops), None)
                 if top_op is not None and top_op.type == "Softmax":
                     top = top_op.bots[0]
+                # extra_out_nodes, NOT keep_all_nodes: keeping every node
+                # fetchable defeats whole-net fusion (362 vs ~40 ms
+                # measured) — only the logits node needs surfacing
                 fwd = build_fused_forward(
-                    plan, keep_all_nodes=top not in plan.output_nodes)
+                    plan, extra_out_nodes=(top,)
+                    if top not in plan.output_nodes else ())
 
                 def net_loss(w, xb):
                     return fwd({data_node: xb}, w)[top] \

@@ -498,9 +498,12 @@ class CnetTrain(_NetMode):
         from_logits = top_op is not None and top_op.type == "Softmax"
         if from_logits:
             top = top_op.bots[0]
+        # surface the logits via extra_out_nodes — keep_all_nodes would
+        # keep EVERY intermediate fetchable and defeat whole-net fusion
+        # (~9x slower on the resnet-50 bwd, measured via the stage probe)
         fwd = build_fused_forward(plan,
-                                  keep_all_nodes=top not in
-                                  plan.output_nodes)
+                                  extra_out_nodes=(top,)
+                                  if top not in plan.output_nodes else ())
         d = pipe.get_data_img_dims()
         n_classes = self.num_classes or plan.node_dims[top].shape[1]
         n_out = plan.node_dims[top].shape[1]
