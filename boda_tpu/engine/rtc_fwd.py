@@ -168,6 +168,16 @@ class RtcFwd(ConvFwd):
     wisdom_fn = Attr(str, default="",
                      help="wisdom file: per-op best tunes (from ops_prof) "
                           "override the default op_tune on matching sigs")
+    op_tunes_pat = Attr(dict[str, str], default=None,
+                        help="per-op tune overrides by TAG REGEX, e.g. "
+                             "(res3.*_branch2b=(use_culibs=1,prec=bf16,"
+                             "layout=nhwc,quant8=1)) — runs the selective-"
+                             "precision presets through any engine mode "
+                             "(run_cnet, test_lmdb, serving)")
+    act_scales_fn = Attr(str, default="",
+                         help="calibrated static int8 activation scales "
+                              "(tune/presets save_act_scales output) "
+                              "applied onto the per-op tunes")
 
     def init(self, pipe: ConvPipe) -> None:
         self.pipe = pipe
@@ -176,6 +186,27 @@ class RtcFwd(ConvFwd):
         self._info_log: list[str] = []
         with timer("rtc_fwd_init"):
             op_tunes = self._wisdom_tunes(pipe) if self.wisdom_fn else None
+            if self.op_tunes_pat:
+                import re
+
+                from ..ops.cnn_variants import make_op_tune
+                pats = {}
+                for pat, spec in self.op_tunes_pat.items():
+                    rx = re.compile(pat)
+                    t = make_op_tune(spec)
+                    for op in pipe.ops.values():
+                        if rx.fullmatch(op.tag):
+                            pats[op.tag] = t
+                self._info_log.append(
+                    f"op_tunes_pat: tuned {len(pats)} op(s)")
+                op_tunes = {**(op_tunes or {}), **pats} or None
+            if self.act_scales_fn:
+                if not op_tunes:
+                    raise RtErr("act_scales_fn requires per-op tunes "
+                                "(op_tunes_pat or wisdom_fn) naming the "
+                                "quant8 sites the scales apply to")
+                from ..tune.presets import load_act_scales
+                op_tunes = load_act_scales(self.act_scales_fn, op_tunes)
             self.plan = lower_pipe(pipe, self.op_tune, op_tunes=op_tunes,
                                    fuse_relu=True,
                                    train_dropout=self.train_dropout,

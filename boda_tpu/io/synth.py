@@ -32,6 +32,16 @@ SHAPE_CLASS_NAMES = (
     "striped_disk", "checker_square", "diamond", "twin_disks", "crescent",
 )
 
+# Extended class set: label = shape + 10 * texture. Textures 1-3 paint the
+# foreground with TWO colors (stripes / checker / concentric rings) instead
+# of one; unlike classes 5/6 (whose pattern CUTS the mask, showing the
+# background through), both texture colors are solid foreground — so all
+# 40 (shape, texture) combinations are pairwise distinguishable. Texture 0
+# renders byte-identically to the original 10-class set (golden stability).
+NUM_TEXTURES = 4
+TEXTURE_NAMES = ("solid", "striped", "checkered", "ringed")
+MAX_SHAPE_CLASSES = NUM_SHAPE_CLASSES * NUM_TEXTURES
+
 
 def _class_mask(label: int, u, v):
     """Boolean foreground mask for class `label` over rotated, scaled,
@@ -68,10 +78,11 @@ def render_shape_img(ix: int, ysz: int, xsz: int,
                      seed: int = 0) -> tuple[np.ndarray, int]:
     """-> ((3,y,x) uint8 image, label). Pure function of (seed, ix):
     label = ix % num_classes; pose/scale/colors/noise drawn from a
-    crc32-mixed RandomState."""
-    if not 1 <= num_classes <= NUM_SHAPE_CLASSES:
+    crc32-mixed RandomState. num_classes > 10 unlocks the extended
+    (shape, texture) label space: label = shape + 10 * texture."""
+    if not 1 <= num_classes <= MAX_SHAPE_CLASSES:
         raise RtErr(f"shapes: num_classes must be in "
-                    f"[1,{NUM_SHAPE_CLASSES}], got {num_classes}")
+                    f"[1,{MAX_SHAPE_CLASSES}], got {num_classes}")
     label = ix % num_classes
     rng = np.random.RandomState(
         zlib.crc32(f"shapes:{seed}:{ix}".encode()) % (2 ** 31))
@@ -92,11 +103,25 @@ def render_shape_img(ix: int, ysz: int, xsz: int,
     dx, dy = xx - cx, yy - cy
     u = (np.cos(th) * dx + np.sin(th) * dy) / s
     v = (-np.sin(th) * dx + np.cos(th) * dy) / s
-    m = _class_mask(label, u, v).astype(np.float32)
+    shape, texture = label % NUM_SHAPE_CLASSES, label // NUM_SHAPE_CLASSES
+    m = _class_mask(shape, u, v).astype(np.float32)
     # fg color: random hue, contrast-shifted from the bg average so the
     # shape is never invisible
     fg = (0.5 * (c0 + c1) + 80.0 + rng.uniform(0, 96, 3)) % 256.0
-    img = img * (1 - m) + fg[:, None, None] * m
+    fg_px = fg[:, None, None]
+    if texture:  # two-color fg paint (extra rng draw only when texture>0,
+        # so texture-0 images stay byte-identical to the 10-class set)
+        fg2 = (fg + 96.0 + rng.uniform(0, 64, 3)) % 256.0
+        if texture == 1:    # diagonal two-color stripes
+            mt = np.sin((u + v) * np.pi * 3.5) > 0
+        elif texture == 2:  # two-color checkerboard
+            par = (np.floor(u * 1.8) + np.floor(v * 1.8)).astype(np.int64)
+            mt = par % 2 == 0
+        else:               # concentric two-color rings
+            mt = np.sin(np.sqrt(u * u + v * v) * np.pi * 4.0) > 0
+        mt = mt.astype(np.float32)[None]
+        fg_px = fg[:, None, None] * (1 - mt) + fg2[:, None, None] * mt
+    img = img * (1 - m) + fg_px * m
     img = img + rng.randn(1, ysz, xsz).astype(np.float32) * 6.0
     return np.clip(img, 0, 255).astype(np.uint8), label
 

@@ -45,7 +45,34 @@ class TestRenderer:
 
     def test_num_classes_gate(self):
         with pytest.raises(RtErr, match="num_classes"):
-            render_shape_img(0, 16, 16, num_classes=11)
+            render_shape_img(0, 16, 16, num_classes=41)
+
+    def test_extended_40_classes(self):
+        from boda_tpu.io.synth import MAX_SHAPE_CLASSES
+        assert MAX_SHAPE_CLASSES == 40
+        # texture 0 renders byte-identically to the 10-class set when the
+        # labels agree (ix % 10 == ix % 40)
+        a, la = render_shape_img(7, 40, 40, num_classes=10, seed=9)
+        b, lb = render_shape_img(7, 40, 40, num_classes=40, seed=9)
+        assert la == lb == 7 and (a == b).all()
+        # all 40 (shape, texture) classes pairwise distinct
+        imgs = [render_shape_img(i, 64, 64, num_classes=40)[0]
+                for i in range(40)]
+        for i in range(40):
+            for j in range(i + 1, 40):
+                assert (imgs[i] != imgs[j]).mean() > 0.01, (i, j)
+
+    def test_model_opts_plumbs_builder_kwargs(self):
+        from boda_tpu.graph.modes import _load_pipe
+
+        class H:
+            model = "mini"
+            model_opts = "(n_classes=7)"
+            batch = 2
+            in_dims = None
+            ptt_fn = ""
+        pipe = _load_pipe(H())
+        assert pipe.op_params["fc-conv_filts"].dims["out_chan"] == 7
 
 
 class TestShapesSrc:
@@ -134,6 +161,90 @@ class TestTrainFeatures:
         assert "zero-initialized filts of 1 op(s)" in out
         with pytest.raises(RtErr, match="matched no"):
             self._train(tmp_path, "zero_init_pats=(a=nosuchconv)")
+
+    def test_device_data_matches_streaming(self, tmp_path, capsys):
+        """device_data=1 (HBM-staged dataset, on-device gather+preproc)
+        must consume the same batches as the host streaming path: same
+        loss trajectory to float tolerance (the scan program fuses
+        differently), exact same batch order."""
+        src = ("stream=(mode=shapes-src,num_imgs=10,ysz=32,xsz=32,"
+               "num_classes=10,seed=2,mean=128,scale=0.015625)")
+        self._train(tmp_path, f"op_tune=(use_culibs=1),{src},"
+                    "loss_out_fn=h.txt", steps=6)
+        capsys.readouterr()
+        self._train(tmp_path, f"op_tune=(use_culibs=1),{src},"
+                    "loss_out_fn=dv.txt,device_data=1,steps_per_call=3",
+                    steps=6)
+        out = capsys.readouterr().out
+        assert "staged 10 u8 images" in out
+        h = np.loadtxt(tmp_path / "h.txt")
+        dv = np.loadtxt(tmp_path / "dv.txt")
+        np.testing.assert_allclose(h, dv, rtol=1e-4, atol=1e-6)
+
+    def test_device_data_eval_counts_match_direct_fwd(self, tmp_path,
+                                                      capsys):
+        """the on-device evaluator's num_pos must equal a direct host
+        recomputation (fused forward on the val images via the exported
+        artifact weights)."""
+        from boda_tpu.apps.train import read_weights_artifact
+        from boda_tpu.engine.lower import lower_pipe, resolve_plan_weights
+        from boda_tpu.engine.rtc_fwd import build_fused_forward
+        from boda_tpu.io.synth import render_shapes
+        from boda_tpu.models.zoo import build_model
+        from boda_tpu.ops.cnn_variants import make_op_tune
+        src = ("stream=(mode=shapes-src,num_imgs=12,ysz=32,xsz=32,"
+               "num_classes=10,seed=2,mean=128,scale=0.015625)")
+        ev = ("eval_stream=(mode=shapes-src,num_imgs=9,start_ix=40,"
+              "ysz=32,xsz=32,num_classes=10,seed=2,mean=128,"
+              "scale=0.015625)")  # 9 !% b=4: exercises the pad path
+        self._train(tmp_path, f"op_tune=(use_culibs=1),{src},{ev},"
+                    "device_data=1,artifact_out_fn=w.boda", steps=6)
+        out = capsys.readouterr().out
+        m = [ln for ln in out.splitlines() if "top_1_acc=" in ln]
+        assert len(m) == 1 and "num_test=9" in m[0]
+        got_pos = int(m[0].split("num_pos=")[1].split()[0])
+        pipe = build_model("mini", batch=4)
+        from boda_tpu.apps.train import load_weights_into_pipe
+        load_weights_into_pipe(pipe, tmp_path / "w.boda")
+        plan = lower_pipe(pipe, make_op_tune("(use_culibs=1)"))
+        weights = resolve_plan_weights(plan, pipe.op_params)
+        fwd = build_fused_forward(plan)
+        imgs, labels = render_shapes(range(40, 49), 32, 32, 10, 2)
+        x = (imgs.astype(np.float32) - 128.0) / 64.0
+        pos = 0
+        for i0 in range(0, 12, 4):  # pad to 12 like the evaluator
+            xb = np.zeros((4, 3, 32, 32), np.float32)
+            nb = min(4, 9 - i0)
+            if nb <= 0:
+                break
+            xb[:nb] = x[i0:i0 + nb]
+            p = np.asarray(fwd({"data": xb}, weights)["prob"])
+            pred = p.reshape(4, -1).argmax(axis=1)
+            pos += int((pred[:nb] == labels[i0:i0 + nb]).sum())
+        assert got_pos == pos
+
+    def test_device_data_snapshot_resume(self, tmp_path, capsys):
+        src = ("stream=(mode=shapes-src,num_imgs=10,ysz=32,xsz=32,"
+               "num_classes=10,seed=2,mean=128,scale=0.015625)")
+        self._train(tmp_path, f"op_tune=(use_culibs=1),{src},device_data=1,"
+                    "steps_per_call=2,loss_out_fn=full.txt", steps=6)
+        capsys.readouterr()
+        self._train(tmp_path, f"op_tune=(use_culibs=1),{src},device_data=1,"
+                    "steps_per_call=2,snapshot_every=4,snapshot_fn=s.boda",
+                    steps=4)
+        capsys.readouterr()
+        self._train(tmp_path, f"op_tune=(use_culibs=1),{src},device_data=1,"
+                    "steps_per_call=2,resume_fn={}/s.boda,"
+                    "loss_out_fn=res.txt".format(tmp_path), steps=6)
+        out = capsys.readouterr().out
+        assert "resumed from" in out
+        full = np.loadtxt(tmp_path / "full.txt")
+        res = np.loadtxt(tmp_path / "res.txt")
+        np.testing.assert_array_equal(full, res)
+
+    def test_device_data_requires_stream(self, tmp_path):
+        with pytest.raises(RtErr, match="device_data=1 requires a stream"):
+            self._train(tmp_path, "device_data=1")
 
     def test_artifact_round_trip(self, tmp_path, capsys):
         """bf16 trained-weights artifact: export from cnet_train, load
