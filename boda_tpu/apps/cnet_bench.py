@@ -170,7 +170,8 @@ class FusionPenalty(_NetMode):
         from ..engine.rtc_fwd import build_fused_forward
         from ..graph.modes import _load_pipe
         from ..ops.cnn_variants import make_op_tune
-        from ..tune.wisdom import (NET_PLAT_SUFFIX, load_tune_index,
+        from ..tune.wisdom import (NET_PLAT_SUFFIX, OpWisdom,
+                                   load_tune_index, lookup_tune,
                                    read_wisdom_file, wisdom_key,
                                    write_wisdom_file)
 
@@ -182,10 +183,12 @@ class FusionPenalty(_NetMode):
         idx = load_tune_index(self.wisdom_fn, plat) or \
             load_tune_index(self.wisdom_fn, "")
         base_spec = str(self.op_tune.to_lexp())
-        # candidate sites: graph ops whose standalone-best tune != base
+        # candidate sites: graph ops whose best tune (site-aware: an
+        # earlier fusion_penalty run's per-site verdict wins over the
+        # standalone per-sig pick) != base
         sites = []
         for op in pipe.ops.values():
-            ts = idx.get(wisdom_key(op))
+            ts = lookup_tune(idx, op)
             if ts is not None and ts != base_spec:
                 sites.append((op.tag, ts, op))
         if self.max_sites:
@@ -215,6 +218,8 @@ class FusionPenalty(_NetMode):
         wis_in = read_wisdom_file(self.wisdom_fn)
         standalone_vendor = {}
         for w in wis_in:
+            if w.site:  # site records carry in-net rows, not standalone
+                continue
             tw = w.tunes.get(base_spec)
             if tw:
                 s = tw.runs.get(plat) or min(
@@ -223,10 +228,10 @@ class FusionPenalty(_NetMode):
                 if s:
                     standalone_vendor[wisdom_key(w.op)] = s
 
-        # index the input wisdom records by wisdom_key so @net runs land in
-        # the SAME record ops_prof wrote (the graph op accumulates lowering
-        # annotations, so exact-sig merging would duplicate records)
-        wis_by_key = {wisdom_key(w.op): w for w in wis_in}
+        # index the input wisdom records by (wisdom_key, site) so @net runs
+        # land in the SAME record ops_prof wrote (the graph op accumulates
+        # lowering annotations, so exact-sig merging would duplicate records)
+        wis_by_key = {(wisdom_key(w.op), w.site): w for w in wis_in}
         n_rec = 0
         print(f"{'site':24s} {'tune':44s} {'net ms':>9s} {'delta us':>9s} verdict")
         for tag, ts, op in sites:
@@ -234,9 +239,18 @@ class FusionPenalty(_NetMode):
             delta = s - vendor_secs
             key = wisdom_key(op)
             base = standalone_vendor.get(key, 1e-6)
-            w = wis_by_key.get(key)
-            if w is None:  # shouldn't happen (site came from the index)
-                continue
+            # @net verdicts are fusion-context-dependent, so they go into a
+            # record pinned to THIS site (VERDICT r3 weak #4): same-sig
+            # sites at other graph positions keep their own verdicts (or
+            # the per-sig standalone pick until measured here)
+            w = wis_by_key.get((key, tag))
+            if w is None:
+                src = wis_by_key.get((key, ""))
+                if src is None:  # shouldn't happen (site came from the index)
+                    continue
+                w = OpWisdom(src.op, site=tag)
+                wis_by_key[(key, tag)] = w
+                wis_in.append(w)
             w.tune(ts).add_run(plat + NET_PLAT_SUFFIX,
                                max(1e-9, base + delta), keep_best=False)
             w.tune(base_spec).add_run(plat + NET_PLAT_SUFFIX, base,
@@ -526,7 +540,7 @@ class CnetBench(_NetMode):
     def _wisdom_tunes(self, pipe):
         from ..backend.iface import make_backend
         from ..ops.cnn_variants import make_op_tune
-        from ..tune.wisdom import load_tune_index, wisdom_key
+        from ..tune.wisdom import load_tune_index, lookup_tune
         be = make_backend("xla")
         be.init()
         plat = be.get_plat_tag()
@@ -534,7 +548,7 @@ class CnetBench(_NetMode):
         idx_any = load_tune_index(self.wisdom_fn, "")
         out = {}
         for op in pipe.ops.values():
-            ts = idx.get(wisdom_key(op)) or idx_any.get(wisdom_key(op))
+            ts = lookup_tune(idx, op) or lookup_tune(idx_any, op)
             if ts is not None:
                 out[op.tag] = make_op_tune(ts)
         print(f"wisdom: tuned {len(out)} op(s) from {self.wisdom_fn}",

