@@ -298,30 +298,15 @@ class CnetStageProbe(_NetMode):
         from ..engine.lower import lower_pipe, resolve_plan_weights
         from ..engine.rtc_fwd import build_fused_forward
         from ..graph.modes import _load_pipe
-        from ..ops.registry import get_template
         from ..tune.prof import _chained_secs
 
         enable_compilation_cache()
         pipe = _load_pipe(self)
         plan = lower_pipe(pipe, self.op_tune, fused_storage=True)
-        groups = []
-        for part in self.stages.split("|"):
-            name, _, prefs = part.partition(":")
-            groups.append((name, tuple(p for p in prefs.split("+") if p)))
-
-        def group_of(tag):
-            for name, prefs in groups:
-                if any(tag.startswith(p) for p in prefs):
-                    return name
-            return None
-
-        segs: dict[str, list] = {name: [] for name, _ in groups}
-        for s in plan.steps:
-            g = group_of(s.call_tag)
-            if g is not None:
-                segs[g].append(s)
-
         weights = resolve_plan_weights(plan, pipe.op_params)
+        from ..engine.segments import build_plan_segments
+        segments = build_plan_segments(plan, weights, self.stages,
+                                       what="cnet_stage_probe")
         d = pipe.get_data_img_dims()
         x0 = (np.random.RandomState(0).randn(*d.shape) * 0.1).astype(np.float32)
         # run the whole net once (unjitted trace values are fine on CPU, but
@@ -333,74 +318,10 @@ class CnetStageProbe(_NetMode):
         print(f"{'stage':8s} {'steps':>5s} {'ms':>9s} {'GF':>9s} {'TF/s':>7s}")
         total = 0.0
         rows = []
-        for name, _prefs in groups:
-            seg = segs[name]
-            if not seg:
-                continue
-            built = []
-            seg_weights = []
-            produced = set()
-            consumed = []
-            zero_init = []
-            for s in seg:
-                tmpl = get_template(s.sig.func_name)
-                rfs = tmpl.check_args(s.sig)
-                built.append((tmpl.build(rfs), tmpl, s))
-                io_args = set(tmpl.io_args())
-                for an in tmpl.in_args() + tmpl.io_args():
-                    n = s.arg_nodes.get(an)
-                    if n is None or n in produced:
-                        continue
-                    if n in weights:
-                        if n not in seg_weights:
-                            seg_weights.append(n)
-                    elif an in io_args and s.sig.func_name == "copy":
-                        # first touch is the Concat write-slice target
-                        # (copy ignores prior content at its chan range):
-                        # zero-init in-seg, exactly as build_fused_forward
-                        # does on first touch. Other io first-touchers
-                        # (in-place relu/dropout) READ content — those
-                        # stay external inputs
-                        zero_init.append(n)
-                        produced.add(n)
-                    else:
-                        if n not in consumed:
-                            consumed.append(n)
-                for an in tmpl.out_args() + tmpl.io_args():
-                    if an in s.arg_nodes:
-                        produced.add(s.arg_nodes[an])
-            if len(consumed) != 1:
-                from ..core.error import RtErr
-                raise RtErr(f"cnet_stage_probe: stage '{name}' must consume "
-                            f"exactly one external activation node, got "
-                            f"{consumed or '[none]'} — adjust the stages= "
-                            f"grouping so shortcut edges stay in-stage")
-            in_node = consumed[0]
-            flops = sum(get_template(s.sig.func_name).flops(
-                get_template(s.sig.func_name).check_args(s.sig)) for s in seg)
-
-            from ..engine.rtc_fwd import _storage_zeros
-
-            def seg_fn(x, *ws, _built=built, _wn=tuple(seg_weights),
-                       _in=in_node, _zi=tuple(zero_init)):
-                vals = dict(zip(_wn, ws))
-                vals[_in] = x
-                for n in _zi:  # INOUT targets (concat out buffers)
-                    vals[n] = _storage_zeros(plan.node_dims[n], plan)
-                for fn, tmpl, s in _built:
-                    ins = [vals[s.arg_nodes[an]]
-                           for an in tmpl.in_args() + tmpl.io_args()
-                           if an in s.arg_nodes]
-                    outs = fn(*ins)
-                    if not isinstance(outs, (tuple, list)):
-                        outs = (outs,)
-                    for an, ov in zip(tmpl.out_args() + tmpl.io_args(), outs):
-                        if an in s.arg_nodes:
-                            vals[s.arg_nodes[an]] = ov
-                return vals[[s.arg_nodes[an] for fn, tmpl, s in _built[::-1]
-                             for an in tmpl.out_args() + tmpl.io_args()
-                             if an in s.arg_nodes][0]]
-
+        for ps in segments:
+            name, seg = ps.name, ps.steps
+            seg_fn, in_node = ps.fn, ps.in_node
+            seg_weights, flops = ps.weight_names, ps.flops
             # stage input in INTERIOR storage form: take it from the
             # whole-net keep_all_nodes values, re-converting to storage
             from ..engine.rtc_fwd import _storage_in

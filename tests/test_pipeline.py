@@ -39,6 +39,91 @@ def test_gpipe_matches_sequential(pp, m):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+RESNET_STAGES_PP4 = ("stem:conv1+pool1+res2|s3:res3|s4:res4|"
+                     "head:res5+pool5+fc1000-conv+prob")
+
+
+def _segmented_resnet(tune: str, mb: int = 2, ysz: int = 32,
+                      num_classes: int = 16):
+    from boda_tpu.engine.lower import lower_pipe, resolve_plan_weights
+    from boda_tpu.engine.segments import build_plan_segments
+    from boda_tpu.models.zoo import build_model
+    from boda_tpu.ops.cnn_variants import make_op_tune
+    pipe = build_model("resnet-50", batch=mb, ysz=ysz, xsz=ysz,
+                       num_classes=num_classes)
+    plan = lower_pipe(pipe, make_op_tune(tune) if tune else None,
+                      fused_storage=bool(tune))
+    weights = resolve_plan_weights(plan, pipe.op_params)
+    segs = build_plan_segments(plan, weights, RESNET_STAGES_PP4)
+    return pipe, plan, weights, segs
+
+
+@pytest.mark.parametrize("tune", [
+    "", "(use_culibs=1,prec=bf16,layout=nhwc,s2d=0,fuse_siblings=1)"])
+def test_gpipe_resnet50_matches_sequential(tune):
+    """The IMPORTED pipe through the heterogeneous GPipe (VERDICT r3 #6):
+    resnet-50 segmented at stage boundaries, per-stage shapes/params all
+    different, vs the same segments composed sequentially — exact (the
+    ring's f32 carrier is lossless over bf16/f32 boundaries)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from boda_tpu.engine.rtc_fwd import _storage_in
+    from boda_tpu.parallel.pipeline import gpipe_plan_forward
+    pipe, plan, weights, segs = _segmented_resnet(tune)
+    assert len(segs) == 4
+    assert all(b.in_node == a.out_node for a, b in zip(segs, segs[1:]))
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("pp",))
+    d = pipe.get_data_img_dims()
+    M = 3
+    x_mb = (np.random.RandomState(0).randn(M, *d.shape) * 0.1
+            ).astype(np.float32)
+    got = np.asarray(gpipe_plan_forward(plan, segs, weights, x_mb, mesh))
+
+    @jax.jit
+    def seq(x, w):
+        v = _storage_in(x, plan)
+        for s in segs:
+            v = s.fn(v, *[w[n] for n in s.weight_names])
+        return v
+    for i in range(M):
+        want = np.asarray(seq(x_mb[i], weights), np.float32)
+        np.testing.assert_allclose(np.asarray(got[i], np.float32), want,
+                                   rtol=1e-5, atol=1e-6)
+    # and against the shipped whole-net fused forward (same math, XLA may
+    # fuse differently — tight for f32, loose for bf16 edges)
+    from boda_tpu.engine.rtc_fwd import build_fused_forward
+    fwd = build_fused_forward(plan)
+    tol = 5e-2 if tune else 1e-5
+    from boda_tpu.engine.rtc_fwd import _storage_out
+    for i in range(M):
+        want = np.asarray(fwd({"data": x_mb[i]}, weights)["prob"],
+                          np.float32)
+        got_log = np.asarray(_storage_out(got[i], plan.node_dims["prob"],
+                                          plan), np.float32)
+        np.testing.assert_allclose(got_log, want, rtol=tol, atol=tol)
+
+
+def test_gpipe_plan_forward_errors():
+    import jax
+    from jax.sharding import Mesh
+
+    from boda_tpu.core.error import RtErr
+    from boda_tpu.parallel.pipeline import gpipe_plan_forward
+    pipe, plan, weights, segs = _segmented_resnet("")
+    d = pipe.get_data_img_dims()
+    x = np.zeros((1, *d.shape), np.float32)
+    mesh2 = Mesh(np.array(jax.devices("cpu")[:2]), ("pp",))
+    with pytest.raises(RtErr, match="segments != mesh"):
+        gpipe_plan_forward(plan, segs, weights, x, mesh2)
+    mesh4 = Mesh(np.array(jax.devices("cpu")[:4]), ("pp",))
+    with pytest.raises(RtErr, match="must chain"):
+        gpipe_plan_forward(plan, [segs[0], segs[2], segs[1], segs[3]],
+                           weights, x, mesh4)
+    with pytest.raises(RtErr, match="at least one microbatch"):
+        gpipe_plan_forward(plan, segs, weights, x[:0], mesh4)
+
+
 def test_gpipe_on_2d_mesh_axis():
     """pp can be one axis of a larger mesh (dp x pp)."""
     import jax
