@@ -21,6 +21,7 @@ from ..core.dims import NDA, Dims
 from ..core.error import RtErr
 from ..core.has_main import HasMain, mode
 from ..core.timers import timer
+from ..engine.iface import ConvFwd
 from ..io.data_stream import DataBlock, DataStream, register
 from .run_cnet import RunCnetBase
 
@@ -242,6 +243,73 @@ class TestLmdb(RunCnetBase):
         top_1_acc = num_pos / max(num_test, 1)
         acc_tag = "top_1_acc" if self.top_k == 1 else f"top_{self.top_k}_acc"
         print(f"{acc_tag}={top_1_acc:g} num_pos={num_pos} num_test={num_test}")
+
+
+@mode("cls_agree",
+      help="prediction agreement of two engine configs over a labeled "
+           "stream (quantization accuracy gate)")
+class ClsAgree(RunCnetBase):
+    """Accuracy gate for selective-precision configs (VERDICT r3 #1): run
+    the SAME net through two execution configs (conv_fwd = the reference
+    precision, conv_fwd_b = the candidate, e.g. the int8 preset via
+    op_tunes_pat/act_scales_fn) over one labeled stream and report, per
+    the BASELINE north star's 'top-5 predictions matching' clause:
+    per-config top-1 accuracy, top-1 prediction agreement, candidate
+    top-1 ∈ reference top-5, and mean top-5 set overlap. The reference's
+    analog gate was output-digest comparison against ground-truth runs
+    (test_compute.cc:267-269, comp_util.H:13)."""
+
+    conv_fwd_b = Attr(ConvFwd, default="rtc",
+                      help="candidate engine config (e.g. int8 preset)")
+    src = Attr(DataStream, req=True, help="labeled-block stream spec")
+    max_imgs = Attr(int, default=0, help="stop after this many (0: all)")
+
+    def main(self):
+        pipe = self.setup_cnet()
+        self.conv_fwd_b.init(pipe)
+        d = pipe.get_data_img_dims()
+        batch_sz = d["img"]
+        data_node = pipe.data_img_node_names[0]
+        top = pipe.get_single_top_node().name
+        self.src.data_stream_init()
+        num_test = num_pos_a = num_pos_b = 0
+        top1_agree = b1_in_a5 = 0
+        top5_overlap = 0.0
+        while not self.max_imgs or num_test < self.max_imgs:
+            imgs, labels = [], []
+            for _ in range(batch_sz):
+                b = self.src.proc_block(DataBlock())
+                if not b.valid():
+                    break
+                lab = b.get_sdb("label")
+                if lab is None:
+                    raise RtErr("cls_agree: stream block missing 'label' "
+                                "subblock")
+                imgs.append(b.nda.v)
+                labels.append(int(lab.nda.v.ravel()[0]))
+            if not labels:
+                break
+            while len(imgs) < batch_sz:  # pad short final batch
+                imgs.append(np.zeros_like(imgs[0]))
+            batch = NDA(d, np.stack(imgs).astype(d.dtype))
+            pa = self.conv_fwd.run_fwd({data_node: batch}, [top])[top].v
+            pb = self.conv_fwd_b.run_fwd({data_node: batch}, [top])[top].v
+            num_pos_a += score_batch(pa, labels)
+            num_pos_b += score_batch(pb, labels)
+            for i in range(len(labels)):
+                ta = np.argsort(-pa[i, :, 0, 0])[:5]
+                tb = np.argsort(-pb[i, :, 0, 0])[:5]
+                top1_agree += int(ta[0] == tb[0])
+                b1_in_a5 += int(tb[0] in ta)
+                top5_overlap += len(set(ta) & set(tb)) / 5.0
+            num_test += len(labels)
+        n = max(num_test, 1)
+        print(f"top_1_acc_a={num_pos_a / n:g} top_1_acc_b={num_pos_b / n:g} "
+              f"top_1_agree={top1_agree / n:g} "
+              f"b_top1_in_a_top5={b1_in_a5 / n:g} "
+              f"top_5_overlap={top5_overlap / n:g} "
+              f"num_pos_a={num_pos_a} num_pos_b={num_pos_b} "
+              f"num_test={num_test}")
 
 
 @mode("lmdb_parse_datums", help="parse caffe Datums from an LMDB, one line each")

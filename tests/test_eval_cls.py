@@ -79,3 +79,21 @@ def test_lmdb_parse_datums_mode(tmp_path, capsys):
     create_and_run_has_main(
         f"(mode=lmdb_parse_datums,db_fn={db},num_to_read=0)", {})
     assert "read 5 datums" in capsys.readouterr().out
+
+
+def test_cls_agree_mode(labeled_npy, capsys):
+    """Two identical engine configs must agree exactly; the stats line
+    carries both accuracies + the three agreement metrics."""
+    ifn, lfn, _ = labeled_npy
+    create_and_run_has_main(
+        f"(mode=cls_agree,model=mini,batch=4,"
+        f"conv_fwd=(engine=rtc,op_tune=(use_culibs=1)),"
+        f"conv_fwd_b=(engine=rtc,op_tune=(use_culibs=1)),"
+        f"src=(mode=labeled-npy-src,images_fn={ifn},labels_fn={lfn}))", {})
+    out = capsys.readouterr().out
+    assert "top_1_agree=1 b_top1_in_a_top5=1 top_5_overlap=1" in out
+    assert "num_test=10" in out
+    # and the per-config accuracies match (same engine twice)
+    import re
+    m = re.search(r"top_1_acc_a=(\S+) top_1_acc_b=(\S+)", out)
+    assert m and m.group(1) == m.group(2)
