@@ -43,7 +43,7 @@ def init_opt_state(optimizer: str, weights: dict) -> dict:
 
 def build_train_step(fwd, data_node: str, top: str, *, lr: float,
                      optimizer: str = "sgd", momentum: float = 0.9,
-                     from_logits: bool = False):
+                     from_logits: bool = False, clip_gradients: float = 0.0):
     """Shared fwd+bwd+update step (used by cnet_train and train_bench):
     step(w, vel, xb, labels[, lr_t]) -> (loss, new_w, new_vel), where
     `vel` is init_opt_state(optimizer, w). Softmax-CE loss (log_softmax
@@ -72,6 +72,18 @@ def build_train_step(fwd, data_node: str, top: str, *, lr: float,
 
         tmap = jax.tree_util.tree_map
         loss, grads = jax.value_and_grad(loss_fn)(w)
+        if clip_gradients:
+            # global-norm clipping (caffe SolverParameter.clip_gradients
+            # semantics: scale the whole gradient so its L2 norm is at
+            # most the threshold) — the plateau-escape steps of BN-less
+            # nets spike the gradient norm and diverge without it
+            gnorm = jnp.sqrt(sum(
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g in jax.tree_util.tree_leaves(grads)))
+            scale = jnp.minimum(1.0, clip_gradients
+                                / jnp.maximum(gnorm, 1e-12))
+            grads = tmap(lambda g: (g.astype(jnp.float32)
+                                    * scale).astype(g.dtype), grads)
         if optimizer == "momentum":  # heavy-ball: v'=mu*v+g; w'=w-lr*v'
             vel = {"v": tmap(lambda v, g: jnp.asarray(momentum, v.dtype)
                              * v + g.astype(v.dtype), vel["v"], grads)}
@@ -362,6 +374,10 @@ class CnetTrain(_NetMode):
     lr = Attr(float, default=0.01)
     optimizer = Attr(str, default="sgd", help="sgd | momentum | adam")
     momentum = Attr(float, default=0.9)
+    clip_gradients = Attr(float, default=0.0,
+                          help="global-L2-norm gradient clipping threshold "
+                               "(caffe SolverParameter.clip_gradients "
+                               "semantics; 0 = off)")
     num_classes = Attr(int, default=0,
                        help="label range for synthetic data (default: "
                             "the net's output channels)")
@@ -652,7 +668,8 @@ class CnetTrain(_NetMode):
         rng = np.random.RandomState(self.seed)
         step = jax.jit(build_train_step(
             fwd, data_node, top, lr=self.lr, optimizer=self.optimizer,
-            momentum=self.momentum, from_logits=from_logits))
+            momentum=self.momentum, from_logits=from_logits,
+            clip_gradients=self.clip_gradients))
 
         vel = init_opt_state(self.optimizer, weights)
         losses = []

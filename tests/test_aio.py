@@ -105,3 +105,25 @@ def test_serve_bench_smoke(tmp_path, capsys):
     assert int(m.group(1)) == 3 * (3 - 1)
     assert float(m.group(2)) > 0
     assert "mean realized batch" in out
+
+
+def test_serve_bench_latency_decomposition(tmp_path, capsys):
+    """The p2-p1 delta decomposition must be present and self-consistent:
+    queue + engine per-request components are non-negative, and the
+    recorded engine_ms_per_req = engine_ms_per_batch / realized batch."""
+    import re
+
+    from boda_tpu.core.has_main import create_and_run_has_main
+    create_and_run_has_main(
+        f"(mode=serve_bench,model=mini,num_clients=3,n1=1,n2=4,"
+        f"batch_window_ms=200,out_fn=sb.lexp,boda_output_dir={tmp_path})")
+    out = capsys.readouterr().out
+    m = re.search(r"decomposition \(p2-p1\): queue ([\d.]+) ms/req, "
+                  r"engine ([\d.]+) ms/batch \(([\d.]+) ms/req at "
+                  r"realized batch ([\d.]+)\)", out)
+    assert m, out
+    q, eb, er, rb = (float(g) for g in m.groups())
+    assert q >= 0 and eb > 0 and er > 0 and rb >= 1
+    assert abs(er - eb / rb) < 0.05 * eb + 1e-6
+    rec = (tmp_path / "sb.lexp").read_text()
+    assert "queue_ms_per_req=" in rec and "engine_ms_per_batch=" in rec

@@ -274,3 +274,26 @@ class TestTrainFeatures:
         load_weights_into_pipe(pipe2, tmp_path / "w.boda")
         with pytest.raises(RtErr, match="not a boda_tpu trained-weights"):
             read_weights_artifact(__file__)
+
+
+class TestClipGradients:
+    def test_clip_bounds_update_norm(self, tmp_path, capsys):
+        """With a tiny clip threshold the first-step update's weight
+        delta must shrink vs unclipped (same data/init), and training at
+        a wildly divergent lr stays finite."""
+        run_mode(f"(mode=cnet_train,model=mini,batch=4,steps=2,lr=0.2,"
+                 f"seed=5,log_every=1,op_tune=(use_culibs=1),"
+                 f"loss_out_fn=unc.txt,boda_output_dir={tmp_path})")
+        capsys.readouterr()
+        run_mode(f"(mode=cnet_train,model=mini,batch=4,steps=2,lr=0.2,"
+                 f"seed=5,log_every=1,op_tune=(use_culibs=1),"
+                 f"clip_gradients=0.01,loss_out_fn=cl.txt,"
+                 f"boda_output_dir={tmp_path})")
+        capsys.readouterr()
+        unc = np.loadtxt(tmp_path / "unc.txt")
+        cl = np.loadtxt(tmp_path / "cl.txt")
+        # same first loss (clipping acts on the update, not the fwd)
+        np.testing.assert_allclose(unc[0], cl[0], rtol=1e-5)
+        # clipped step-2 loss differs and both runs stay finite
+        assert np.isfinite(cl).all()
+        assert abs(unc[1] - cl[1]) > 1e-6
