@@ -414,7 +414,9 @@ class TestAll(HasMain):
                          "tests/cmds/*.txt suites)")
     good_tr_dir = Attr(str, default="", help="goldens dir (default: shipped "
                                              "tests/good_tr)")
-    run_slow = Attr(bool, default=False)
+    run_slow = Attr(bool, default=True,
+                    help="run slow=1 cmds too (default ON: test_all is the "
+                         "full-coverage pass; the tight loop is pytest)")
     run_gen = Attr(bool, default=True,
                    help="also regenerate + run the generated suites "
                         "(gen_test_compute_tests, gen_ops_prof_tests) — the "
