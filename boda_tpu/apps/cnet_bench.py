@@ -691,6 +691,16 @@ class TrainBench(_NetMode):
     reps = Attr(int, default=3, help="slope repetitions (median)")
     compiler_options = Attr(dict[str, str], default=None,
                             help="per-jit XLA compiler overrides")
+    remat = Attr(bool, default=False,
+                 help="gradient checkpointing: store only stage-boundary "
+                      "activations, recompute stage interiors in bwd "
+                      "(build_remat_forward; ~1 extra fwd of FLOPs for "
+                      "O(depth) less activation HBM)")
+    remat_stages = Attr(str,
+                        default="stem:conv1+pool1|s2:res2|s3:res3|s4:res4|"
+                                "s5:res5|head:pool5+fc1000-conv",
+                        help="stage spec for remat=1 (default: resnet "
+                             "stages, softmax dropped -> logits loss)")
 
     def main(self):
         import statistics
@@ -706,10 +716,20 @@ class TrainBench(_NetMode):
         enable_compilation_cache()
         pipe = _load_pipe(self)
         plan = lower_pipe(pipe, self.op_tune, fused_storage=True)
-        fwd = build_fused_forward(plan)
         weights = resolve_plan_weights(plan, pipe.op_params)
         data_node = pipe.data_img_node_names[0]
-        top = "prob" if "prob" in plan.output_nodes else plan.output_nodes[-1]
+        from_logits = False
+        if self.remat:
+            from ..engine.segments import build_remat_forward
+            fwd = build_remat_forward(plan, weights, self.remat_stages)
+            top = fwd.out_node
+            softmax_tops = {t for op in pipe.ops.values()
+                            if op.type == "Softmax" for t in op.tops}
+            from_logits = top not in softmax_tops
+        else:
+            fwd = build_fused_forward(plan)
+            top = ("prob" if "prob" in plan.output_nodes
+                   else plan.output_nodes[-1])
         d = pipe.get_data_img_dims()
         rng = np.random.RandomState(0)
         x = (rng.randn(*d.shape) * 0.1).astype(np.float32)
@@ -720,7 +740,8 @@ class TrainBench(_NetMode):
         from .train import build_train_step, check_labels, init_opt_state
         step = build_train_step(fwd, data_node, top, lr=self.lr,
                                 optimizer=self.optimizer,
-                                momentum=self.momentum)
+                                momentum=self.momentum,
+                                from_logits=from_logits)
 
         def chained(w, vel, xb, labels, n):
             def body(_i, carry):
@@ -779,7 +800,9 @@ class TrainBench(_NetMode):
         name = self.model or self.ptt_fn
         print(f"train_bench {name} b{d['img']} {prec} "
               f"storage={'nhwc' if plan.storage_nhwc else 'nchw'} "
-              f"opt={self.optimizer} lr={self.lr}: step_ms={secs * 1e3:.2f} "
+              f"opt={self.optimizer} lr={self.lr}"
+              f"{' remat=1' if self.remat else ''}: "
+              f"step_ms={secs * 1e3:.2f} "
               f"imgs_per_sec={d['img'] / secs:.1f} "
               f"tflops={tfl / secs / 1e12:.1f} (3x-fwd est) "
               f"frac_roofline={tfl / secs / pk:.4f} "

@@ -138,3 +138,64 @@ def build_plan_segments(plan, weights: dict, stages_spec: str,
         out.append(PlanSegment(name, seg, seg_fn, tuple(seg_weights),
                                in_node, out_node, flops, tuple(zero_init)))
     return out
+
+
+def build_remat_forward(plan, weights: dict, stages_spec: str):
+    """Gradient-checkpointed forward: the plan's stages chained with
+    `jax.checkpoint` around each segment, so a backward pass stores only
+    the stage-BOUNDARY activations and recomputes each stage's interior
+    during its grad — the recompute-vs-store lever for training (HBM
+    traffic/capacity for ~1 extra fwd of FLOPs; VERDICT r3 #2).
+
+    Same calling contract as build_fused_forward — fwd(inputs, weights)
+    -> {out_node: logical NCHW value} — but returns ONLY the final
+    segment's out node; trailing plan steps not covered by any stage
+    group (e.g. a softmax when training from logits) are dropped.
+    Non-trailing coverage gaps are an error. Reference context: the
+    reference stored every bck-op input (conv_util.cc:732-800
+    add_bck_ops materializes all forward nodes); checkpointing is the
+    TPU-native alternative XLA can't derive on its own."""
+    import jax
+
+    from .rtc_fwd import _storage_in, _storage_out
+
+    segments = build_plan_segments(plan, weights, stages_spec,
+                                   what="build_remat_forward")
+    if not segments:
+        raise RtErr("build_remat_forward: stage spec matched no steps")
+    covered = {id(s) for ps in segments for s in ps.steps}
+    uncov = [s for s in plan.steps if id(s) not in covered]
+    # only a contiguous TAIL may be uncovered (dropped post-logits ops)
+    last_ix = max(i for i, s in enumerate(plan.steps) if id(s) in covered)
+    bad = [s.call_tag for s in plan.steps[:last_ix] if id(s) not in covered]
+    if bad:
+        raise RtErr(f"build_remat_forward: steps not covered by any stage "
+                    f"group (and not trailing): {bad}")
+    for prev, nxt in zip(segments, segments[1:]):
+        if nxt.in_node != prev.out_node:
+            raise RtErr(f"build_remat_forward: stage '{nxt.name}' input "
+                        f"'{nxt.in_node}' != previous stage "
+                        f"'{prev.name}' output '{prev.out_node}' — "
+                        f"stages must chain")
+    dropped = [s.call_tag for s in uncov]
+    ckpt_fns = [jax.checkpoint(ps.fn) for ps in segments]
+
+    def fwd(inputs: dict, weights: dict):
+        if segments[0].in_node not in inputs:
+            raise RtErr(f"build_remat_forward: missing input "
+                        f"'{segments[0].in_node}'")
+        x = _storage_in(inputs[segments[0].in_node], plan)
+        for ps, cfn in zip(segments, ckpt_fns):
+            try:
+                ws = [weights[n] for n in ps.weight_names]
+            except KeyError as e:
+                raise RtErr(f"build_remat_forward: weight node {e} missing "
+                            f"from the weights dict (resolve_plan_weights "
+                            f"on THIS plan)")
+            x = cfn(x, *ws)
+        out = segments[-1].out_node
+        return {out: _storage_out(x, plan.node_dims[out], plan)}
+
+    fwd.out_node = segments[-1].out_node
+    fwd.dropped_tail = tuple(dropped)
+    return fwd

@@ -71,6 +71,9 @@ def test_stage_probe_concat_in_stage(tmp_path, capsys):
         f"iters=2,reps=1,whole_net=0,stages=s1:c1|s2:br+c2)")
     out = capsys.readouterr().out
     assert "s1" in out and "s2" in out and "SUM" in out
+
+
+def test_pyra_bench_mode(capsys):
     """pyra_bench: host blf-pack + device packed-bin forward throughput
     (BASELINE config #5 surface). On CPU pin auto out-node pick, bin
     batch wiring, and the report format; timings are noise here."""
@@ -102,6 +105,88 @@ def test_train_bench_momentum(capsys):
         "(mode=train_bench,model=mini,iters=3,reps=1,optimizer=momentum)")
     out = capsys.readouterr().out
     assert "opt=momentum" in out
+
+
+def test_remat_forward_matches_fused():
+    """build_remat_forward (gradient checkpointing over plan segments):
+    forward values and weight-grads must match the un-checkpointed fused
+    program exactly (same ops, recomputed); dropped-tail (softmax) and
+    chaining validation covered."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from boda_tpu.core.error import RtErr
+    from boda_tpu.engine.lower import lower_pipe, resolve_plan_weights
+    from boda_tpu.engine.rtc_fwd import build_fused_forward
+    from boda_tpu.engine.segments import build_remat_forward
+    from boda_tpu.models.zoo import NetBuilder
+    from boda_tpu.ops.cnn_variants import make_op_tune
+
+    b = NetBuilder("rm", 2, 3, 16, 16)
+    b.conv("conv1", 8, 3, 1, 1).pool("pool1", 2, 2)
+    b.conv("res2a", 16, 3, 1, 1)
+    b.conv("res3a", 16, 3, 1, 1)
+    b.conv("fc-conv", 10, 1, relu=False)
+    b.pool("gpool", 0, 1, avg=True, global_=True)
+    b.softmax("prob")
+    pipe = b.done(seed=4)
+    plan = lower_pipe(pipe, make_op_tune("(use_culibs=1,prec=bf16,"
+                                         "layout=nhwc)"),
+                      fused_storage=True)
+    weights = resolve_plan_weights(plan, pipe.op_params)
+    spec = "stem:conv1+pool1|s2:res2|s3:res3|head:fc-conv+gpool"
+    fwd_r = build_remat_forward(plan, weights, spec)
+    assert fwd_r.out_node == "gpool"
+    assert any("prob" in t for t in fwd_r.dropped_tail)
+    fwd_f = build_fused_forward(plan, keep_all_nodes=True)
+    d = pipe.get_data_img_dims()
+    x = (np.random.RandomState(0).randn(*d.shape) * 0.3).astype(np.float32)
+
+    got = np.asarray(fwd_r({"data": x}, weights)["gpool"])
+    want = np.asarray(fwd_f({"data": x}, weights)["gpool"])
+    np.testing.assert_array_equal(got, want)  # same ops, bit-identical
+
+    def loss_r(w):
+        return fwd_r({"data": x}, w)["gpool"] \
+            .astype(jnp.float32).ravel().sum()
+
+    def loss_f(w):
+        return fwd_f({"data": x}, w)["gpool"] \
+            .astype(jnp.float32).ravel().sum()
+
+    gr = jax.jit(jax.grad(loss_r))(weights)
+    gf = jax.jit(jax.grad(loss_f))(weights)
+    # not bit-exact: checkpoint's recompute changes XLA fusion/accumulation
+    # order, so an ulp-level conv-output difference can flip a near-zero
+    # relu mask bit (measured: segments-without-checkpoint are bit-exact
+    # vs fused; checkpoint adds ~3e-4 on one bias grad)
+    for k in gf:
+        np.testing.assert_allclose(np.asarray(gr[k]), np.asarray(gf[k]),
+                                   rtol=1e-2, atol=5e-3, err_msg=k)
+
+    # non-trailing coverage gap errors (res2 left out)
+    with pytest.raises(RtErr, match="not covered"):
+        build_remat_forward(plan, weights,
+                            "stem:conv1+pool1|s3:res3|head:fc-conv+gpool")
+    # non-chaining spec errors
+    with pytest.raises(RtErr, match="must chain"):
+        build_remat_forward(plan, weights,
+                            "stem:conv1+pool1|oops:res3|s2:res2|"
+                            "head:fc-conv+gpool")
+
+
+def test_train_bench_remat(capsys):
+    """train_bench remat=1 runs the checkpointed step (logits loss) and
+    reports remat in its line."""
+    from boda_tpu.core.has_main import create_and_run_has_main
+    create_and_run_has_main(
+        "(mode=train_bench,model=mini,iters=3,reps=1,remat=1,"
+        "remat_stages=stem:conv1|mid:cccp1+conv2+cat2+pool|"
+        "head:drop+fc-conv+gpool)")
+    out = capsys.readouterr().out
+    assert "remat=1" in out and "train_bench mini" in out
 
 
 def test_cnet_train_mode(tmp_path, capsys):
