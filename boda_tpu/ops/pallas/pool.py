@@ -15,6 +15,114 @@ from ..op_base import OpBase
 from ..registry import IN, OUT, KernelTemplate, adecl, template
 
 
+def _max_pool_first_match(fn, ind, oy, ox, ky, kx, sy, sx, py, px,
+                          extra_y, extra_x, nhwc: bool):
+    """Wrap a max-pool primal `fn` with a gather-form custom VJP.
+
+    XLA's native max-pool transpose is SelectAndScatter, measured 2.33 ms
+    for resnet-50's pool1 at b128 on this chip — 56% of the whole stem
+    fwd+bwd floor (docs/PERF.md training floor table). This VJP computes
+    the same gradient with no scatters: per window, the FIRST (row-major
+    window-scan) position equal to the max gets the cotangent — caffe
+    max-pool backward semantics (one winner per window, first argmax;
+    reference pooling backward in cnn_codegen's Spreading kernels) and
+    XLA SelectAndScatter's GE-select tie-break. Implementation: compute
+    the first-match offset index per window (min matching offset), then
+    gather each input position's covering-window contributions from
+    stride-dilated (lax.pad interior) cotangent/index arrays — k*k
+    fused elementwise terms, stride-1 slices only.
+
+    Only used for small windows (k*k <= 64): global max pooling would
+    unroll k*k = y*x terms; its single-window backward is cheap under
+    SelectAndScatter anyway.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    if ky * kx > 64:
+        return fn
+    # padded spatial extents the primal's jnp.pad produces
+    yp = ind["y"] + 2 * py + extra_y
+    xp_sz = ind["x"] + 2 * px + extra_x
+    n_img, chans = ind["img"], ind["chan"]
+
+    def _sp(y, x):  # (y, x) -> full index tuple for this layout
+        return (0, y, x, 0) if nhwc else (0, 0, y, x)
+
+    def _shape(y, x):
+        return (n_img, y, x, chans) if nhwc else (n_img, chans, y, x)
+
+    neg = -jnp.inf
+
+    def _pad_in(xv):
+        cfg = ((0, 0), (py, py + extra_y), (px, px + extra_x), (0, 0)) \
+            if nhwc else \
+            ((0, 0), (0, 0), (py, py + extra_y), (px, px + extra_x))
+        return jnp.pad(xv, cfg, constant_values=neg)
+
+    def _windows_max(xpad):
+        win = (1, ky, kx, 1) if nhwc else (1, 1, ky, kx)
+        st = (1, sy, sx, 1) if nhwc else (1, 1, sy, sx)
+        m = lax.reduce_window(xpad, neg, lax.max, win, st, "valid")
+        return m[:, :oy, :ox, :] if nhwc else m[:, :, :oy, :ox]
+
+    offs = [(dy, dx) for dy in range(ky) for dx in range(kx)]
+
+    @jax.custom_vjp
+    def pool(xv):
+        return fn(xv)
+
+    def _fwd(xv):
+        out = fn(xv)
+        return out, (xv, out)
+
+    def _bwd(res, g):
+        xv, m = res
+        xpad = _pad_in(xv)
+        # first-match offset per window: min offset index whose strided
+        # slice equals the window max (>=1 match always exists — all-pad
+        # windows match at pad positions, trimmed below)
+        fm = jnp.full(m.shape, len(offs), jnp.int32)
+        strides = (1, sy, sx, 1) if nhwc else (1, 1, sy, sx)
+        for idx, (dy, dx) in enumerate(offs):
+            xs = lax.slice(xpad, _sp(dy, dx),
+                           _shape(dy + (oy - 1) * sy + 1,
+                                  dx + (ox - 1) * sx + 1),
+                           strides)
+            fm = jnp.minimum(fm, jnp.where(xs == m, idx, len(offs)))
+        # stride-dilate g/fm (interior pad sy-1/sx-1), pre-pad k-1 both
+        # sides so every input position reads its covering windows with
+        # stride-1 slices; hi pad reaches padded-input extent
+        dil_y = (oy - 1) * sy + 1
+        dil_x = (ox - 1) * sx + 1
+        hi_y = yp - dil_y
+        hi_x = xp_sz - dil_x
+        if nhwc:
+            cfg = ((0, 0, 0), (ky - 1, hi_y, sy - 1),
+                   (kx - 1, hi_x, sx - 1), (0, 0, 0))
+        else:
+            cfg = ((0, 0, 0), (0, 0, 0), (ky - 1, hi_y, sy - 1),
+                   (kx - 1, hi_x, sx - 1))
+        gd = lax.pad(g, jnp.asarray(0, g.dtype), cfg)
+        fmd = lax.pad(fm, jnp.int32(-1), cfg)
+        acc = jnp.zeros(_shape(yp, xp_sz), g.dtype)
+        for idx, (dy, dx) in enumerate(offs):
+            st = _sp(ky - 1 - dy, kx - 1 - dx)
+            lim = tuple(s + d for s, d in zip(st, _shape(yp, xp_sz)))
+            fs = lax.slice(fmd, st, lim)
+            gs = lax.slice(gd, st, lim)
+            acc = acc + jnp.where(fs == idx, gs, jnp.asarray(0, g.dtype))
+        if nhwc:
+            acc = acc[:, py:py + ind["y"], px:px + ind["x"], :]
+        else:
+            acc = acc[:, :, py:py + ind["y"], px:px + ind["x"]]
+        return (acc,)
+
+    pool.defvjp(_fwd, _bwd)
+    return pool
+
+
 def _params(rfs: OpBase):
     ind = rfs.get_dims("in")
     outd = rfs.get_dims("out")
@@ -92,6 +200,8 @@ class Pool(KernelTemplate):
                 m = jax.lax.reduce_window(xp, neg, jax.lax.max, (1, 1, ky, kx),
                                           (1, 1, sy, sx), "valid")
                 return m[:, :, :oy, :ox]
+            fn = _max_pool_first_match(fn, ind, oy, ox, ky, kx, sy, sx,
+                                       py, px, extra_y, extra_x, nhwc=False)
         return fn
 
     @classmethod
@@ -123,6 +233,8 @@ class Pool(KernelTemplate):
                 m = jax.lax.reduce_window(xp, neg, jax.lax.max, (1, ky, kx, 1),
                                           (1, sy, sx, 1), "valid")
                 return m[:, :oy, :ox, :]
+            fn = _max_pool_first_match(fn, ind, oy, ox, ky, kx, sy, sx,
+                                       py, px, extra_y, extra_x, nhwc=True)
         return fn
 
     @classmethod
