@@ -88,6 +88,13 @@ class OpTune(Config):
                            "flipped loss->win); 0 = in-program weight "
                            "quant (measured better on nin's small-weight "
                            "huge-K convs: 1.34 vs 1.42 ms)")
+    pool_bwd_gather = Attr(
+        bool, default=False,
+        help="max-pool backward via the gather-form first-argmax custom "
+             "VJP (ops/pallas/pool) instead of XLA's SelectAndScatter. "
+             "Measured 9x SLOWER on the TPU (21.1 vs 2.34 ms, pool1 "
+             "b128 — scripts/poolbwd_probe.py) so off by default; a win "
+             "only where scatter is the slow path (CPU-class backends)")
     s2d = Attr(bool, default=True,
                help="space-to-depth first-layer transform: stride-2 "
                     "thin-channel convs (conv1 7x7 s2 C<=4) run as "
@@ -252,6 +259,9 @@ def add_cnn_codegen_annotations(op: OpBase, tune: OpTune,
             op.set_func_name(fn)
         if op.type in ("Pooling", "LRN"):
             _set_or_pop_str(op, "layout", t.layout)
+        if op.type == "Pooling":
+            _set_or_pop_str(op, "pool_bwd",
+                            "gather" if t.pool_bwd_gather else "")
 
 
 def add_codegen_annotations(op: OpBase, tune: OpTune) -> None:

@@ -19,18 +19,29 @@ def _max_pool_first_match(fn, ind, oy, ox, ky, kx, sy, sx, py, px,
                           extra_y, extra_x, nhwc: bool):
     """Wrap a max-pool primal `fn` with a gather-form custom VJP.
 
-    XLA's native max-pool transpose is SelectAndScatter, measured 2.33 ms
-    for resnet-50's pool1 at b128 on this chip — 56% of the whole stem
-    fwd+bwd floor (docs/PERF.md training floor table). This VJP computes
-    the same gradient with no scatters: per window, the FIRST (row-major
-    window-scan) position equal to the max gets the cotangent — caffe
-    max-pool backward semantics (one winner per window, first argmax;
-    reference pooling backward in cnn_codegen's Spreading kernels) and
-    XLA SelectAndScatter's GE-select tie-break. Implementation: compute
-    the first-match offset index per window (min matching offset), then
-    gather each input position's covering-window contributions from
-    stride-dilated (lax.pad interior) cotangent/index arrays — k*k
-    fused elementwise terms, stride-1 slices only.
+    Motivation: XLA's native max-pool transpose is SelectAndScatter,
+    measured 2.33 ms for resnet-50's pool1 at b128 on this chip — 56% of
+    the whole stem fwd+bwd floor (docs/PERF.md training floor table).
+    This VJP computes the same gradient with no scatters: per window, the
+    FIRST (row-major window-scan) position equal to the max gets the
+    cotangent — caffe max-pool backward semantics (one winner per window,
+    first argmax; reference pooling backward in cnn_codegen's Spreading
+    kernels) and XLA SelectAndScatter's GE-select tie-break.
+    Implementation: compute the first-match offset index per window (min
+    matching offset), then gather each input position's covering-window
+    contributions from stride-dilated (lax.pad interior) cotangent/index
+    arrays — k*k fused elementwise terms, stride-1 slices only.
+
+    MEASURED NEGATIVE on TPU (scripts/poolbwd_probe.py, pool1 b128 bf16
+    nhwc): gather form 21.1 ms vs SelectAndScatter 2.34 ms — the k*k
+    full-size elementwise passes cost ~9x what the "slow" scatter does
+    (S&S lowers well on this chip; the CPU pin that motivated shipping it
+    measured the opposite order). So the wrap is OPT-IN via the
+    pool_bwd=gather annotation (OpTune pool_bwd_gather); the default
+    backward stays XLA's SelectAndScatter. Kept as a capability: the
+    semantics pin (first-argmax == S&S GE-select, test_pool_grad.py)
+    rides on it, and scatter-free backward matters on backends where
+    scatter is the slow path (the interpret/CPU measurements).
 
     Only used for small windows (k*k <= 64): global max pooling would
     unroll k*k = y*x terms; its single-window backward is cheap under
@@ -143,7 +154,7 @@ class Pool(KernelTemplate):
     name = "pool"
     args = [adecl("in", IN, "img chan y x"), adecl("out", OUT, "img chan y x")]
     sig_nda_keys = ["kern_sz", "stride", "in_pad"]
-    sig_str_keys = ["avg_pool", "layout"]
+    sig_str_keys = ["avg_pool", "layout", "pool_bwd"]
     nhwc_ok = True
 
     @classmethod
@@ -200,8 +211,10 @@ class Pool(KernelTemplate):
                 m = jax.lax.reduce_window(xp, neg, jax.lax.max, (1, 1, ky, kx),
                                           (1, 1, sy, sx), "valid")
                 return m[:, :, :oy, :ox]
-            fn = _max_pool_first_match(fn, ind, oy, ox, ky, kx, sy, sx,
-                                       py, px, extra_y, extra_x, nhwc=False)
+            if rfs.str_vals.get("pool_bwd") == "gather":
+                fn = _max_pool_first_match(fn, ind, oy, ox, ky, kx, sy, sx,
+                                           py, px, extra_y, extra_x,
+                                           nhwc=False)
         return fn
 
     @classmethod
@@ -233,8 +246,10 @@ class Pool(KernelTemplate):
                 m = jax.lax.reduce_window(xp, neg, jax.lax.max, (1, ky, kx, 1),
                                           (1, sy, sx, 1), "valid")
                 return m[:, :oy, :ox, :]
-            fn = _max_pool_first_match(fn, ind, oy, ox, ky, kx, sy, sx,
-                                       py, px, extra_y, extra_x, nhwc=True)
+            if rfs.str_vals.get("pool_bwd") == "gather":
+                fn = _max_pool_first_match(fn, ind, oy, ox, ky, kx, sy, sx,
+                                           py, px, extra_y, extra_x,
+                                           nhwc=True)
         return fn
 
     @classmethod

@@ -1,9 +1,12 @@
 """Max-pool backward (ops/pallas/pool._max_pool_first_match).
 
-XLA's native max-pool transpose is SelectAndScatter — measured 2.33 ms
-for resnet-50's pool1 at b128 on the TPU, 56% of the stem's whole
-fwd+bwd floor (docs/PERF.md training floor table) — so the pool template
-carries a gather-form custom VJP. These tests pin:
+XLA's native max-pool transpose is SelectAndScatter — 2.33 ms for
+resnet-50's pool1 at b128 on the TPU, 56% of the stem's whole fwd+bwd
+floor (docs/PERF.md training floor table) — so the pool template carries
+an alternative gather-form custom VJP. On-chip it measured 9x SLOWER
+(21.1 ms, scripts/poolbwd_probe.py), so it is OPT-IN via the
+pool_bwd=gather annotation (OpTune pool_bwd_gather) and the default
+backward stays SelectAndScatter. These tests pin:
 
 (1) the primal is unchanged (template fwd still matches ref_impl —
     covered by the existing op/golden suites; re-asserted here),
@@ -31,7 +34,7 @@ from boda_tpu.ops.registry import get_template  # noqa: E402
 
 
 def make_pool_op(n, c, h, w, ky, kx, sy=1, sx=1, py=0, px=0, avg=False,
-                 io_layout=""):
+                 io_layout="", pool_bwd="gather"):
     out = pool_in_sz_to_out_sz(Pt(w, h), Pt(px, py), Pt(sx, sy), Pt(kx, ky))
     op = OpBase({"type": "Pooling", "func_name": "pool"})
     op.set_dims("in", Dims.make(img=n, chan=c, y=h, x=w))
@@ -43,6 +46,8 @@ def make_pool_op(n, c, h, w, ky, kx, sy=1, sx=1, py=0, px=0, avg=False,
         op.str_vals["avg_pool"] = "1"
     if io_layout:
         op.str_vals["io_layout"] = io_layout
+    if pool_bwd:  # these tests pin the (opt-in) gather form by default
+        op.str_vals["pool_bwd"] = pool_bwd
     return op
 
 
@@ -175,6 +180,26 @@ def test_global_max_pool_still_differentiates():
     x = np.random.RandomState(2).randn(1, 4, 10, 10).astype(np.float32)
     g = jax.grad(lambda xv: jnp.sum(fn(xv)))(x)
     assert np.asarray(g).sum() == pytest.approx(4.0)  # one winner per chan
+
+
+def test_default_pool_bwd_is_select_and_scatter_and_agrees():
+    # without the pool_bwd=gather annotation the template differentiates
+    # via XLA's SelectAndScatter; on tie-heavy data its grad must equal
+    # the first-argmax semantics the gather form pins (GE-select picks
+    # the first max in scan order too)
+    h, w, ky, kx, sy, sx, py, px = GEOMS[0]
+    n, c = 2, 4
+    op = make_pool_op(n, c, h, w, ky, kx, sy, sx, py, px, pool_bwd="")
+    assert "pool_bwd" not in op.str_vals
+    _t, _rfs, fn = _build(op)
+    rng = np.random.RandomState(4)
+    x = np.maximum(rng.randint(-2, 3, size=(n, c, h, w)), 0) \
+        .astype(np.float32) * 0.5
+    out = np.asarray(fn(x))
+    ct = rng.randn(n, c, out.shape[2], out.shape[3]).astype(np.float32)
+    got = jax.grad(lambda xv: jnp.sum(fn(xv) * ct))(x)
+    want = np_first_argmax_pool_bwd(x, ct, ky, kx, sy, sx, py, px)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
 
 
 def test_avg_pool_grad_unaffected():
