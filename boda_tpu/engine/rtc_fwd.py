@@ -407,6 +407,14 @@ class RtcFwd(ConvFwd):
         # committed input shardings, GSPMD inserts the ICI collectives
         self._mesh = None
         self._in_sh = None
+        if not self.mesh_dp:
+            # commit weights to device ONCE (r4 serving discovery): jit
+            # re-streams numpy args EVERY call — ~100MB/~3s per batch for
+            # resnet-50 through the tunnel. Committed jax Arrays are
+            # cache-hit by buffer identity, so steady-state dispatch pays
+            # only the input upload + fixed dispatch (~0.2s vs ~3s).
+            import jax
+            self._weights = jax.device_put(self._weights)
         if self.mesh_dp:
             from ..parallel.mesh import make_mesh, plan_shardings
             self._mesh = make_mesh(n_devices=self.mesh_dp * self.mesh_mp,
@@ -454,11 +462,16 @@ class RtcFwd(ConvFwd):
                 self._init_fused()
         with timer("run_fwd"):
             inputs = {k: v.v for k, v in to_set.items()}
+            import jax
             if self._in_sh is not None:
-                import jax
                 inputs = {k: jax.device_put(v, self._in_sh[k])
                           if k in self._in_sh else v
                           for k, v in inputs.items()}
+            else:
+                # explicit device_put (not jit's numpy-arg conversion):
+                # the tunnel dedups repeated buffer content on this path
+                # (~4ms for a re-sent 4.8MB batch vs ~0.3s through jit)
+                inputs = jax.device_put(inputs)
             t0 = time.perf_counter()
             outs, stats = self._fused_fn(inputs, self._weights)
             outs = {k: np.asarray(v) for k, v in outs.items()}
