@@ -57,6 +57,18 @@ class AioClsServer(RunCnetBase):
     num_requests = Attr(int, default=0,
                         help="serve this many classify requests then exit "
                              "(0 = until a (op=quit) request)")
+    wire_fmt = Attr(str, default="f32",
+                    help="request image wire format: f32 = preprocessed "
+                         "(chan,y,x) float32 (host img_to_chw); u8 = raw "
+                         "(y,x,chan) uint8 RGB — mean-subtract/BGR/"
+                         "transpose run ON DEVICE fused with the forward "
+                         "(one dispatch, 4x smaller upload)")
+    u8_bgr = Attr(bool, default=True,
+                  help="u8 wire format: RGB→BGR swap on device")
+    u8_mean = Attr(str, default="104.0,117.0,123.0",
+                   help="u8 wire format: per-channel mean to subtract on "
+                        "device (empty = none); matches img_to_chw's "
+                        "host-side defaults so both formats agree")
     _started_cb = None   # test hook: called with the bound port
 
     def setup(self):
@@ -65,6 +77,21 @@ class AioClsServer(RunCnetBase):
         d = pipe.get_data_img_dims()
         self._img_dims = (d["chan"], d["y"], d["x"])
         self._data_dims = d
+        self._in_dims = d
+        if self.wire_fmt == "u8":
+            from ..io.device_preproc import device_preproc_fn
+            mean = tuple(float(v) for v in self.u8_mean.split(",")) \
+                if self.u8_mean else None
+            self.conv_fwd.set_input_preproc(
+                pipe.data_img_node_names[0],
+                device_preproc_fn(d["y"], d["x"], bgr=self.u8_bgr,
+                                  mean=mean, dtype=d.dtype))
+            self._img_dims = (d["y"], d["x"], 3)
+            self._in_dims = Dims.make(tn="uint8_t", img=d["img"],
+                                      y=d["y"], x=d["x"], chan=3)
+        elif self.wire_fmt != "f32":
+            raise RtErr(f"unknown wire_fmt '{self.wire_fmt}' "
+                        "(expected f32 or u8)")
         self._served = 0
         self._batch_sizes: list[int] = []
         # latency decomposition (VERDICT r3 weak #5): per-request queueing
@@ -83,10 +110,10 @@ class AioClsServer(RunCnetBase):
 
     def classify_batch(self, imgs: list[np.ndarray], top_k: int) -> list[np.ndarray]:
         """Pad to max_batch, one engine call, per-request top-k rows."""
-        x = np.zeros(self._data_dims.shape, self._data_dims.dtype)
+        x = np.zeros(self._in_dims.shape, self._in_dims.dtype)
         for i, im in enumerate(imgs):
             x[i] = im
-        out = self.run_one_blob_in_one_blob_out(NDA(self._data_dims, x))
+        out = self.run_one_blob_in_one_blob_out(NDA(self._in_dims, x))
         probs = np.asarray(out.v).reshape(self._data_dims["img"], -1)
         res = []
         for i in range(len(imgs)):
@@ -191,9 +218,12 @@ class AioClsServer(RunCnetBase):
                         (await _read_frame(reader)).decode()))
                     raw = await _read_frame(reader)
                     img = np.frombuffer(raw, dtype=dims.dtype).reshape(dims.shape)
-                    if tuple(img.shape) != self._img_dims:
+                    if tuple(img.shape) != self._img_dims \
+                            or img.dtype != self._in_dims.dtype:
                         writer.write(_frame(
-                            f"(err=bad image dims {img.shape})".encode()))
+                            f"(err=bad image dims {img.shape} "
+                            f"dtype {img.dtype} for wire_fmt "
+                            f"{self.wire_fmt})".encode()))
                         await writer.drain()
                         continue
                     fut = loop.create_future()
@@ -248,6 +278,9 @@ class ServeBench(RunCnetBase):
     top_k = Attr(int, default=1)
     max_batch = Attr(int, default=0, help="coalescing cap (0 = num_clients)")
     batch_window_ms = Attr(float, default=20.0)
+    wire_fmt = Attr(str, default="f32",
+                    help="image wire format (f32 = host-preprocessed CHW, "
+                         "u8 = raw HWC with device-fused preprocessing)")
     out_fn = Attr(str, default="", help="also append a one-line lexp record here")
 
     def main(self):
@@ -264,6 +297,7 @@ class ServeBench(RunCnetBase):
             "max_batch": str(self.max_batch or self.num_clients),
             "batch_window_ms": str(self.batch_window_ms),
             "num_requests": "0",  # quit-driven: engine survives both phases
+            "wire_fmt": self.wire_fmt,
             "top_k": str(self.top_k)}))
         port_box = {}
         port_evt = threading.Event()
@@ -295,8 +329,13 @@ class ServeBench(RunCnetBase):
         def client(i):
             try:
                 d = srv._img_dims
-                img = img_to_chw(make_test_pattern_img(
-                    d[1], d[2], mode=i + 1)).astype(np.float32)
+                if self.wire_fmt == "u8":
+                    # raw HWC u8 on the wire: 4x less TCP + device upload
+                    img = np.ascontiguousarray(make_test_pattern_img(
+                        d[0], d[1], mode=i + 1), np.uint8)
+                else:
+                    img = img_to_chw(make_test_pattern_img(
+                        d[1], d[2], mode=i + 1)).astype(np.float32)
                 st = make_stream(f"tcp:127.0.0.1:{port_box['port']}", impl="py")
                 run_phase(st, img, "warm", 1)
                 run_phase(st, img, "p1", self.n1, snap=(i == 0))
@@ -368,10 +407,16 @@ class ServeBench(RunCnetBase):
 
 
 def classify_over_stream(stream, img: np.ndarray, top_k: int = 3):
-    """Sync client helper over a transport Stream: returns (batch, rows)."""
+    """Sync client helper over a transport Stream: returns (batch, rows).
+    CHW float images name dims (chan,y,x); HWC uint8 (the u8 wire format)
+    name them (y,x,chan)."""
     from ..core.dims import dtype_to_tn
-    d = Dims.make(tn=dtype_to_tn(img.dtype), chan=img.shape[0],
-                  y=img.shape[1], x=img.shape[2])
+    if img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3:
+        d = Dims.make(tn=dtype_to_tn(img.dtype), y=img.shape[0],
+                      x=img.shape[1], chan=img.shape[2])
+    else:
+        d = Dims.make(tn=dtype_to_tn(img.dtype), chan=img.shape[0],
+                      y=img.shape[1], x=img.shape[2])
     stream.write_frame(f"(op=classify,top_k={top_k})".encode())
     stream.write_frame(str(d.to_lexp()).encode())
     stream.write_frame(np.ascontiguousarray(img).tobytes())

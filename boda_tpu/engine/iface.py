@@ -30,6 +30,14 @@ class ConvFwd(Config):
     def get_info_log(self) -> str:
         return ""
 
+    def set_input_preproc(self, node: str, fn) -> None:
+        """Compose a traceable device-side transform onto input `node`
+        (rtc fused engine only — it re-jits the whole program so the
+        transform fuses with the forward)."""
+        from ..core.error import RtErr
+        raise RtErr(f"engine '{type(self).__name__}' does not support "
+                    "device-side input preprocessing (rtc fused engine only)")
+
 
 def make_engine(spec: Union[str, dict, None] = None) -> ConvFwd:
     from . import rtc_fwd, ref_fwd  # noqa: F401  (register engines)

@@ -394,6 +394,20 @@ class RtcFwd(ConvFwd):
         fwd = fwd0 if write_hook is not None else \
             (lambda inputs, weights: (fwd0(inputs, weights), {}))
 
+        if getattr(self, "_input_preproc", None):
+            # device-side input preprocessing composes INSIDE the jit:
+            # e.g. the u8 serving wire format's decode/mean-subtract/
+            # transpose fuses with the net forward — one dispatch, and the
+            # host uploads the raw u8 bytes (4x smaller than f32)
+            pre = dict(self._input_preproc)
+            fwd_core = fwd
+
+            def fwd(inputs, weights, _core=fwd_core, _pre=pre):
+                inputs = {**inputs, **{n: f(inputs[n])
+                                       for n, f in _pre.items()
+                                       if n in inputs}}
+                return _core(inputs, weights)
+
         self._fused_fn = jax.jit(fwd)
         # raw op_params plus the prequantization pass's derived int8
         # weights/scales (weight quant runs ONCE here, not per forward)
@@ -424,6 +438,19 @@ class RtcFwd(ConvFwd):
             self._weights = {n: jax.device_put(v, w_sh[n])
                              for n, v in self._weights.items()}
         self._fused_compiled = False
+
+    def set_input_preproc(self, node: str, fn) -> None:
+        """Compose a traceable device-side transform onto input `node`
+        inside the fused program (TPU-native serving counterpart of the
+        host-side subtract_mean_and_copy_img_to_batch, caffeif.H:13: the
+        transform fuses with the forward under ONE jit)."""
+        if not self.fuse:
+            raise RtErr("set_input_preproc requires the fused engine "
+                        "(fuse=1)")
+        if not hasattr(self, "_input_preproc"):
+            self._input_preproc: dict = {}
+        self._input_preproc[node] = fn
+        self._init_fused()
 
     # ---- run ----
     def run_fwd(self, to_set: dict[str, NDA], to_get: list[str]) -> dict[str, NDA]:

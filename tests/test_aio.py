@@ -130,3 +130,45 @@ def test_serve_bench_latency_decomposition(tmp_path, capsys):
     assert abs(er - eb / rb) < 0.05 * eb + 1e-6
     rec = (tmp_path / "sb.lexp").read_text()
     assert "queue_ms_per_req=" in rec and "engine_ms_per_batch=" in rec
+
+
+def test_u8_wire_format_matches_f32():
+    """wire_fmt=u8 (raw HWC uint8 on the wire, mean-subtract/BGR/transpose
+    fused ON DEVICE into the forward — engine set_input_preproc) must
+    produce the same predictions as the f32 path's host img_to_chw."""
+    from boda_tpu.io.img import img_to_chw, make_test_pattern_img
+
+    srv8, th8, port8 = _start_server(max_batch=1, batch_window_ms=5,
+                                     num_requests=1, top_k=3, wire_fmt="u8")
+    y, x, _c = srv8._img_dims
+    raw = np.ascontiguousarray(make_test_pattern_img(y, x, mode=2), np.uint8)
+    st = make_stream(f"tcp:127.0.0.1:{port8}", impl="py")
+    bsz8, rows8 = classify_over_stream(st, raw, 3)
+    st.close()
+    th8.join(60)
+
+    srv, th, port = _start_server(max_batch=1, batch_window_ms=5,
+                                  num_requests=1, top_k=3)
+    st = make_stream(f"tcp:127.0.0.1:{port}", impl="py")
+    bszf, rowsf = classify_over_stream(
+        st, img_to_chw(raw).astype(np.float32), 3)
+    st.close()
+    th.join(60)
+
+    assert rows8.shape == rowsf.shape == (3, 2)
+    np.testing.assert_array_equal(rows8[:, 0], rowsf[:, 0])  # same classes
+    np.testing.assert_allclose(rows8[:, 1], rowsf[:, 1], rtol=2e-2, atol=1e-4)
+
+
+def test_u8_wire_format_rejects_f32_request():
+    srv, th, port = _start_server(max_batch=1, batch_window_ms=5,
+                                  num_requests=1, wire_fmt="u8")
+    st = make_stream(f"tcp:127.0.0.1:{port}", impl="py")
+    y, x, _c = srv._img_dims
+    with pytest.raises(RtErr, match="bad image dims"):
+        classify_over_stream(st, np.zeros((3, y, x), np.float32), 1)
+    bsz, rows = classify_over_stream(
+        st, np.zeros(srv._img_dims, np.uint8), 1)
+    assert bsz == 1 and rows.shape == (1, 2)
+    st.close()
+    th.join(60)
