@@ -316,3 +316,18 @@ def test_interp_backend_runs_prequant_sigs():
     assert mrd(got, want) < 0.05  # int8 quantization error band
     assert (np.asarray(got).reshape(2, -1).argmax(1)
             == np.asarray(want).reshape(2, -1).argmax(1)).all()
+
+
+def test_fused_weights_committed_to_device():
+    """Regression guard (r4 serving discovery): the fused engine's weights
+    must be committed jax Arrays, not numpy — jit re-uploads numpy args on
+    EVERY call (~100MB/~3s per batch for resnet-50 through the tunnel)."""
+    import jax
+
+    from tests.test_storage import resnet_micro
+    eng = make_engine("rtc")
+    eng.init(resnet_micro())
+    assert eng._weights, "fused engine should hold resolved weights"
+    for n, v in eng._weights.items():
+        assert isinstance(v, jax.Array), \
+            f"weight '{n}' is {type(v).__name__}, not a committed jax.Array"
