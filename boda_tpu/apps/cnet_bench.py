@@ -476,7 +476,12 @@ class CnetBench(_NetMode):
               flush=True)
         return out or None
 
-    def main(self):
+    def _build_fused(self):
+        """Load the net, resolve tunes, lower + build the fused forward.
+
+        Returns (pipe, plan, fwd, weights, x) — shared by the timing main
+        and by subclass modes (cnet_xprof) that drive the same net
+        differently."""
         import numpy as np
 
         from ..backend.xla import enable_compilation_cache
@@ -503,6 +508,11 @@ class CnetBench(_NetMode):
         weights = resolve_plan_weights(plan, pipe.op_params)
         d = pipe.get_data_img_dims()
         x = (np.random.RandomState(0).randn(*d.shape) * 0.1).astype(np.float32)
+        return pipe, plan, fwd, weights, x
+
+    def main(self):
+        pipe, plan, fwd, weights, x = self._build_fused()
+        d = pipe.get_data_img_dims()
 
         secs, compile_s = chained_net_secs(
             fwd, weights, x, self.iters, reps=self.reps,

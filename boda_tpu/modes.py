@@ -28,6 +28,7 @@ _MODE_MODULES = [
     "boda_tpu.tune.plots",       # roofline_plot, wis_plot, op_eff_plot
     "boda_tpu.tune.wisdom_modes",  # wis_merge, wis_ana
     "boda_tpu.tune.opinfo",      # cnn_op_info
+    "boda_tpu.tune.xprof",       # cnet_xprof per-kernel device-event profile
     "boda_tpu.apps.pyra",        # blf_pack/conv_pyra
     "boda_tpu.apps.score",       # PASCAL scoring
     "boda_tpu.testing.modes",    # test_cmds etc.

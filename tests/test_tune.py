@@ -282,3 +282,25 @@ def test_auto_sweep_is_shape_aware():
     blocks = [(t.Mb, t.Kb) for _n, t in auto_sweep_tunes(op, 64)]
     assert all(mb <= 256 and kb <= 512 for mb, kb in blocks)
     assert any(mb == 256 for mb, _ in blocks)
+
+
+def test_cnet_xprof_mode(tmp_path, capsys):
+    # per-kernel device-event profile (reference nvrtc_util.cc:296 get_dur
+    # parity): runs the fused mini net under jax.profiler, parses the
+    # xplane, and reports per-HLO-op time. CPU publishes hlo_op-stat
+    # events on the PJRT client lines, so the same parse works here.
+    create_and_run_has_main(
+        f"(mode=cnet_xprof,model=mini,batch=2,steps=2,"
+        f"op_tune=(use_culibs=1,prec=f32),trace_dir={tmp_path}/trace,"
+        f"boda_output_dir={tmp_path})",
+        global_vars={})
+    out = capsys.readouterr().out
+    assert "cnet_xprof mini b2 steps=2" in out
+    assert "device total:" in out and "-- by kind --" in out
+    # a conv net's profile must be conv-dominated on some row
+    assert "conv" in out
+    # the raw trace was kept where asked
+    from boda_tpu.tune.xprof import aggregate_xplane, find_xplane
+    rows, meta = aggregate_xplane(find_xplane(tmp_path / "trace"))
+    assert rows and all(r["count"] >= 2 for r in rows[:3])
+    assert sum(r["total_ns"] for r in rows) > 0
