@@ -99,6 +99,11 @@ class CnetXprof(CnetBench):
     one. `iters`/`reps` are unused here (trace replaces slope timing)."""
 
     steps = Attr(int, default=10, help="forwards to run inside the trace")
+    bwd = Attr(bool, default=False,
+               help="profile the TRAINING step instead: grad of a "
+                    "logits-sum loss w.r.t. all weights (the same "
+                    "construction as cnet_stage_probe --bwd) — decomposes "
+                    "the whole-net backward per kernel")
     top_k = Attr(int, default=25, help="rows in the per-op table")
     trace_dir = Attr(str, default="",
                      help="keep the raw xplane trace here (e.g. for "
@@ -119,8 +124,38 @@ class CnetXprof(CnetBench):
         w_dev = {k: jax.device_put(v, dev) for k, v in weights.items()}
         x_dev = jax.device_put(x, dev)
 
-        def step(w, xb):
-            return fwd({data_node: xb}, w)[top].sum()
+        if self.bwd:
+            import jax.numpy as jnp
+
+            from ..engine.rtc_fwd import build_fused_forward
+
+            # backprop from the pre-softmax logits, exactly as
+            # cnet_stage_probe --bwd / cnet_train do (softmax VJP of an
+            # all-ones cotangent is ~0); surface the logits node via
+            # extra_out_nodes so whole-net fusion survives
+            top_op = next((op for op in pipe.ops.values()
+                           if top in op.tops), None)
+            if top_op is not None and top_op.type == "Softmax":
+                top = top_op.bots[0]
+            bfwd = build_fused_forward(
+                plan, extra_out_nodes=(top,)
+                if top not in plan.output_nodes else ())
+
+            def net_loss(w, xb):
+                return bfwd({data_node: xb}, w)[top] \
+                    .ravel().astype(jnp.float32).sum()
+
+            ngrad = jax.grad(net_loss)
+
+            def step(w, xb):
+                g = ngrad(w, xb)
+                tot = jnp.float32(0)
+                for v in jax.tree_util.tree_leaves(g):
+                    tot = tot + v.ravel().astype(jnp.float32).sum()
+                return tot
+        else:
+            def step(w, xb):
+                return fwd({data_node: xb}, w)[top].sum()
 
         fn = jax.jit(step, compiler_options=self.compiler_options or None)
         t0 = time.perf_counter()

@@ -304,3 +304,15 @@ def test_cnet_xprof_mode(tmp_path, capsys):
     rows, meta = aggregate_xplane(find_xplane(tmp_path / "trace"))
     assert rows and all(r["count"] >= 2 for r in rows[:3])
     assert sum(r["total_ns"] for r in rows) > 0
+
+
+def test_cnet_xprof_bwd(tmp_path, capsys):
+    # --bwd profiles the training step (grad of the logits-sum loss);
+    # the table must include backward kernels beyond the fwd set
+    create_and_run_has_main(
+        f"(mode=cnet_xprof,model=mini,batch=2,steps=2,bwd=1,"
+        f"op_tune=(use_culibs=1,prec=f32),boda_output_dir={tmp_path})",
+        global_vars={})
+    out = capsys.readouterr().out
+    assert "device total:" in out
+    assert "conv" in out  # dgrad/wgrad convs dominate a conv net's bwd
