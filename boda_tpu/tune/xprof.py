@@ -181,6 +181,14 @@ class CnetXprof(CnetBench):
 
         total_ns = sum(r["total_ns"] for r in rows)
         name = self.model or self.ptt_fn
+        if not rows:
+            # a remote/tunneled device can publish host planes only (no
+            # hlo_op-stat events) — say so instead of printing an empty table
+            print(f"cnet_xprof {name}: no hlo_op events in the trace "
+                  f"(planes: {meta['planes']}); the device side of a "
+                  f"tunneled PJRT client does not publish xplane events — "
+                  f"run on directly-attached hardware")
+            return
         print(f"cnet_xprof {name} b{d['img']} steps={self.steps} "
               f"device={dev.device_kind} compile_s={compile_s:.1f} "
               f"planes={meta['device_planes'] or meta['planes']}")
