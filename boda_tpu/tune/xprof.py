@@ -37,40 +37,68 @@ def find_xplane(trace_dir: str | Path) -> Path:
     return cands[-1]
 
 
+_HLO_NAME = re.compile(r"^%([^\s=]+)")
+
+
 def aggregate_xplane(xplane_fn: str | Path):
     """Parse a serialized xspace; return (rows, meta).
 
-    rows: list of dicts {op, kind, module, count, total_ns} for every
-    event that carries an `hlo_op` stat (i.e. device-executed HLO ops),
-    aggregated over all planes/lines/calls. kind = op name stripped of
-    its trailing `.N` instance id (the HLO opcode-ish rollup key).
+    Two event encodings exist (both seen on this stack):
+      * TPU device plane ("XLA Ops" line): event NAME is the HLO
+        instruction text (`%fusion.3 = bf16[...] fusion(...)`) and the
+        device time is the `device_duration_ps` stat. The sync "XLA Ops"
+        line is authoritative; "Async XLA Ops" duplicates copy-starts.
+      * CPU/host PJRT client lines: events carry an `hlo_op` stat and
+        duration_ns directly.
+    rows: [{op, kind, module, count, total_ns}] aggregated over calls,
+    kind = op name stripped of its trailing `.N` instance id.
     meta: {planes: [...], device_planes: [...]}
     """
     from jax.profiler import ProfileData
 
     p = ProfileData.from_file(str(xplane_fn))
     agg: dict[str, dict] = {}
+
+    def add(hlo: str, module: str, dur_ns: float):
+        r = agg.get(hlo)
+        if r is None:
+            r = agg[hlo] = {"op": hlo, "kind": _TRAIL_ID.sub("", hlo),
+                            "module": module, "count": 0, "total_ns": 0.0}
+        r["count"] += 1
+        r["total_ns"] += dur_ns
+
     planes, dev_planes = [], []
     for pl in p.planes:
         planes.append(pl.name)
-        if pl.name.startswith("/device:"):
+        if pl.name.startswith("/device:") and any(
+                ln.name == "XLA Ops" and next(iter(ln.events), None)
+                for ln in pl.lines):
             dev_planes.append(pl.name)
+
+    for pl in p.planes:
+        if pl.name not in dev_planes:
+            continue
         for ln in pl.lines:
+            if ln.name != "XLA Ops":
+                continue
             for ev in ln.events:
-                st = dict(ev.stats)
-                hlo = st.get("hlo_op")
-                if not hlo or ev.name.startswith("end:"):
+                m = _HLO_NAME.match(ev.name)
+                if not m:
                     continue
-                r = agg.get(hlo)
-                if r is None:
-                    r = agg[hlo] = {
-                        "op": hlo,
-                        "kind": _TRAIL_ID.sub("", hlo),
-                        "module": st.get("hlo_module", ""),
-                        "count": 0, "total_ns": 0.0,
-                    }
-                r["count"] += 1
-                r["total_ns"] += float(ev.duration_ns)
+                st = dict(ev.stats)
+                dur = float(st.get("device_duration_ps", 0.0)) / 1e3 \
+                    or float(ev.duration_ns)
+                add(m.group(1), "", dur)
+    if not agg:  # host-plane fallback (CPU backend): hlo_op-stat events
+        for pl in p.planes:
+            for ln in pl.lines:
+                for ev in ln.events:
+                    st = dict(ev.stats)
+                    hlo = st.get("hlo_op")
+                    if not hlo or ev.name.startswith("end:"):
+                        continue
+                    add(hlo, st.get("hlo_module", ""),
+                        float(ev.duration_ns))
     rows = sorted(agg.values(), key=lambda r: -r["total_ns"])
     return rows, {"planes": planes, "device_planes": dev_planes}
 
