@@ -125,6 +125,8 @@ def lower_pipe(pipe: ConvPipe, tune: Optional[OpTune] = None,
     _prequant_int8_weights(plan)
     if fused_storage and tune.layout == "nhwc":
         _apply_fused_storage(plan, tune)
+        if plan.storage_nhwc and getattr(tune, "q8_edges", False):
+            _apply_int8_edges(plan)
     return plan
 
 
@@ -234,6 +236,65 @@ def _apply_fused_storage(plan: Plan, tune) -> None:
             s.sig.str_vals["edge_prec"] = ep
     plan.storage_nhwc = True
     plan.edge_prec = ep
+
+
+def _apply_int8_edges(plan: Plan) -> None:
+    """int8 storage edges (OpTune q8_edges, storage-NHWC plans only).
+
+    The static-int8 preset's per-site activation quantize is a separate
+    bandwidth-bound kernel per site: the producer conv writes the bf16
+    activation, a clamp/round/convert pass re-reads and re-writes it as
+    int8, then the consumer conv reads the int8 (measured 2.05 ms of the
+    7.6 ms resnet-50 b128 int8 step — cnet_xprof, ROUND4_NOTES). When
+    EVERY consumer of a node is a static-scale prequantized-int8 xla_conv
+    and its single producer is an xla_conv, the edge itself can be stored
+    int8: the producer quantizes in its (already-fused) epilogue
+    (out_q8 + out_scale) and each consumer skips its in-program quantize
+    (in_q8) — the separate pass disappears and the edge's HBM write/read
+    drop from bf16 to int8 bytes. Exact same quantization arithmetic,
+    applied at the producer instead of at each consumer.
+    (TPU-native extension of the reference's per-layer quantize hooks,
+    rtc_fwd.cc:28-37 — same hook point, opposite goal: theirs emulated
+    low precision for accuracy studies, this removes redundant passes.)"""
+    prod: dict[str, list[Step]] = {}
+    cons: dict[str, list[Step]] = {}
+    for s in plan.steps:
+        tmpl = get_template(s.func_name)
+        for an in tmpl.out_args() + tmpl.io_args():
+            if an in s.arg_nodes:
+                prod.setdefault(s.arg_nodes[an], []).append(s)
+        for an in tmpl.in_args() + tmpl.io_args():
+            if an in s.arg_nodes:
+                cons.setdefault(s.arg_nodes[an], []).append(s)
+    skip = set(plan.input_nodes) | set(plan.output_nodes) \
+        | set(plan.weight_nodes)
+    for n, readers in cons.items():
+        if n in skip or len(prod.get(n, ())) != 1:
+            continue
+        p = prod[n][0]
+        if p.func_name != "xla_conv" or p.sig.get_u32_or("out_q8", 0):
+            continue
+        # every reader: a static-scale prequantized int8 xla_conv whose
+        # MAIN input (not filts/biases) is this node
+        scales = []
+        ok = True
+        for r in readers:
+            if (r.func_name != "xla_conv"
+                    or r.arg_nodes.get("in") != n
+                    or not r.sig.get_u32_or("quant8", 0)
+                    or not r.sig.get_u32_or("prequant_w", 0)
+                    or "act_scale" not in r.sig.nda_vals):
+                ok = False
+                break
+            scales.append(float(r.sig.nda_vals["act_scale"].item()))
+        if not ok or not scales or max(scales) != min(scales) \
+                or scales[0] <= 0:
+            continue  # mixed consumers or inconsistent calibration: keep
+        from ..core.dims import NDA as _NDA
+        p.sig.set_u32("out_q8", 1)
+        p.sig.nda_vals["out_scale"] = _NDA.scalar(scales[0], "float")
+        for r in readers:
+            r.sig.set_u32("in_q8", 1)
 
 
 def _fuse_sibling_convs(steps: list[Step], node_dims,

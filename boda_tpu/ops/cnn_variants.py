@@ -88,6 +88,13 @@ class OpTune(Config):
                            "flipped loss->win); 0 = in-program weight "
                            "quant (measured better on nin's small-weight "
                            "huge-K convs: 1.34 vs 1.42 ms)")
+    q8_edges = Attr(bool, default=False,
+                    help="BASE-tune knob (fused-storage NHWC plans): store "
+                         "an activation edge as int8 when all its readers "
+                         "are static-scale prequantized int8 convs — the "
+                         "producer conv quantizes in its epilogue and the "
+                         "readers skip their per-site quantize pass "
+                         "(engine/lower._apply_int8_edges)")
     pool_bwd_gather = Attr(
         bool, default=False,
         help="max-pool backward via the gather-form first-argmax custom "

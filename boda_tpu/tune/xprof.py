@@ -59,11 +59,12 @@ def aggregate_xplane(xplane_fn: str | Path):
     p = ProfileData.from_file(str(xplane_fn))
     agg: dict[str, dict] = {}
 
-    def add(hlo: str, module: str, dur_ns: float):
+    def add(hlo: str, module: str, dur_ns: float, text: str = ""):
         r = agg.get(hlo)
         if r is None:
             r = agg[hlo] = {"op": hlo, "kind": _TRAIL_ID.sub("", hlo),
-                            "module": module, "count": 0, "total_ns": 0.0}
+                            "module": module, "count": 0, "total_ns": 0.0,
+                            "text": text}
         r["count"] += 1
         r["total_ns"] += dur_ns
 
@@ -88,7 +89,7 @@ def aggregate_xplane(xplane_fn: str | Path):
                 st = dict(ev.stats)
                 dur = float(st.get("device_duration_ps", 0.0)) / 1e3 \
                     or float(ev.duration_ns)
-                add(m.group(1), "", dur)
+                add(m.group(1), "", dur, ev.name)
     if not agg:  # host-plane fallback (CPU backend): hlo_op-stat events
         for pl in p.planes:
             for ln in pl.lines:
@@ -133,6 +134,9 @@ class CnetXprof(CnetBench):
                     "construction as cnet_stage_probe --bwd) — decomposes "
                     "the whole-net backward per kernel")
     top_k = Attr(int, default=25, help="rows in the per-op table")
+    dump_fn = Attr(str, default="",
+                   help="also write every row with its full HLO "
+                        "instruction text (shape provenance) to this file")
     trace_dir = Attr(str, default="",
                      help="keep the raw xplane trace here (e.g. for "
                           "TensorBoard); default: temp dir, deleted")
@@ -206,6 +210,14 @@ class CnetXprof(CnetBench):
         rows, meta = aggregate_xplane(find_xplane(tdir))
         if tmp is not None:
             tmp.cleanup()
+        if self.dump_fn:
+            p = self.out_path(self.dump_fn)
+            with open(p, "w") as f:
+                for r in rows:
+                    f.write(f"{r['total_ns'] / 1e6 / self.steps:9.4f} ms "
+                            f"x{r['count']:<4d} "
+                            f"{r.get('text') or r['op']}\n")
+            print(f"wrote {len(rows)} rows to {p}")
 
         total_ns = sum(r["total_ns"] for r in rows)
         name = self.model or self.ptt_fn

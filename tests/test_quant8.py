@@ -294,11 +294,12 @@ _INT8_PAT = ("(res3[a-z0-9]*_branch2b=(use_culibs=1,prec=bf16,layout=nhwc,"
              "quant8=1))")
 
 
-def _trained_gate(num_imgs, batch):
+def _trained_gate(num_imgs, batch, b_extra=""):
     """Run the bf16-vs-int8 cls_agree gate on the TRAINED resnet-50
     (40-class shapes, 94.5% val top-1) at native 224^2 resolution, with
     the act scales calibrated on the trained weights. Returns the parsed
-    stats dict. Held-out images: start_ix=100000 (training used 0..16k)."""
+    stats dict. Held-out images: start_ix=100000 (training used 0..16k).
+    b_extra: extra BASE-tune knobs for engine b (e.g. ',q8_edges=1')."""
     import io as _io
     import re
     from contextlib import redirect_stdout
@@ -307,6 +308,7 @@ def _trained_gate(num_imgs, batch):
     from boda_tpu.core.has_main import create_and_run_has_main
     data = Path(__file__).parent / "data"
     base = "(use_culibs=1,prec=bf16,layout=nhwc,s2d=0,fuse_siblings=1)"
+    base_b = base[:-1] + b_extra + ")" if b_extra else base
     buf = _io.StringIO()
     with redirect_stdout(buf):
         create_and_run_has_main(
@@ -316,7 +318,8 @@ def _trained_gate(num_imgs, batch):
             f"ysz=224,xsz=224,num_classes=40,seed=1,mean=128,"
             f"scale=0.015625),"
             f"conv_fwd=(engine=rtc,op_tune={base}),"
-            f"conv_fwd_b=(engine=rtc,op_tune={base},op_tunes_pat={_INT8_PAT},"
+            f"conv_fwd_b=(engine=rtc,op_tune={base_b},"
+            f"op_tunes_pat={_INT8_PAT},"
             f"act_scales_fn={data / _TRAINED_SCALES}))", {})
     out = buf.getvalue()
     stats = dict(re.findall(r"(\w+)=([0-9.]+)", out))
@@ -359,6 +362,61 @@ def test_int8_preset_top5_on_trained_weights_64imgs():
     assert s["b_top1_in_a_top5"] >= 0.98, s
     assert s["top_1_agree"] >= 0.97, s
     assert s["top_5_overlap"] >= 0.95, s
+
+
+def test_q8_edges_pass_flips_and_guards():
+    """int8 storage edges (engine/lower._apply_int8_edges): a node whose
+    only reader is a static-scale prequant int8 conv flips (producer
+    out_q8 + reader in_q8); dynamic-scale readers and plan outputs must
+    NOT flip. (TPU-native extension of the reference's per-layer quantize
+    hook point, rtc_fwd.cc:28-37.)"""
+    from boda_tpu.models.zoo import build_model
+    from boda_tpu.tune.presets import calibrate_int8_act_scales
+    base = "(use_culibs=1,prec=bf16,layout=nhwc,s2d=0)"
+    baseq = base[:-1] + ",q8_edges=1)"
+    pipe = build_model("mini", batch=2)
+    x = (np.random.RandomState(0).randn(2, 3, 32, 32) * 40) \
+        .astype(np.float32)
+    q = make_op_tune(base[:-1] + ",quant8=1)")
+    # static reader: conv1 -> cccp1 flips
+    tunes = calibrate_int8_act_scales(pipe, base, x, {"cccp1": q})
+    plan = lower_pipe(pipe, make_op_tune(baseq), op_tunes=tunes,
+                      fused_storage=True)
+    bits = {s.call_tag: (s.sig.get_u32_or("out_q8", 0),
+                         s.sig.get_u32_or("in_q8", 0))
+            for s in plan.steps}
+    assert bits["conv1"] == (1, 0) and bits["cccp1"] == (0, 1), bits
+    assert float(next(s for s in plan.steps if s.call_tag == "conv1")
+                 .sig.nda_vals["out_scale"].item()) \
+        == tunes["cccp1"].act_scale
+    # DYNAMIC reader (no act_scale): nothing flips
+    plan_dyn = lower_pipe(pipe, make_op_tune(baseq), op_tunes={"cccp1": q},
+                          fused_storage=True)
+    assert not any(s.sig.get_u32_or("out_q8", 0) for s in plan_dyn.steps)
+    # numeric agreement: the flipped program matches the unflipped one
+    # (same quantization arithmetic applied at the producer; elements at
+    # a rounding boundary may move by one int8 code)
+    import jax
+    plan0 = lower_pipe(pipe, make_op_tune(base), op_tunes=tunes,
+                       fused_storage=True)
+    f0, f1 = build_fused_forward(plan0), build_fused_forward(plan)
+    w0 = resolve_plan_weights(plan0, pipe.op_params)
+    w1 = resolve_plan_weights(plan, pipe.op_params)
+    p0 = np.asarray(jax.jit(lambda a, w: f0({"data": a}, w)["prob"])(x, w0))
+    p1 = np.asarray(jax.jit(lambda a, w: f1({"data": a}, w)["prob"])(x, w1))
+    assert np.abs(p0 - p1).max() <= 0.02, np.abs(p0 - p1).max()
+
+
+def test_q8_edges_trained_weights_agreement():
+    """The q8_edges program on the TRAINED resnet-50 at 224^2 must keep
+    the int8 preset's accuracy story (measured 2026-08-19, 16 imgs CPU:
+    top-1 agreement 1.0, top-5 overlap 1.0, identical accuracy)."""
+    s = _trained_gate(num_imgs=8, batch=8, b_extra=",q8_edges=1")
+    assert s["num_test"] == 8
+    assert s["top_1_acc_a"] >= 0.75 and s["top_1_acc_b"] >= 0.75, s
+    assert s["num_pos_b"] >= s["num_pos_a"] - 1, s
+    assert s["b_top1_in_a_top5"] == 1.0, s
+    assert s["top_1_agree"] >= 0.875, s
 
 
 def test_prequant_weights_match_in_program_quant():
