@@ -31,6 +31,54 @@ transpose time rather than silently running slow.
 from __future__ import annotations
 
 
+def relu_store(y, dt):
+    """Fused relu+storage-convert epilogue with an OUTPUT-residual VJP.
+
+    Forward: maximum(y.astype(dt), 0) — bit-identical to the plain
+    maximum(y, 0).astype(dt) epilogue (round-to-nearest preserves sign,
+    and maximum(-0, 0) = +0), so inference programs and golden digests
+    are unchanged.
+
+    The point is the backward residual. jnp.maximum's VJP saves its
+    INPUT — the f32 pre-activation — so every conv+relu in a training
+    graph stores a full f32 activation tensor alongside the bf16 edge
+    (measured: the f32[img,y,x,chan] residual stores/re-reads were the
+    dominant non-matmul traffic in the resnet-50 b128 training step,
+    cnet_xprof --bwd, ROUND4_NOTES r4). Here the residual is the OUTPUT
+    tensor itself: the same buffer the consumer op reads, so XLA
+    aliases them and the epilogue adds ZERO residual traffic. The mask
+    out > 0 differs from y > 0 only where a positive y rounds to +0 in
+    `dt` (subgradient at the kink — any choice is valid).
+    """
+    global _relu_out
+    import jax.numpy as jnp
+    if _relu_out is None:
+        _relu_out = _make_relu_out()
+    return _relu_out(y.astype(jnp.dtype(dt)))
+
+
+def _make_relu_out():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.custom_vjp
+    def _relu_out(y):
+        return jnp.maximum(y, 0)
+
+    def _fwd(y):
+        out = jnp.maximum(y, 0)
+        return out, out
+
+    def _bwd(out, g):
+        return (jnp.where(out > 0, g, 0),)
+
+    _relu_out.defvjp(_fwd, _bwd)
+    return _relu_out
+
+
+_relu_out = None  # built lazily on first relu_store call (defers jax)
+
+
 def mxu_conv(x, w, *, window_strides, padding, dimension_numbers,
              feature_group_count: int = 1, lhs_dilation=None,
              rhs_dilation=None, compute_dtype=None):

@@ -203,9 +203,14 @@ class XlaConv2(KernelTemplate):
                 yi = y[..., off:off + n_i]
                 off += n_i
                 if relu_i:
-                    yi = jnp.maximum(yi, 0)
+                    # output-residual epilogue (ops/mxu_grad.relu_store):
+                    # bit-identical forward, no f32 residual under grad
+                    from ..mxu_grad import relu_store
+                    yi = relu_store(yi, dt_i)
+                else:
+                    yi = yi.astype(dt_i)
                 if not io_nhwc:
                     yi = jnp.transpose(yi, (0, 3, 1, 2))
-                outs.append(yi.astype(dt_i))
+                outs.append(yi)
             return tuple(outs)
         return fn
