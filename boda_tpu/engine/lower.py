@@ -251,8 +251,11 @@ def _apply_int8_edges(plan: Plan) -> None:
     int8: the producer quantizes in its (already-fused) epilogue
     (out_q8 + out_scale) and each consumer skips its in-program quantize
     (in_q8) — the separate pass disappears and the edge's HBM write/read
-    drop from bf16 to int8 bytes. Exact same quantization arithmetic,
-    applied at the producer instead of at each consumer.
+    drop from bf16 to int8 bytes. Same quantization arithmetic up to one
+    int8 code at bucket boundaries: the producer quantizes its f32
+    accumulator, where the replaced per-site pass quantized the
+    bf16-ROUNDED stored edge (test_q8_edges_pass_flips_and_guards pins
+    the resulting <=0.02 prob delta) — not bit-identical.
     (TPU-native extension of the reference's per-layer quantize hooks,
     rtc_fwd.cc:28-37 — same hook point, opposite goal: theirs emulated
     low precision for accuracy studies, this removes redundant passes.)"""

@@ -167,13 +167,20 @@ def gpipe_plan_forward(plan, segments, weights: dict, x_mb, mesh,
     # record (dtype, offset, size, shape) per weight for in-branch unpack
     wmeta = []  # per stage: [(dt_key, off, size, shape), ...]
     flats = []  # per stage: {dt_key: 1-D np array}
+    # key by dtype NAME, not v.dtype.str: ml_dtypes bfloat16's .str is
+    # '<V2' (void — np.zeros on it can't accept bf16 data, and any two
+    # 2-byte custom dtypes would collide); keep the dtype object per key
+    dt_objs: dict[str, np.dtype] = {}
     for s in segments:
         offs: dict[str, int] = {}
         parts: dict[str, list] = {}
         meta = []
         for n in s.weight_names:
             v = np.asarray(weights[n])
-            dk = v.dtype.str
+            dk = str(v.dtype)
+            if dt_objs.setdefault(dk, v.dtype) != v.dtype:
+                raise RtErr(f"gpipe_plan_forward: dtype name '{dk}' is "
+                            f"ambiguous ({dt_objs[dk]} vs {v.dtype})")
             off = offs.get(dk, 0)
             meta.append((dk, off, v.size, v.shape))
             offs[dk] = off + v.size
@@ -183,8 +190,8 @@ def gpipe_plan_forward(plan, segments, weights: dict, x_mb, mesh,
     dt_keys = sorted({dk for f in flats for dk in f})
     wbufs = {}
     for dk in dt_keys:
-        wmax = max(f.get(dk, np.empty(0, np.dtype(dk))).size for f in flats)
-        buf = np.zeros((K, max(wmax, 1)), np.dtype(dk))
+        wmax = max(f.get(dk, np.empty(0, dt_objs[dk])).size for f in flats)
+        buf = np.zeros((K, max(wmax, 1)), dt_objs[dk])
         for k, f in enumerate(flats):
             v = f.get(dk)
             if v is not None:
