@@ -422,6 +422,23 @@ class CnetStageProbe(_NetMode):
                   f"(isolated-sum / whole = {total / secs:.3f})")
 
 
+def pat_tunes(pipe, op_tunes_pat: dict):
+    """Resolve per-op tune overrides by TAG REGEX onto a pipe's ops
+    (shared by cnet_bench and train_bench)."""
+    import re
+
+    from ..ops.cnn_variants import make_op_tune
+    out = {}
+    for pat, spec in op_tunes_pat.items():
+        rx = re.compile(pat)
+        t = make_op_tune(spec)
+        for op in pipe.ops.values():
+            if rx.fullmatch(op.tag):
+                out[op.tag] = t
+    print(f"op_tunes_pat: tuned {len(out)} op(s)", flush=True)
+    return out or None
+
+
 @mode("cnet_bench", help="slope-timed whole-net throughput benchmark")
 class CnetBench(_NetMode):
     op_tune = Attr(OpTune,
@@ -445,18 +462,7 @@ class CnetBench(_NetMode):
                                  "(xla_tpu_scoped_vmem_limit_kib=114688)")
 
     def _pat_tunes(self, pipe):
-        import re
-
-        from ..ops.cnn_variants import make_op_tune
-        out = {}
-        for pat, spec in self.op_tunes_pat.items():
-            rx = re.compile(pat)
-            t = make_op_tune(spec)
-            for op in pipe.ops.values():
-                if rx.fullmatch(op.tag):
-                    out[op.tag] = t
-        print(f"op_tunes_pat: tuned {len(out)} op(s)", flush=True)
-        return out or None
+        return pat_tunes(pipe, self.op_tunes_pat)
 
     def _wisdom_tunes(self, pipe):
         from ..backend.iface import make_backend
@@ -685,13 +691,19 @@ class TrainBench(_NetMode):
     recipe. An f32 tune (prec unset) measures the full-f32 path, which
     _dot_precision deliberately runs at the multi-pass HIGHEST rate
     (~4x slower MXU; measured 77 vs 20 ms class, docs/PERF.md). quant8
-    sites are inference-only; don't add them."""
+    sites are inference-only; don't add them — the TRAINING int8 knob is
+    grad_q8 (int8 weight-gradient convs, per-site via --op-tunes-pat)."""
 
     op_tune = Attr(OpTune,
                    default="(use_culibs=1,prec=bf16,layout=nhwc,s2d=0,"
                            "fuse_siblings=1)",
                    help="tune record (default: shipped bf16 config; "
                         "grads via the mxu_grad custom VJP)")
+    op_tunes_pat = Attr(dict[str, str], default=None,
+                        help="per-op tune overrides by TAG REGEX (e.g. "
+                             "(res[45].*=(use_culibs=1,prec=bf16,layout="
+                             "nhwc,grad_q8=1)) — selective int8-wgrad "
+                             "training experiments)")
     lr = Attr(float, default=0.01)
     optimizer = Attr(str, default="sgd",
                      help="sgd | momentum | adam (optimizer state "
@@ -725,7 +737,10 @@ class TrainBench(_NetMode):
 
         enable_compilation_cache()
         pipe = _load_pipe(self)
-        plan = lower_pipe(pipe, self.op_tune, fused_storage=True)
+        op_tunes = pat_tunes(pipe, self.op_tunes_pat) \
+            if self.op_tunes_pat else None
+        plan = lower_pipe(pipe, self.op_tune, op_tunes=op_tunes,
+                          fused_storage=True)
         weights = resolve_plan_weights(plan, pipe.op_params)
         data_node = pipe.data_img_node_names[0]
         from_logits = False

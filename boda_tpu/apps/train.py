@@ -365,6 +365,10 @@ class CnetTrain(_NetMode):
                            "fuse_siblings=1)",
                    help="tune record (bf16: mixed-precision training via "
                         "the mxu_grad custom VJP)")
+    op_tunes_pat = Attr(dict[str, str], default=None,
+                        help="per-op tune overrides by TAG REGEX (e.g. "
+                             "grad_q8=1 on a site set: int8 weight-"
+                             "gradient training experiments)")
     stream = Attr(DataStream, default=None,
                   help="labeled data source, e.g. (mode=lmdb-src,"
                        "fn=...,mean=128); blocks must match the net's "
@@ -615,7 +619,12 @@ class CnetTrain(_NetMode):
                             "weighted ops")
             print(f"zero-initialized filts of {nz} op(s) "
                   f"(fixup-style residual init)", flush=True)
-        plan = lower_pipe(pipe, self.op_tune, fused_storage=True,
+        op_tunes = None
+        if self.op_tunes_pat:
+            from .cnet_bench import pat_tunes
+            op_tunes = pat_tunes(pipe, self.op_tunes_pat)
+        plan = lower_pipe(pipe, self.op_tune, op_tunes=op_tunes,
+                          fused_storage=True,
                           train_dropout=self.train_dropout)
         weights = resolve_plan_weights(plan, pipe.op_params)
         data_node = pipe.data_img_node_names[0]
@@ -658,7 +667,8 @@ class CnetTrain(_NetMode):
             # evaluation runs the INFERENCE forward (dropout = identity);
             # the trained weights dict feeds it directly (same weight
             # nodes — dropout lowering adds none)
-            plan_ev = lower_pipe(pipe, self.op_tune, fused_storage=True)
+            plan_ev = lower_pipe(pipe, self.op_tune, op_tunes=op_tunes,
+                                 fused_storage=True)
             fwd_ev = build_fused_forward(
                 plan_ev, extra_out_nodes=(top,)
                 if top not in plan_ev.output_nodes else ())

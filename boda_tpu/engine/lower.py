@@ -401,6 +401,10 @@ def _fuse_sibling_convs(steps: list[Step], node_dims,
             if scales:
                 from ..core.dims import NDA as _NDA
                 sig.nda_vals["act_scale"] = _NDA.scalar(max(scales), "float")
+        if all(m.sig.get_u32_or("grad_q8", 0) for m in members):
+            # int8 wgrad (training) survives fusion only when EVERY
+            # member opted in — the fused step has ONE weight gradient
+            sig.set_u32("grad_q8", 1)
         for k in ("prec", "layout"):
             if k in s.sig.str_vals:
                 sig.str_vals[k] = s.sig.str_vals[k]

@@ -88,6 +88,14 @@ class OpTune(Config):
                            "flipped loss->win); 0 = in-program weight "
                            "quant (measured better on nin's small-weight "
                            "huge-K convs: 1.34 vs 1.42 ms)")
+    grad_q8 = Attr(bool, default=False,
+                   help="TRAINING: compute this site's weight-gradient "
+                        "contraction on the int8 MXU (dynamic per-tensor "
+                        "activation scale + per-out-channel cotangent "
+                        "scale, int8x8->int32 conv, f32 rescale — "
+                        "ops/mxu_grad._wgrad_q8); the input gradient "
+                        "stays bf16. Forward numerics unchanged. "
+                        "Honored on xla_conv/xla_conv2 NHWC sites")
     q8_edges = Attr(bool, default=False,
                     help="BASE-tune knob (fused-storage NHWC plans): store "
                          "an activation edge as int8 when all its readers "
@@ -257,6 +265,13 @@ def add_cnn_codegen_annotations(op: OpBase, tune: OpTune,
             op.nda_vals.pop("quant8", None)
             op.nda_vals.pop("act_scale", None)
             op.nda_vals.pop("no_prequant", None)
+        if t.grad_q8 and fn == "xla_conv" and fd["in_chan"] >= 16:
+            # int8 weight-gradient contraction (training); same
+            # thin-channel gate as quant8 — the stem's error dominates
+            # while its wgrad flops don't
+            op.set_u32("grad_q8", 1)
+        else:
+            op.nda_vals.pop("grad_q8", None)
     elif op.type == "InnerProduct":
         op.set_func_name("ipconv" if t.ipconv else "xla_conv")
         _set_or_pop_str(op, "prec", t.prec)

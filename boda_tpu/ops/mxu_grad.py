@@ -81,7 +81,8 @@ _relu_out = None  # built lazily on first relu_store call (defers jax)
 
 def mxu_conv(x, w, *, window_strides, padding, dimension_numbers,
              feature_group_count: int = 1, lhs_dilation=None,
-             rhs_dilation=None, compute_dtype=None):
+             rhs_dilation=None, compute_dtype=None,
+             wgrad_int8: bool = False):
     """conv_general_dilated with `compute_dtype` operands, f32 output
     accumulation, and a mixed-precision custom VJP.
 
@@ -91,7 +92,18 @@ def mxu_conv(x, w, *, window_strides, padding, dimension_numbers,
     convs run one-pass bf16 with in-hardware f32 accumulation. Returned
     cotangents match the (cast) operand dtypes; the enclosing
     `astype(cd)` casts round-trip them to the caller's dtypes (f32
-    master weights stay f32)."""
+    master weights stay f32).
+
+    wgrad_int8 (OpTune grad_q8): compute the WEIGHT-gradient contraction
+    on the int8 MXU — dynamic per-tensor quantization of the saved
+    activation, per-out-channel quantization of the cotangent, int8x
+    int8->int32 conv, f32 rescale (the training-side analog of the
+    quant8 forward path; the reference profiled its BckConv generators
+    like any op, cnn_codegen.cc:480+ / rtc_prof.cc:44). The input
+    gradient (dgrad) stays bf16 — it feeds the whole downstream chain,
+    while dW meets an lr-scaled optimizer update. Honored only for the
+    plain NHWC no-dilation single-group conv (the trainable xla_conv /
+    xla_conv2 storage path); other forms silently keep the bf16 VJP."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -108,6 +120,12 @@ def mxu_conv(x, w, *, window_strides, padding, dimension_numbers,
     if rhs_dilation is not None:
         kw["rhs_dilation"] = tuple(rhs_dilation)
     prec = _dot_precision(cd)
+    wgrad_int8 = bool(
+        wgrad_int8
+        and dimension_numbers == ("NHWC", "HWIO", "NHWC")
+        and feature_group_count == 1
+        and (lhs_dilation is None or tuple(lhs_dilation) == (1, 1))
+        and (rhs_dilation is None or tuple(rhs_dilation) == (1, 1)))
 
     @jax.custom_vjp
     def _conv(xc, wc):
@@ -122,10 +140,56 @@ def mxu_conv(x, w, *, window_strides, padding, dimension_numbers,
         xc, wc = res
         # uniform-dtype conv: transposable by jax; on TPU its grad convs
         # are one-pass bf16 (f32 hardware accumulate, one final rounding)
-        _, vjp = jax.vjp(
-            lambda a, b: lax.conv_general_dilated(a, b, precision=prec,
-                                                  **kw), xc, wc)
-        return vjp(g.astype(cd))
+        if not wgrad_int8:
+            _, vjp = jax.vjp(
+                lambda a, b: lax.conv_general_dilated(a, b, precision=prec,
+                                                      **kw), xc, wc)
+            return vjp(g.astype(cd))
+        # dgrad: bf16 via jax's transpose w.r.t. the input only
+        _, vjp_x = jax.vjp(
+            lambda a: lax.conv_general_dilated(a, wc, precision=prec,
+                                               **kw), xc)
+        dx, = vjp_x(g.astype(cd))
+        return dx, _wgrad_q8(xc, wc, g, tuple(window_strides),
+                             kw["padding"]).astype(cd)
 
     _conv.defvjp(_fwd, _bwd)
     return _conv(x.astype(cd), w.astype(cd))
+
+
+def _wgrad_q8(xc, wc, g, window_strides, padding):
+    """int8 weight-gradient conv (NHWC / HWIO / NHWC forward only).
+
+    dW[ky,kx,I,O] = Σ_{n,oy,ox} x[n, oy·s+ky−p, ox·s+kx−p, I] · g[n,oy,ox,O]
+    — a conv with x as lhs (batch axis acting as the contracted feature),
+    the cotangent as the kernel (dilated by the forward stride), and the
+    kernel taps as the output spatial extent: dimension_numbers
+    ("CHWN","IHWO","HWNC"), window_strides = fwd rhs_dilation = 1,
+    rhs_dilation = fwd stride, pad_lo = fwd pad_lo, pad_hi chosen so the
+    output spatial extent is exactly (ky,kx) (jax's own transpose-rhs
+    padding rule). Quantization: per-tensor dynamic scale for the saved
+    activation, per-out-channel scale for the cotangent (each dW column
+    O rescales independently — gradients' dynamic range lives across
+    output channels); int8×int8→int32 on the MXU, one f32 rescale."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    xf = xc.astype(jnp.float32)
+    s_x = jnp.max(jnp.abs(xf)) / 127.0 + 1e-30
+    xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    gf = g.astype(jnp.float32)
+    s_g = jnp.max(jnp.abs(gf), axis=(0, 1, 2), keepdims=True) / 127.0 \
+        + 1e-30
+    gq = jnp.clip(jnp.round(gf / s_g), -127, 127).astype(jnp.int8)
+    pads = []
+    for d in range(2):
+        in_d, k_d, o_d = xc.shape[1 + d], wc.shape[d], g.shape[1 + d]
+        lo = padding[d][0]
+        pads.append((lo, (o_d - 1) * window_strides[d] + 1 - in_d
+                     + k_d - lo - 1))
+    dwq = lax.conv_general_dilated(
+        xq, gq, window_strides=(1, 1), padding=pads,
+        rhs_dilation=window_strides,
+        dimension_numbers=("CHWN", "IHWO", "HWNC"),
+        preferred_element_type=jnp.int32)
+    return dwq.astype(jnp.float32) * (s_x * s_g.reshape(1, 1, 1, -1))

@@ -55,7 +55,8 @@ class XlaConv2(KernelTemplate):
             adecl("out_c", OUT, "img chan y x", opt=True),
             adecl("out_d", OUT, "img chan y x", opt=True)]
     sig_nda_keys = ["in_pad", "stride", "kern_sz", "relu_a", "relu_b",
-                    "relu_c", "relu_d", "quant8", "act_scale", "prequant_w"]
+                    "relu_c", "relu_d", "quant8", "act_scale", "prequant_w",
+                    "grad_q8"]
     sig_str_keys = ["prec", "layout"]
 
     @classmethod
@@ -126,6 +127,7 @@ class XlaConv2(KernelTemplate):
         out_dts = [rfs.get_dims(f"out_{s}").dtype for s in sibs]
         bf16 = rfs.str_vals.get("prec") == "bf16"
         quant8 = rfs.get_u32_or("quant8", 0) == 1
+        grad_q8 = rfs.get_u32_or("grad_q8", 0) == 1
         prequant = rfs.get_u32_or("prequant_w", 0) == 1
         act_absmax = float(rfs.nda_vals["act_scale"].item()) \
             if "act_scale" in rfs.nda_vals else 0.0
@@ -195,7 +197,7 @@ class XlaConv2(KernelTemplate):
                     xh, wh, window_strides=(sy, sx),
                     padding=((py, py), (px, px)),
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    compute_dtype=cdt)
+                    compute_dtype=cdt, wgrad_int8=grad_q8)
             y = y + b.astype(y.dtype)[None, None, None, :]
             outs = []
             off = 0

@@ -181,6 +181,165 @@ def test_autodiff_matches_add_bck_ops():
     assert _mrd(g["fc_filts"], want["fc_filts_grad_loss"].v) < 5e-2
 
 
+WGRAD_Q8_CASES = [
+    # (N, H, W, I, O, k, s, p)
+    (2, 10, 10, 8, 16, 3, 1, 1),
+    (2, 11, 13, 8, 16, 3, 2, 1),
+    (2, 14, 14, 8, 16, 1, 2, 0),
+    (1, 9, 9, 4, 8, 5, 2, 2),
+    (2, 8, 8, 8, 8, 1, 1, 0),
+]
+
+
+@pytest.mark.parametrize("case", WGRAD_Q8_CASES)
+def test_wgrad_int8_integer_exact(case):
+    """The int8 weight-gradient conv (mxu_grad._wgrad_q8) computes the
+    same contraction as jax's transpose: on small-integer data the int8
+    quantization is EXACT, so the only deltas vs the bf16 VJP are the
+    f32 rescale and the shared bf16 output rounding (<=2^-8 relative).
+    The input gradient must be bit-identical (same bf16 dgrad path)."""
+    n, h, w_, i, o, k, s, p = case
+    rng = np.random.RandomState(0)
+    x = rng.randint(-7, 8, (n, h, w_, i)).astype(np.float32)
+    w = rng.randint(-7, 8, (k, k, i, o)).astype(np.float32)
+    oy = (h + 2 * p - k) // s + 1
+    ox = (w_ + 2 * p - k) // s + 1
+    c = rng.randint(-3, 4, (n, oy, ox, o)).astype(np.float32)
+
+    def loss(q8):
+        def f(xx, ww):
+            y = mxu_conv(xx, ww, window_strides=(s, s),
+                         padding=((p, p), (p, p)),
+                         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                         wgrad_int8=q8)
+            return (y * c).sum()
+        return f
+
+    gx_ref, gw_ref = jax.grad(loss(False), argnums=(0, 1))(x, w)
+    gx_q8, gw_q8 = jax.grad(loss(True), argnums=(0, 1))(x, w)
+    np.testing.assert_array_equal(np.asarray(gx_q8), np.asarray(gx_ref))
+    assert _mrd(gw_q8, gw_ref) < 1e-2, _mrd(gw_q8, gw_ref)
+
+
+def test_wgrad_int8_float_tolerance():
+    """Random float data: per-tensor activation + per-out-channel
+    cotangent scales keep the int8 dW within ~2% max-relative of the
+    bf16 dW (measured 1.3-1.4%; the budget a momentum-SGD step
+    tolerates — the accuracy claim itself is gated by training,
+    test_quant8 trained-weights gates)."""
+    rng = np.random.RandomState(0)
+    x = np.abs(rng.randn(4, 14, 14, 32)).astype(np.float32)
+    w = (rng.randn(3, 3, 32, 64) * 0.1).astype(np.float32)
+    c = rng.randn(4, 14, 14, 64).astype(np.float32)
+
+    def loss(q8):
+        def f(xx, ww):
+            y = mxu_conv(xx, ww, window_strides=(1, 1),
+                         padding=((1, 1), (1, 1)),
+                         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                         wgrad_int8=q8)
+            return (y * c).sum()
+        return f
+
+    gw_ref = jax.grad(loss(False), argnums=1)(x, w)
+    gw_q8 = jax.grad(loss(True), argnums=1)(x, w)
+    a = np.asarray(gw_q8, np.float64)
+    b = np.asarray(gw_ref, np.float64)
+    assert _mrd(a, b) < 2e-2, _mrd(a, b)
+    cos = np.vdot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.999, cos
+
+
+def test_grad_q8_knob_lowers_int8_wgrad():
+    """OpTune grad_q8 flows tune -> annotation -> sig -> template ->
+    mxu_conv: the training jaxpr contains an int8 conv (the wgrad), the
+    forward program is unchanged (bit-identical primal), and grads track
+    the bf16 path."""
+    from boda_tpu.engine.lower import lower_pipe, resolve_plan_weights
+    from boda_tpu.engine.rtc_fwd import build_fused_forward
+    from boda_tpu.models.zoo import build_model
+    from boda_tpu.ops.cnn_variants import make_op_tune
+
+    pipe = build_model("mini", batch=2)
+    base = "(use_culibs=1,prec=bf16,layout=nhwc,s2d=0)"
+    q8 = make_op_tune(base[:-1] + ",grad_q8=1)")
+    sites = {op.tag: q8 for op in pipe.ops.values()
+             if op.type == "Convolution"
+             and op.get_dims("filts")["in_chan"] >= 16}
+    assert sites, "mini net must have a grad_q8-eligible conv"
+
+    def make(op_tunes):
+        plan = lower_pipe(pipe, make_op_tune(base), op_tunes=op_tunes,
+                          fused_storage=True)
+        if op_tunes:
+            assert any(s.sig.get_u32_or("grad_q8", 0) for s in plan.steps)
+        fwd = build_fused_forward(plan)
+        w = resolve_plan_weights(plan, pipe.op_params)
+        return fwd, w
+
+    rng = np.random.RandomState(0)
+    d = pipe.get_data_img_dims()
+    x = (rng.randn(*d.shape) * 0.1).astype(np.float32)
+    labels = jnp.asarray(rng.randint(0, 8, size=(d["img"],)), jnp.int32)
+
+    def loss_of(fwd):
+        def loss(w):
+            p = fwd({"data": x}, w)["prob"]
+            if p.ndim == 4:
+                p = p.mean(axis=(2, 3))
+            logp = jnp.log(jnp.maximum(p.astype(jnp.float32), 1e-30))
+            return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], 1))
+        return loss
+
+    fwd_q, w_q = make(sites)
+    fwd_b, w_b = make(None)
+    # forward program unchanged: grad_q8 is backward-only
+    np.testing.assert_array_equal(
+        np.asarray(fwd_q({"data": x}, w_q)["prob"]),
+        np.asarray(fwd_b({"data": x}, w_b)["prob"]))
+    jaxpr_q = str(jax.make_jaxpr(jax.grad(loss_of(fwd_q)))(w_q))
+    jaxpr_b = str(jax.make_jaxpr(jax.grad(loss_of(fwd_b)))(w_b))
+    assert "i8[" in jaxpr_q, "grad jaxpr must carry the int8 wgrad conv"
+    assert "i8[" not in jaxpr_b
+    g_q = jax.grad(loss_of(fwd_q))(w_q)
+    g_b = jax.grad(loss_of(fwd_b))(w_b)
+    for k in g_b:
+        assert _mrd(g_q[k], g_b[k]) < 6e-2, (k, _mrd(g_q[k], g_b[k]))
+
+
+def test_grad_q8_survives_sibling_fusion():
+    """xla_conv2 (fused sibling pair): grad_q8 set on ALL members
+    propagates to the fused sig and the fused training jaxpr carries the
+    int8 wgrad conv."""
+    from boda_tpu.engine.lower import lower_pipe, resolve_plan_weights
+    from boda_tpu.engine.rtc_fwd import build_fused_forward
+    from boda_tpu.models.zoo import NetBuilder
+    from boda_tpu.ops.cnn_variants import make_op_tune
+
+    b = NetBuilder("sibnet", 2, 16, 8, 8)
+    b.conv("a", 16, 1, relu=True)
+    b.conv("b", 16, 1, relu=False, in_node="data")
+    b.eltwise("add", ["a", "b"])
+    pipe = b.done(seed=5)
+    base = "(use_culibs=1,prec=bf16,layout=nhwc,s2d=0,fuse_siblings=1)"
+    q8 = make_op_tune(base[:-1] + ",grad_q8=1)")
+    plan = lower_pipe(pipe, make_op_tune(base),
+                      op_tunes={"a": q8, "b": q8}, fused_storage=True)
+    fused = [s for s in plan.steps if s.func_name == "xla_conv2"]
+    assert fused and fused[0].sig.get_u32_or("grad_q8", 0) == 1
+    fwd = build_fused_forward(plan)
+    w = resolve_plan_weights(plan, pipe.op_params)
+    x = np.random.RandomState(0).randn(2, 16, 8, 8).astype(np.float32)
+
+    def loss(w):
+        return fwd({"data": x}, w)["add"].astype(jnp.float32).sum()
+
+    assert "i8[" in str(jax.make_jaxpr(jax.grad(loss))(w))
+    g = jax.grad(loss)(w)
+    assert all(np.isfinite(np.asarray(v, np.float32)).all()
+               for v in g.values())
+
+
 def test_training_reduces_loss():
     """End-to-end: a few SGD steps through the bf16 fused program
     overfit a fixed batch — loss must strictly decrease."""
