@@ -109,6 +109,81 @@ def test_gpipe_resnet50_matches_sequential(tune):
         np.testing.assert_allclose(got_log, want, rtol=tol, atol=tol)
 
 
+@pytest.mark.parametrize("tune", [
+    "",
+    pytest.param("(use_culibs=1,prec=bf16,layout=nhwc,s2d=0,"
+                 "fuse_siblings=1)", marks=pytest.mark.slow)])
+def test_gpipe_train_step_grads_match_sequential(tune):
+    """Pipeline-parallel TRAINING (VERDICT r4 #4): the GPipe microbatch
+    grad-accumulation schedule (forward ring + reverse cotangent ring
+    over the same imported resnet-50 segments) produces the SAME loss
+    and weight gradients as running the segments sequentially and
+    summing grads over microbatches."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from boda_tpu.engine.rtc_fwd import _storage_in
+    from boda_tpu.parallel.pipeline import gpipe_plan_train_step
+
+    # prob (softmax) is dropped from the segmented net's loss path: the
+    # head segment ends at prob; train on its input via log on the probs
+    # would lose precision — instead segment to fc1000-conv logits
+    from boda_tpu.engine.lower import lower_pipe, resolve_plan_weights
+    from boda_tpu.engine.segments import build_plan_segments
+    from boda_tpu.models.zoo import build_model
+    from boda_tpu.ops.cnn_variants import make_op_tune
+    pipe = build_model("resnet-50", batch=2, ysz=32, xsz=32,
+                       num_classes=16)
+    plan = lower_pipe(pipe, make_op_tune(tune) if tune else None,
+                      fused_storage=bool(tune))
+    weights = resolve_plan_weights(plan, pipe.op_params)
+    segs = build_plan_segments(
+        plan, weights, "stem:conv1+pool1+res2|s3:res3|s4:res4|"
+                       "head:res5+pool5+fc1000-conv")
+    assert segs[-1].out_node == "fc1000-conv"
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("pp",))
+    rng = np.random.RandomState(0)
+    d = pipe.get_data_img_dims()
+    M = 3
+    x_mb = (rng.randn(M, *d.shape) * 0.1).astype(np.float32)
+    labels = rng.randint(0, 16, size=(M, d.shape[0])).astype(np.int32)
+
+    from boda_tpu.engine.rtc_fwd import _storage_out
+
+    def loss_fn(y_storage, labs):
+        y = _storage_out(y_storage, plan.node_dims["fc1000-conv"], plan)
+        logits = y[:, :, 0, 0].astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=1)
+        return -jnp.mean(jnp.take_along_axis(logp, labs[:, None], 1))
+
+    loss_pp, g_pp = gpipe_plan_train_step(
+        plan, segs, weights, x_mb, labels, mesh, loss_fn)
+
+    # sequential reference: same segments, same loss, summed over
+    # microbatches
+    def seq_loss(w):
+        tot = jnp.float32(0)
+        for i in range(M):
+            v = _storage_in(x_mb[i], plan)
+            for s in segs:
+                v = s.fn(v, *[w[n] for n in s.weight_names])
+            tot = tot + loss_fn(v, jnp.asarray(labels[i]))
+        return tot
+
+    want_loss, want_g = jax.value_and_grad(seq_loss)(
+        {n: weights[n] for s in segs for n in s.weight_names})
+    tol = 5e-2 if tune else 1e-4
+    assert abs(float(loss_pp) - float(want_loss)) \
+        <= tol * max(abs(float(want_loss)), 1e-6)
+    assert set(g_pp) == set(want_g)
+    for n in sorted(want_g):
+        a = np.asarray(g_pp[n], np.float64)
+        b = np.asarray(want_g[n], np.float64)
+        m = np.abs(a - b).max() / max(np.abs(b).max(), 1e-12)
+        assert m < tol, (n, m)
+
+
 def test_gpipe_plan_forward_errors():
     import jax
     from jax.sharding import Mesh
