@@ -281,6 +281,11 @@ class ServeBench(RunCnetBase):
     wire_fmt = Attr(str, default="f32",
                     help="image wire format (f32 = host-preprocessed CHW, "
                          "u8 = raw HWC with device-fused preprocessing)")
+    engine = Attr(str, default="",
+                  help="conv_fwd spec lexp forwarded to the server, e.g. "
+                       "(mode=rtc,op_tune=(...,q8_edges=1),op_tunes_pat="
+                       "(...quant8 sites...),act_scales_fn=...) — the "
+                       "int8-resident serving A/B (VERDICT r4 #3)")
     out_fn = Attr(str, default="", help="also append a one-line lexp record here")
 
     def main(self):
@@ -290,7 +295,7 @@ class ServeBench(RunCnetBase):
         from ..io.img import img_to_chw, make_test_pattern_img
         from ..parallel.transport import make_stream
 
-        srv = AioClsServer.init_from_lexp(Lexp.from_obj({
+        srv_cfg = {
             "model": self.model or "mini",
             "batch": str(self.batch),
             "port": "0",
@@ -298,7 +303,14 @@ class ServeBench(RunCnetBase):
             "batch_window_ms": str(self.batch_window_ms),
             "num_requests": "0",  # quit-driven: engine survives both phases
             "wire_fmt": self.wire_fmt,
-            "top_k": str(self.top_k)}))
+            "top_k": str(self.top_k)}
+        if self.model_opts:
+            srv_cfg["model_opts"] = self.model_opts
+        if self.weights_fn:
+            srv_cfg["weights_fn"] = self.weights_fn
+        if self.engine:
+            srv_cfg["conv_fwd"] = parse_lexp(self.engine)
+        srv = AioClsServer.init_from_lexp(Lexp.from_obj(srv_cfg))
         port_box = {}
         port_evt = threading.Event()
         AioClsServer._started_cb = staticmethod(
