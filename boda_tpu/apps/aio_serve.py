@@ -74,6 +74,12 @@ class AioClsServer(RunCnetBase):
     def setup(self):
         self.batch = self.max_batch
         pipe = self.setup_cnet()
+        # measurement provenance: surface the engine's tune-resolution
+        # lines (op_tunes_pat / wisdom / act_scales) so a serving bench
+        # records WHICH engine config it measured
+        il = getattr(self.conv_fwd, "get_info_log", lambda: "")()
+        if il:
+            print(il, flush=True)
         d = pipe.get_data_img_dims()
         self._img_dims = (d["chan"], d["y"], d["x"])
         self._data_dims = d

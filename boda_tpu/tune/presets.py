@@ -19,6 +19,26 @@ from ..ops.cnn_variants import OpTune, make_op_tune
 RESNET_INT8_SITE_PATS = (r"res3[a-z0-9]*_branch2b",
                          r"res[45][a-z0-9]*_branch.*")
 
+# TRAINING int8-wgrad site set (r5, scripts/wgrad_int8_probe.py on-chip):
+# the 3x3 grad contractions of stages 3-5 win at int8 (0.59-0.81x time;
+# s5 3x3 hits 328 TF/s, ABOVE the bf16 peak) and the s5 1x1->2048
+# expansion wins 0.86x; every other 1x1 wgrad and all of stage-2 LOSE —
+# the quantize passes (full read+write of activation and cotangent) only
+# amortize where the contraction has >=9 taps or >=2048-wide products.
+RESNET_GRAD_Q8_SITE_PATS = (r"res[345][a-z0-9]*_branch2b",
+                            r"res5[a-z0-9]*_branch2c")
+
+
+def resnet_grad_q8_site_tunes(pipe, base_tune_spec: str) -> dict[str, OpTune]:
+    """Tag→tune map applying int8 WEIGHT-GRADIENT convs (OpTune grad_q8)
+    to the measured-winner training site set of a ResNet-family pipe."""
+    assert base_tune_spec.endswith(")")
+    q = make_op_tune(base_tune_spec[:-1] + ",grad_q8=1)")
+    rxs = [re.compile(p) for p in RESNET_GRAD_Q8_SITE_PATS]
+    return {op.tag: q for op in pipe.ops.values()
+            if op.type == "Convolution"
+            and any(rx.fullmatch(op.tag) for rx in rxs)}
+
 
 def resnet_int8_site_tunes(pipe, base_tune_spec: str) -> dict[str, OpTune]:
     """Tag→tune map applying dynamic int8 to the measured-winner site set

@@ -110,6 +110,23 @@ def test_serve_bench_smoke(tmp_path, capsys):
     assert "mean realized batch" in out
 
 
+def test_serve_bench_engine_passthrough(tmp_path, capsys):
+    """serve_bench --engine forwards a conv_fwd spec to the server (the
+    int8-resident serving A/B hook, VERDICT r4 #3): a quant8 per-site
+    tune must reach the engine's lowering (op_tunes_pat log line) and
+    the bench must still resolve."""
+    from boda_tpu.core.has_main import create_and_run_has_main
+    create_and_run_has_main(
+        f"(mode=serve_bench,model=mini,num_clients=2,n1=1,n2=3,"
+        f"batch_window_ms=200,out_fn=sb.lexp,boda_output_dir={tmp_path},"
+        f"engine=(engine=rtc,op_tune=(use_culibs=1,prec=bf16,layout=nhwc,"
+        f"s2d=0),op_tunes_pat=(conv2=(use_culibs=1,prec=bf16,layout=nhwc,"
+        f"s2d=0,quant8=1))))")
+    out = capsys.readouterr().out
+    assert "op_tunes_pat: tuned 1 op(s)" in out
+    assert "mean realized batch" in out
+
+
 def test_serve_bench_latency_decomposition(tmp_path, capsys):
     """The p2-p1 delta decomposition must be present and self-consistent:
     queue + engine per-request components are non-negative, and the
