@@ -143,6 +143,52 @@ def test_resnet_int8_preset_top1_agrees():
     assert (pf.reshape(2, -1).argmax(1) == pq.reshape(2, -1).argmax(1)).all()
 
 
+def test_resnet_grad_q8_preset_sites_and_training():
+    """The training-side preset (tune/presets.resnet_grad_q8_site_tunes,
+    r5 probe winners: s3-5 3x3s + s5 1x1->2048 expansions): pin the site
+    set, that the FORWARD program is bit-identical to the bf16 plan, and
+    that the training jaxpr carries the int8 wgrad conv."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    from boda_tpu.models.zoo import build_model
+    from boda_tpu.tune.presets import resnet_grad_q8_site_tunes
+    pipe = build_model("resnet-50", batch=2, ysz=64, xsz=64)
+    base = "(use_culibs=1,prec=bf16,layout=nhwc,s2d=0)"
+    tunes = resnet_grad_q8_site_tunes(pipe, base)
+    want = [op.tag for op in pipe.ops.values()
+            if op.type == "Convolution"
+            and (re.fullmatch(r"res[345][a-z]_branch2b", op.tag)
+                 or re.fullmatch(r"res5[a-z]_branch2c", op.tag))]
+    assert sorted(tunes) == sorted(want)
+    assert len(tunes) == 16  # 13 branch2b (4+6+3) + 3 s5 branch2c
+
+    d = pipe.get_data_img_dims()
+    x = (np.random.RandomState(3).randn(*d.shape) * 0.3).astype(np.float32)
+
+    def run(op_t):
+        plan = lower_pipe(pipe, make_op_tune(base), op_tunes=op_t,
+                          fused_storage=True)
+        fwd = build_fused_forward(plan)
+        weights = resolve_plan_weights(plan, pipe.op_params)
+        return plan, fwd, weights
+
+    plan_q, fwd_q, w_q = run(tunes)
+    _plan_b, fwd_b, w_b = run(None)
+    nq = sum(s.sig.get_u32_or("grad_q8", 0) == 1 for s in plan_q.steps)
+    assert nq == len(tunes)
+    np.testing.assert_array_equal(
+        np.asarray(fwd_q({"data": x}, w_q)["prob"]),
+        np.asarray(fwd_b({"data": x}, w_b)["prob"]))
+
+    def loss(w):
+        return fwd_q({"data": x}, w)["prob"].astype(jnp.float32).sum()
+
+    assert "i8[" in str(jax.make_jaxpr(jax.grad(loss))(w_q))
+
+
 def test_calibrated_static_int8_matches_dynamic():
     """static (calibrated act_scale) int8 must track dynamic int8 closely
     when calibrated on the same input, and keep top-1 agreement with
