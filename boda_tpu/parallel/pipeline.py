@@ -305,3 +305,214 @@ def gpipe_plan_train_step(plan, segments, weights: dict, x_mb, labels_mb,
             if dk in f_keys:
                 grads[n] = gbufs[dk][k, off:off + size].reshape(shape)
     return loss, grads
+
+
+def sched_1f1b(K: int, M: int):
+    """Static 1F1B (one-forward-one-backward) schedule tables.
+
+    Greedy unit-time simulation of the standard synchronous 1F1B
+    pipeline schedule (Megatron-LM's non-interleaved form): device d
+    runs up to `K - d` outstanding forwards (its warmup depth), then
+    strictly prefers a backward whenever one is ready — so at most
+    `K - d` microbatch activations are ever live on device d, versus
+    GPipe's `M + K - 1`. Dependencies respected in tick time: fwd(m,d)
+    needs fwd(m,d-1) at an earlier tick (activation arrives over the
+    ring one tick after send), bwd(m,d) needs bwd(m,d+1) earlier and
+    fwd(m,d) done.
+
+    Returns (T, act, mb): act[d,t] in {0 idle, 1 fwd, 2 bwd},
+    mb[d,t] = microbatch index. All arrays are host numpy — the
+    schedule is STATIC and compiles into a single `lax.scan`.
+    """
+    import numpy as np
+    f_done = [[-1] * M for _ in range(K)]   # tick fwd(m,d) ran
+    b_done = [[-1] * M for _ in range(K)]
+    next_f, next_b = [0] * K, [0] * K
+    acts: list[list[int]] = [[] for _ in range(K)]
+    mbs: list[list[int]] = [[] for _ in range(K)]
+    t = 0
+    while any(nb < M for nb in next_b):
+        if t > 4 * (M + K) + 8:  # simulation safety net
+            raise RtErr(f"sched_1f1b: no progress (K={K}, M={M})")
+        for d in range(K):
+            nf, nb = next_f[d], next_b[d]
+            can_f = (nf < M and nf - nb < K - d
+                     and (d == 0 or 0 <= f_done[d - 1][nf] < t))
+            can_b = (nb < M and nb < nf
+                     and (d == K - 1 or 0 <= b_done[d + 1][nb] < t))
+            if can_b and (nf - nb >= K - d or not can_f):
+                acts[d].append(2), mbs[d].append(nb)
+            elif can_f:
+                acts[d].append(1), mbs[d].append(nf)
+            elif can_b:
+                acts[d].append(2), mbs[d].append(nb)
+            else:
+                acts[d].append(0), mbs[d].append(0)
+        for d in range(K):  # commit simultaneously (decisions saw < t)
+            if acts[d][t] == 1:
+                f_done[d][mbs[d][t]] = t
+                next_f[d] += 1
+            elif acts[d][t] == 2:
+                b_done[d][mbs[d][t]] = t
+                next_b[d] += 1
+        t += 1
+    return t, np.asarray(acts, np.int32), np.asarray(mbs, np.int32)
+
+
+def plan_train_step_1f1b(plan, segments, weights: dict, x_mb, labels_mb,
+                         mesh, loss_fn, axis: str = "pp"):
+    """1F1B pipeline-parallel training step over the segmented imported
+    plan — same contract and same results as `gpipe_plan_train_step`
+    (loss summed over microbatches, grads for every float weight), but
+    on the production 1F1B schedule: activation memory per device is
+    bounded by its warmup depth (≤ K slots) instead of growing with the
+    microbatch count (GPipe saves all M + K - 1 tick inputs).
+
+    TPU-first mechanics: `sched_1f1b` emits STATIC (K, T) action/
+    microbatch tables (plus derived ring-receive tables), so the whole
+    interleaved schedule is one `lax.scan` whose tick body switches on
+    the table entry — fwd ticks run the stage via `lax.switch` and
+    save the input into a depth-K circular slot buffer (slot = m mod K;
+    the ≤ K-d outstanding window makes slots collision-free), bwd ticks
+    form the loss cotangent on the last device (from a depth-K saved-
+    output buffer) or consume the cotangent slot buffer, run the stage
+    VJP, and accumulate weight grads. Both rings (forward activations,
+    reverse cotangents) ride `lax.ppermute` every tick, masked by the
+    static send tables. No data-dependent control flow; static shapes.
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ._pipe_plan import (build_plan_pipe_ctx, make_shard_map,
+                             prep_microbatches, shard_weight_bufs)
+
+    c = build_plan_pipe_ctx(plan, segments, weights, mesh, axis,
+                            what="plan_train_step_1f1b")
+    M = int(x_mb.shape[0])
+    if M < 1:
+        raise RtErr("plan_train_step_1f1b: need at least one microbatch")
+    if int(labels_mb.shape[0]) != M:
+        raise RtErr(f"plan_train_step_1f1b: {labels_mb.shape[0]} label "
+                    f"microbatches != {M} data microbatches")
+    K, ring_n, branches = c.K, c.ring_n, c.branches
+    out_sh, out_dt, out_n = c.out_sh, c.out_dt, c.out_n
+    T, act_np, mb_np = sched_1f1b(K, M)
+    # ring-receive tables: device d sees d-1's tick-(t-1) fwd send (and
+    # d+1's bwd send) on its ring input at tick t; the ring wrap
+    # (K-1 -> 0 fwd, 0 -> K-1 bwd) is masked out
+    rf = np.zeros((K, T), np.bool_)
+    rfs = np.zeros((K, T), np.int32)
+    rb = np.zeros((K, T), np.bool_)
+    rbs = np.zeros((K, T), np.int32)
+    for d in range(K):
+        for t in range(1, T):
+            if d > 0 and act_np[d - 1, t - 1] == 1:
+                rf[d, t] = True
+                rfs[d, t] = mb_np[d - 1, t - 1] % K
+            if d < K - 1 and act_np[d + 1, t - 1] == 2:
+                rb[d, t] = True
+                rbs[d, t] = mb_np[d + 1, t - 1] % K
+    f_keys = sorted(dk for dk, dt in c.dt_objs.items()
+                    if dt.kind == "f" or dk.startswith("bfloat"))
+    nf_keys = sorted(dk for dk in c.wbufs if dk not in f_keys)
+    perm_rev = [(i, (i - 1) % K) for i in range(K)]
+
+    def _bwd_branch(k):
+        br = branches[k]
+
+        def bb(x_flat, dy_flat, wf, wnf):
+            def f(xf, wfl):
+                return br(xf, {**wfl, **wnf})
+            _y, vjp = jax.vjp(f, x_flat, wf)
+            return vjp(dy_flat)
+        return bb
+
+    bwd_branches = [_bwd_branch(k) for k in range(K)]
+
+    def per_device(wloc, xs, labs):
+        w = jax.tree_util.tree_map(lambda p: p[0], wloc)
+        wf = {dk: w[dk] for dk in f_keys}
+        wnf = {dk: w[dk] for dk in nf_keys}
+        idx = jax.lax.axis_index(axis)
+        row = lambda tbl: jax.lax.dynamic_index_in_dim(  # noqa: E731
+            jnp.asarray(tbl), idx, axis=0, keepdims=False)
+        act_r, mb_r = row(act_np), row(mb_np)
+        rf_r, rfs_r, rb_r, rbs_r = row(rf), row(rfs), row(rb), row(rbs)
+
+        def per_m_loss(o_flat, lab):
+            y = o_flat[:out_n].astype(out_dt).reshape(out_sh)
+            return loss_fn(y, lab).astype(jnp.float32)
+
+        def tick(carry, t):
+            f_ring, b_ring, in_buf, cot_buf, out_buf, lacc, gacc = carry
+            a, m = act_r[t], mb_r[t]
+            slot = jnp.remainder(m, K)
+            # ingest rings into slot buffers (no-op rewrite when masked)
+            in_val = jnp.where(rf_r[t], f_ring, in_buf[rfs_r[t]])
+            in_buf = jax.lax.dynamic_update_index_in_dim(
+                in_buf, in_val, rfs_r[t], axis=0)
+            cot_val = jnp.where(rb_r[t], b_ring, cot_buf[rbs_r[t]])
+            cot_buf = jax.lax.dynamic_update_index_in_dim(
+                cot_buf, cot_val, rbs_r[t], axis=0)
+
+            x_m = jax.lax.dynamic_index_in_dim(xs, m, axis=0,
+                                               keepdims=False)
+            cur_in = jnp.where(idx == 0, x_m,
+                               jax.lax.dynamic_index_in_dim(
+                                   in_buf, slot, axis=0, keepdims=False))
+
+            def do_idle(_):
+                z = jnp.zeros((ring_n,), jnp.float32)
+                return out_buf, lacc, gacc, z, z
+
+            def do_fwd(_):
+                y = jax.lax.switch(idx, branches, cur_in, w)
+                ob = jax.lax.dynamic_update_index_in_dim(
+                    out_buf, y, slot, axis=0)
+                return ob, lacc, gacc, y, jnp.zeros((ring_n,), jnp.float32)
+
+            def do_bwd(_):
+                lab_m = jax.lax.dynamic_index_in_dim(labs, m, axis=0,
+                                                     keepdims=False)
+                o_m = jax.lax.dynamic_index_in_dim(out_buf, slot, axis=0,
+                                                   keepdims=False)
+                lval, g_loss = jax.value_and_grad(per_m_loss)(o_m, lab_m)
+                g_in = jnp.where(
+                    idx == K - 1, g_loss,
+                    jax.lax.dynamic_index_in_dim(cot_buf, slot, axis=0,
+                                                 keepdims=False))
+                dx, dwf = jax.lax.switch(idx, bwd_branches, cur_in, g_in,
+                                         wf, wnf)
+                g2 = jax.tree_util.tree_map(
+                    lambda acg, dg: acg + dg.astype(acg.dtype), gacc, dwf)
+                l2 = lacc + jnp.where(idx == K - 1, lval, 0.0)
+                return out_buf, l2, g2, jnp.zeros((ring_n,), jnp.float32), dx
+
+            out_buf2, lacc2, gacc2, send_f, send_b = jax.lax.switch(
+                a, [do_idle, do_fwd, do_bwd], 0)
+            f2 = jax.lax.ppermute(send_f, axis, c.perm)
+            b2 = jax.lax.ppermute(send_b, axis, perm_rev)
+            return (f2, b2, in_buf, cot_buf, out_buf2, lacc2, gacc2), None
+
+        z = jnp.zeros((ring_n,), jnp.float32)
+        zbuf = jnp.zeros((K, ring_n), jnp.float32)
+        acc0 = {dk: jnp.zeros_like(wf[dk]) for dk in f_keys}
+        (_f, _b, _ib, _cb, _ob, lacc, gacc), _ = jax.lax.scan(
+            tick, (z, z, zbuf, zbuf, zbuf, jnp.float32(0), acc0),
+            jnp.arange(T))
+        loss_all = jax.lax.psum(lacc, axis)
+        return loss_all, {dk: v[None] for dk, v in gacc.items()}
+
+    fn = make_shard_map(c, per_device, 2,
+                        (P(), {dk: P(axis) for dk in f_keys}))
+    loss, gbufs = fn(shard_weight_bufs(c), prep_microbatches(c, x_mb),
+                     jnp.asarray(labels_mb))
+    grads = {}
+    for k, meta in enumerate(c.wmeta):
+        for n, dk, off, size, shape in meta:
+            if dk in f_keys:
+                grads[n] = gbufs[dk][k, off:off + size].reshape(shape)
+    return loss, grads

@@ -219,3 +219,95 @@ def test_gpipe_on_2d_mesh_axis():
     for s in stages:
         want = np.tanh(want @ s["w"] + s["b"])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_sched_1f1b_properties():
+    """The static 1F1B schedule: every fwd/bwd unit runs exactly once,
+    tick-time dependencies hold, and the 1F1B memory bound — at most
+    K - d outstanding (fwd-done, bwd-pending) microbatches on device d —
+    is respected (GPipe holds M + K - 1; the bound is the point)."""
+    from boda_tpu.parallel.pipeline import sched_1f1b
+    for K, M in [(2, 3), (4, 8), (8, 8), (4, 2), (3, 1), (4, 13)]:
+        T, act, mb = sched_1f1b(K, M)
+        assert T <= 2 * (M + K)
+        f_t = np.full((K, M), -1)
+        b_t = np.full((K, M), -1)
+        for d in range(K):
+            assert sorted(mb[d][act[d] == 1].tolist()) == list(range(M))
+            assert sorted(mb[d][act[d] == 2].tolist()) == list(range(M))
+            for t in range(T):
+                if act[d, t] == 1:
+                    f_t[d, mb[d, t]] = t
+                elif act[d, t] == 2:
+                    b_t[d, mb[d, t]] = t
+        for d in range(K):
+            for m in range(M):
+                assert 0 <= f_t[d, m] < b_t[d, m]
+                if d > 0:
+                    assert f_t[d, m] > f_t[d - 1, m]
+                if d < K - 1:
+                    assert b_t[d, m] > b_t[d + 1, m]
+        for d in range(K):
+            out = mx = 0
+            for t in range(T):
+                if act[d, t] == 1:
+                    out += 1
+                elif act[d, t] == 2:
+                    out -= 1
+                mx = max(mx, out)
+            assert mx <= K - d
+
+
+def test_1f1b_plan_train_step_matches_sequential():
+    """plan_train_step_1f1b == sequential grads on a 4-stage segmented
+    mini net with M=6 > K=4 microbatches (steady-state 1F1B ticks
+    exercised, not just warmup/drain)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from boda_tpu.engine.lower import lower_pipe, resolve_plan_weights
+    from boda_tpu.engine.rtc_fwd import _storage_in, _storage_out
+    from boda_tpu.engine.segments import build_plan_segments
+    from boda_tpu.models.zoo import build_model
+    from boda_tpu.parallel.pipeline import plan_train_step_1f1b
+    pipe = build_model("mini", batch=2)
+    plan = lower_pipe(pipe, None)
+    weights = resolve_plan_weights(plan, pipe.op_params)
+    segs = build_plan_segments(
+        plan, weights, "a:conv1|b:cccp1+pool1|c:conv2+drop|d:fc-conv+gpool")
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("pp",))
+    rng = np.random.RandomState(0)
+    d = pipe.get_data_img_dims()
+    M = 6
+    x_mb = (rng.randn(M, *d.shape) * 0.5).astype(np.float32)
+    labels = rng.randint(0, 10, size=(M, d.shape[0])).astype(np.int32)
+
+    def loss_fn(y_storage, labs):
+        y = _storage_out(y_storage, plan.node_dims["gpool"], plan)
+        logits = y[:, :, 0, 0].astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=1)
+        return -jnp.mean(jnp.take_along_axis(logp, labs[:, None], 1))
+
+    loss_pp, g_pp = plan_train_step_1f1b(
+        plan, segs, weights, x_mb, labels, mesh, loss_fn)
+
+    def seq_loss(w):
+        tot = jnp.float32(0)
+        for i in range(M):
+            v = _storage_in(x_mb[i], plan)
+            for s in segs:
+                v = s.fn(v, *[w[n] for n in s.weight_names])
+            tot = tot + loss_fn(v, jnp.asarray(labels[i]))
+        return tot
+
+    want_loss, want_g = jax.value_and_grad(seq_loss)(
+        {n: weights[n] for s in segs for n in s.weight_names})
+    assert abs(float(loss_pp) - float(want_loss)) \
+        <= 1e-4 * max(abs(float(want_loss)), 1e-6)
+    assert set(g_pp) == set(want_g)
+    for n in sorted(want_g):
+        a = np.asarray(g_pp[n], np.float64)
+        b = np.asarray(want_g[n], np.float64)
+        m = np.abs(a - b).max() / max(np.abs(b).max(), 1e-12)
+        assert m < 1e-4, (n, m)
