@@ -251,7 +251,7 @@ def main() -> None:
         "int8_vs_baseline": round(fr_q / 0.70, 4),
         # the int8 preset against its own precision peaks (see pk_i8 /
         # mixed_pk comment above): fr_q * pk recovers achieved FLOP/s
-        "int8_peak_tflops": pk_i8 / 1e12,
+        "int8_peak_tflops": round(pk_i8 / 1e12, 1),
         "int8_frac_of_int8_roofline": round(fr_q * pk / pk_i8, 4),
         "mixed_peak_tflops": round(mixed_pk / 1e12, 1),
         "int8_frac_of_mixed_roofline": round(fr_q * pk / mixed_pk, 4)

@@ -289,7 +289,7 @@ class ServeBench(RunCnetBase):
                          "u8 = raw HWC with device-fused preprocessing)")
     engine = Attr(str, default="",
                   help="conv_fwd spec lexp forwarded to the server, e.g. "
-                       "(mode=rtc,op_tune=(...,q8_edges=1),op_tunes_pat="
+                       "(engine=rtc,op_tune=(...,q8_edges=1),op_tunes_pat="
                        "(...quant8 sites...),act_scales_fn=...) — the "
                        "int8-resident serving A/B (VERDICT r4 #3)")
     out_fn = Attr(str, default="", help="also append a one-line lexp record here")

@@ -20,6 +20,7 @@ from typing import Optional, Union
 
 from ..core.config import Attr, Config
 from ..core.dims import Dims
+from ..core.error import RtErr
 from ..core.lexp import Lexp, parse_lexp
 from .op_base import OpBase
 
@@ -273,6 +274,15 @@ def add_cnn_codegen_annotations(op: OpBase, tune: OpTune,
         else:
             op.nda_vals.pop("grad_q8", None)
     elif op.type == "InnerProduct":
+        if t.grad_q8:
+            # LOUD, not silent: IP sites lower to the NCHW xla_conv form
+            # whose VJP keeps bf16 (mxu_conv honors wgrad_int8 only for
+            # the NHWC storage path) — a grad_q8 A/B here would silently
+            # measure the wrong configuration. Use an fc-as-conv net
+            # (the *_ng_conv zoo forms) to train fc sites with int8 wgrad.
+            raise RtErr(f"grad_q8 is not supported on InnerProduct site "
+                        f"'{getattr(op, 'tag', op.type)}' (Convolution "
+                        f"sites only; convert fc layers to conv)")
         op.set_func_name("ipconv" if t.ipconv else "xla_conv")
         _set_or_pop_str(op, "prec", t.prec)
     else:

@@ -138,6 +138,42 @@ def shard_weight_bufs(c: PlanPipeCtx):
         c.wbufs)
 
 
+def float_key_split(c: PlanPipeCtx):
+    """(float dtype keys that receive grads, ride-along keys). bf16/f32
+    master weights train; a prequant-int8 inference plan's int8/scale
+    buffers ride as constants."""
+    f_keys = sorted(dk for dk, dt in c.dt_objs.items()
+                    if dt.kind == "f" or dk.startswith("bfloat"))
+    return f_keys, sorted(dk for dk in c.wbufs if dk not in f_keys)
+
+
+def make_bwd_branches(c: PlanPipeCtx):
+    """Per-stage VJP fns over (x_flat, dy_flat, float-w, nonfloat-w) →
+    (dx_flat, d float-w) — the backward counterparts of c.branches."""
+    import jax
+
+    def _bwd_branch(k):
+        br = c.branches[k]
+
+        def bb(x_flat, dy_flat, wf, wnf):
+            def f(xf, wfl):
+                return br(xf, {**wfl, **wnf})
+            _y, vjp = jax.vjp(f, x_flat, wf)
+            return vjp(dy_flat)
+        return bb
+    return [_bwd_branch(k) for k in range(c.K)]
+
+
+def unpack_grads(c: PlanPipeCtx, gbufs, f_keys):
+    """(K, Wmax) per-dtype grad buffers → {weight_name: array}."""
+    grads = {}
+    for k, meta in enumerate(c.wmeta):
+        for n, dk, off, size, shape in meta:
+            if dk in f_keys:
+                grads[n] = gbufs[dk][k, off:off + size].reshape(shape)
+    return grads
+
+
 def make_shard_map(c: PlanPipeCtx, per_device, n_extra_replicated: int,
                    out_specs):
     """shard_map with (K,Wmax)-sharded weights + replicated extras."""

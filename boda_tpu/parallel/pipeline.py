@@ -201,8 +201,10 @@ def gpipe_plan_train_step(plan, segments, weights: dict, x_mb, labels_mb,
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    from ._pipe_plan import (build_plan_pipe_ctx, make_shard_map,
-                             prep_microbatches, shard_weight_bufs)
+    from ._pipe_plan import (build_plan_pipe_ctx, float_key_split,
+                             make_bwd_branches, make_shard_map,
+                             prep_microbatches, shard_weight_bufs,
+                             unpack_grads)
 
     c = build_plan_pipe_ctx(plan, segments, weights, mesh, axis,
                             what="gpipe_plan_train_step")
@@ -214,24 +216,9 @@ def gpipe_plan_train_step(plan, segments, weights: dict, x_mb, labels_mb,
                     f"microbatches != {M} data microbatches")
     K, ring_n, branches, perm = c.K, c.ring_n, c.branches, c.perm
     out_sh, out_dt, out_n = c.out_sh, c.out_dt, c.out_n
-    # gradients flow to float weights only (bf16/f32; a prequant-int8
-    # inference plan's int8/scale buffers would ride as constants)
-    f_keys = sorted(dk for dk, dt in c.dt_objs.items()
-                    if dt.kind == "f" or dk.startswith("bfloat"))
-    nf_keys = sorted(dk for dk in c.wbufs if dk not in f_keys)
+    f_keys, nf_keys = float_key_split(c)
     perm_rev = [(i, (i - 1) % K) for i in range(K)]
-
-    def _bwd_branch(k):
-        br = branches[k]
-
-        def bb(x_flat, dy_flat, wf, wnf):
-            def f(xf, wfl):
-                return br(xf, {**wfl, **wnf})
-            _y, vjp = jax.vjp(f, x_flat, wf)
-            return vjp(dy_flat)  # (dx_flat, dwf)
-        return bb
-
-    bwd_branches = [_bwd_branch(k) for k in range(K)]
+    bwd_branches = make_bwd_branches(c)
 
     def per_device(wloc, xs, labs):
         w = jax.tree_util.tree_map(lambda p: p[0], wloc)
@@ -240,21 +227,30 @@ def gpipe_plan_train_step(plan, segments, weights: dict, x_mb, labels_mb,
         idx = jax.lax.axis_index(axis)
         T = M + K - 1
 
-        def ftick(recv, t):
+        def ftick(carry, t):
+            recv, obuf = carry
             mb_ix = jnp.clip(t, 0, M - 1)
             x_t = jax.lax.dynamic_index_in_dim(xs, mb_ix, axis=0,
                                                keepdims=False)
             cur_in = jnp.where(idx == 0, x_t, recv)
             y = jax.lax.switch(idx, branches, cur_in, w)
+            # device K-1 computes microbatch t-(K-1)'s output at tick t:
+            # keep only those M rows (not all T tick outputs — the scan
+            # already saves the T stage INPUTS for the backward)
+            o_ix = jnp.clip(t - (K - 1), 0, M - 1)
+            o_old = jax.lax.dynamic_index_in_dim(obuf, o_ix, axis=0,
+                                                 keepdims=False)
+            obuf = jax.lax.dynamic_update_index_in_dim(
+                obuf, jnp.where(t >= K - 1, y, o_old), o_ix, axis=0)
             nxt = jax.lax.ppermute(y, axis, perm)
-            return nxt, (cur_in, y)
+            return (nxt, obuf), cur_in
 
-        _, (ins, ys) = jax.lax.scan(
-            ftick, jnp.zeros((ring_n,), jnp.float32), jnp.arange(T))
-        # device K-1 holds microbatch m's output at tick K-1+m; the loss
-        # and its cotangents are formed there (the SPMD program computes
+        (_, outs), ins = jax.lax.scan(
+            ftick, (jnp.zeros((ring_n,), jnp.float32),
+                    jnp.zeros((M, ring_n), jnp.float32)), jnp.arange(T))
+        # outs[m] = device K-1's output for microbatch m; the loss and
+        # its cotangents are formed there (the SPMD program computes
         # them everywhere; only K-1's feed the backward ring)
-        outs = jax.lax.dynamic_slice_in_dim(ys, K - 1, M, axis=0)
 
         def total_loss(o):
             def per_m(o_m, lab_m):
@@ -299,12 +295,7 @@ def gpipe_plan_train_step(plan, segments, weights: dict, x_mb, labels_mb,
                         (P(), {dk: P(axis) for dk in f_keys}))
     loss, gbufs = fn(shard_weight_bufs(c), prep_microbatches(c, x_mb),
                      jnp.asarray(labels_mb))
-    grads = {}
-    for k, meta in enumerate(c.wmeta):
-        for n, dk, off, size, shape in meta:
-            if dk in f_keys:
-                grads[n] = gbufs[dk][k, off:off + size].reshape(shape)
-    return loss, grads
+    return loss, unpack_grads(c, gbufs, f_keys)
 
 
 def sched_1f1b(K: int, M: int):
@@ -386,8 +377,10 @@ def plan_train_step_1f1b(plan, segments, weights: dict, x_mb, labels_mb,
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    from ._pipe_plan import (build_plan_pipe_ctx, make_shard_map,
-                             prep_microbatches, shard_weight_bufs)
+    from ._pipe_plan import (build_plan_pipe_ctx, float_key_split,
+                             make_bwd_branches, make_shard_map,
+                             prep_microbatches, shard_weight_bufs,
+                             unpack_grads)
 
     c = build_plan_pipe_ctx(plan, segments, weights, mesh, axis,
                             what="plan_train_step_1f1b")
@@ -415,22 +408,9 @@ def plan_train_step_1f1b(plan, segments, weights: dict, x_mb, labels_mb,
             if d < K - 1 and act_np[d + 1, t - 1] == 2:
                 rb[d, t] = True
                 rbs[d, t] = mb_np[d + 1, t - 1] % K
-    f_keys = sorted(dk for dk, dt in c.dt_objs.items()
-                    if dt.kind == "f" or dk.startswith("bfloat"))
-    nf_keys = sorted(dk for dk in c.wbufs if dk not in f_keys)
+    f_keys, nf_keys = float_key_split(c)
     perm_rev = [(i, (i - 1) % K) for i in range(K)]
-
-    def _bwd_branch(k):
-        br = branches[k]
-
-        def bb(x_flat, dy_flat, wf, wnf):
-            def f(xf, wfl):
-                return br(xf, {**wfl, **wnf})
-            _y, vjp = jax.vjp(f, x_flat, wf)
-            return vjp(dy_flat)
-        return bb
-
-    bwd_branches = [_bwd_branch(k) for k in range(K)]
+    bwd_branches = make_bwd_branches(c)
 
     def per_device(wloc, xs, labs):
         w = jax.tree_util.tree_map(lambda p: p[0], wloc)
@@ -510,9 +490,4 @@ def plan_train_step_1f1b(plan, segments, weights: dict, x_mb, labels_mb,
                         (P(), {dk: P(axis) for dk in f_keys}))
     loss, gbufs = fn(shard_weight_bufs(c), prep_microbatches(c, x_mb),
                      jnp.asarray(labels_mb))
-    grads = {}
-    for k, meta in enumerate(c.wmeta):
-        for n, dk, off, size, shape in meta:
-            if dk in f_keys:
-                grads[n] = gbufs[dk][k, off:off + size].reshape(shape)
-    return loss, grads
+    return loss, unpack_grads(c, gbufs, f_keys)

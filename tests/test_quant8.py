@@ -512,3 +512,22 @@ def test_prequant_weights_match_in_program_quant():
     with pytest.raises(RtErr, match="missing from the weights dict"):
         fwd({"data": x}, {k: v for k, v in wf.items()
                           if not k.startswith("c1_filts")})
+
+
+def test_grad_q8_on_innerproduct_is_loud():
+    """grad_q8 on an InnerProduct site must ERROR, not silently run the
+    bf16 VJP (the IP lowering's NCHW xla_conv form keeps the bf16
+    backward — a quiet no-op would make an fc int8-wgrad A/B measure
+    the wrong configuration). fc layers train with int8 wgrad via
+    fc-as-conv nets (*_ng_conv)."""
+    import pytest
+
+    from boda_tpu.core.error import RtErr
+    from boda_tpu.graph.caffe_io import create_pipe_from_param
+    from boda_tpu.graph.pbtext import parse_pbtext
+    from tests.test_caffe_io import V2_PROTOTXT
+    pipe = create_pipe_from_param(parse_pbtext(V2_PROTOTXT))
+    pipe.calc_dims()
+    t = make_op_tune("(use_culibs=1,prec=bf16,grad_q8=1)")
+    with pytest.raises(RtErr, match="grad_q8.*InnerProduct"):
+        lower_pipe(pipe, t)
