@@ -311,3 +311,61 @@ def test_1f1b_plan_train_step_matches_sequential():
         b = np.asarray(want_g[n], np.float64)
         m = np.abs(a - b).max() / max(np.abs(b).max(), 1e-12)
         assert m < 1e-4, (n, m)
+
+
+@pytest.mark.slow
+def test_1f1b_resnet50_matches_sequential():
+    """1F1B on the real segmented resnet-50 (same fixture as the GPipe
+    training test, M=6 > K=4 steady-state ticks): loss + grads match
+    the sequential segments. Default loop carries the mini-net variant;
+    dryrun_multichip carries it every round."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from boda_tpu.engine.lower import lower_pipe, resolve_plan_weights
+    from boda_tpu.engine.rtc_fwd import _storage_in, _storage_out
+    from boda_tpu.engine.segments import build_plan_segments
+    from boda_tpu.models.zoo import build_model
+    from boda_tpu.parallel.pipeline import plan_train_step_1f1b
+    pipe = build_model("resnet-50", batch=2, ysz=32, xsz=32,
+                       num_classes=16)
+    plan = lower_pipe(pipe, None)
+    weights = resolve_plan_weights(plan, pipe.op_params)
+    segs = build_plan_segments(
+        plan, weights, "stem:conv1+pool1+res2|s3:res3|s4:res4|"
+                       "head:res5+pool5+fc1000-conv")
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("pp",))
+    rng = np.random.RandomState(0)
+    d = pipe.get_data_img_dims()
+    M = 6
+    x_mb = (rng.randn(M, *d.shape) * 0.1).astype(np.float32)
+    labels = rng.randint(0, 16, size=(M, d.shape[0])).astype(np.int32)
+
+    def loss_fn(y_storage, labs):
+        y = _storage_out(y_storage, plan.node_dims["fc1000-conv"], plan)
+        logits = y[:, :, 0, 0].astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=1)
+        return -jnp.mean(jnp.take_along_axis(logp, labs[:, None], 1))
+
+    loss_pp, g_pp = plan_train_step_1f1b(
+        plan, segs, weights, x_mb, labels, mesh, loss_fn)
+
+    def seq_loss(w):
+        tot = jnp.float32(0)
+        for i in range(M):
+            v = _storage_in(x_mb[i], plan)
+            for s in segs:
+                v = s.fn(v, *[w[n] for n in s.weight_names])
+            tot = tot + loss_fn(v, jnp.asarray(labels[i]))
+        return tot
+
+    want_loss, want_g = jax.value_and_grad(seq_loss)(
+        {n: weights[n] for s in segs for n in s.weight_names})
+    assert abs(float(loss_pp) - float(want_loss)) \
+        <= 1e-4 * max(abs(float(want_loss)), 1e-6)
+    for n in sorted(want_g):
+        a = np.asarray(g_pp[n], np.float64)
+        b = np.asarray(want_g[n], np.float64)
+        m = np.abs(a - b).max() / max(np.abs(b).max(), 1e-12)
+        assert m < 1e-4, (n, m)
