@@ -24,6 +24,7 @@ _MODE_MODULES = [
     "boda_tpu.apps.cnet_bench",  # slope-timed whole-net throughput bench
     "boda_tpu.apps.train",       # cnet_train training driver
     "boda_tpu.parallel.multihost",  # mh_test jax.distributed self-check
+    "boda_tpu.parallel.pp_modes",   # pp_test pipeline-parallel self-check
     "boda_tpu.tune.prof",        # ops_prof
     "boda_tpu.tune.plots",       # roofline_plot, wis_plot, op_eff_plot
     "boda_tpu.tune.wisdom_modes",  # wis_merge, wis_ana

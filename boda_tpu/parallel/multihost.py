@@ -48,6 +48,21 @@ def host_array(sharding, global_np):
         global_np.shape, sharding, lambda idx: global_np[idx])
 
 
+def force_local_cpu_devices(n: int) -> None:
+    """Force JAX onto n virtual CPU devices (the multi-chip-without-a-
+    cluster test rig). env alone is too late if jax.config was already
+    imported (it snapshots JAX_PLATFORMS at import) — set both, before
+    any backend initializes. Appends to XLA_FLAGS (doesn't clobber a
+    user's dump/debug flags); strips any previous device-count flag."""
+    flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+             if not f.startswith("--xla_force_host_platform_device_count")]
+    flags.append(f"--xla_force_host_platform_device_count={n}")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = " ".join(flags)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
 def free_port() -> int:
     import socket
     s = socket.socket()
@@ -87,20 +102,8 @@ class MhTest(HasMain):
                       "forward; the digest covers the updated weights")
 
     def _apply_local_env(self) -> None:
-        if not self.local_devices:
-            return
-        # env alone is too late if jax.config was already imported (it
-        # snapshots JAX_PLATFORMS at import) — set both, before any
-        # backend initializes. Append to XLA_FLAGS (don't clobber a
-        # user's dump/debug flags); strip any previous device-count flag
-        flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
-                 if not f.startswith("--xla_force_host_platform_device_count")]
-        flags.append(
-            f"--xla_force_host_platform_device_count={self.local_devices}")
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        os.environ["XLA_FLAGS"] = " ".join(flags)
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+        if self.local_devices:
+            force_local_cpu_devices(self.local_devices)
 
     def _spawn_cmd(self, rank: int, coord: str) -> list:
         return [sys.executable, "-m", "boda_tpu", "mh_test",

@@ -369,3 +369,14 @@ def test_1f1b_resnet50_matches_sequential():
         b = np.asarray(want_g[n], np.float64)
         m = np.abs(a - b).max() / max(np.abs(b).max(), 1e-12)
         assert m < 1e-4, (n, m)
+
+
+def test_pp_test_mode(capsys):
+    """The pp_test CLI self-check (reference-style per-subsystem test
+    mode) passes both schedules on the conftest 8-device CPU mesh."""
+    from boda_tpu.core.has_main import create_and_run_has_main
+    create_and_run_has_main(
+        "(mode=pp_test,model=mini,microbatches=5,schedule=both)", {})
+    out = capsys.readouterr().out
+    assert "pp_test gpipe model=mini pp=4 M=5: PASSED" in out
+    assert "pp_test 1f1b model=mini pp=4 M=5: PASSED" in out
