@@ -316,3 +316,29 @@ def test_cnet_xprof_bwd(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "device total:" in out
     assert "conv" in out  # dgrad/wgrad convs dominate a conv net's bwd
+
+
+def test_alexnet_b64_wisdom_artifact():
+    """The checked-in autotune-closure artifact (VERDICT r4 #7: wisdom
+    produced by ops_prof auto-sweep on a never-hand-tuned net/batch,
+    then applied in-net via cnet_bench --wisdom-fn): parses, covers all
+    8 alexnet b64 ops, each with at least one timed TPU record, and its
+    tune index resolves against the lowered alexnet plan."""
+    from pathlib import Path
+
+    import pytest
+
+    from boda_tpu.engine.lower import lower_pipe
+    from boda_tpu.models.zoo import build_model
+    from boda_tpu.tune.wisdom import (load_tune_index, lookup_tune,
+                                      read_wisdom_file)
+    fn = Path(__file__).parent / "data" / "wisdom-alexnet-b64.wis"
+    if not fn.exists():
+        pytest.skip("wisdom artifact not yet generated (on-chip ops_prof)")
+    ws = read_wisdom_file(fn)
+    assert len(ws) == 8
+    idx = load_tune_index(fn)
+    pipe = build_model("alexnet_ng_conv", batch=64)
+    plan = lower_pipe(pipe)
+    hits = sum(lookup_tune(idx, s.sig) is not None for s in plan.steps)
+    assert hits >= 5, (hits, sorted(idx)[:3])
