@@ -723,6 +723,12 @@ class TrainBench(_NetMode):
                                 "s5:res5|head:pool5+fc1000-conv",
                         help="stage spec for remat=1 (default: resnet "
                              "stages, softmax dropped -> logits loss)")
+    train_dropout = Attr(bool, default=False,
+                         help="1 = time the training program WITH per-step "
+                              "dropout masks (seeded by the chain index), "
+                              "as cnet_train runs it; default off keeps "
+                              "rows comparable with the r3-r5 tables "
+                              "(resnet-50 has no dropout — identical)")
 
     def main(self):
         import statistics
@@ -739,8 +745,14 @@ class TrainBench(_NetMode):
         pipe = _load_pipe(self)
         op_tunes = pat_tunes(pipe, self.op_tunes_pat) \
             if self.op_tunes_pat else None
+        if self.train_dropout and self.remat:
+            from ..core.error import RtErr
+            raise RtErr("train_bench: train_dropout=1 is not supported "
+                        "with remat=1 (the dropout seed is a fed input; "
+                        "stage segments take exactly one input)")
         plan = lower_pipe(pipe, self.op_tune, op_tunes=op_tunes,
-                          fused_storage=True)
+                          fused_storage=True,
+                          train_dropout=self.train_dropout)
         weights = resolve_plan_weights(plan, pipe.op_params)
         data_node = pipe.data_img_node_names[0]
         from_logits = False
@@ -762,16 +774,21 @@ class TrainBench(_NetMode):
         import jax
         import jax.numpy as jnp
 
+        from ..engine.lower import DROP_SEED_NODE
         from .train import build_train_step, check_labels, init_opt_state
+        seed_node = DROP_SEED_NODE \
+            if DROP_SEED_NODE in plan.input_nodes else ""
         step = build_train_step(fwd, data_node, top, lr=self.lr,
                                 optimizer=self.optimizer,
                                 momentum=self.momentum,
-                                from_logits=from_logits)
+                                from_logits=from_logits,
+                                seed_node=seed_node)
 
         def chained(w, vel, xb, labels, n):
             def body(_i, carry):
                 wc, vc, acc = carry
-                loss, w2, v2 = step(wc, vc, xb, labels)
+                loss, w2, v2 = step(wc, vc, xb, labels, None,
+                                    _i if seed_node else None)
                 return w2, v2, acc + loss
             wf, _vf, acc = jax.lax.fori_loop(
                 0, n, body, (w, vel, jnp.float32(0)))

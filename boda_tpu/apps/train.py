@@ -43,15 +43,19 @@ def init_opt_state(optimizer: str, weights: dict) -> dict:
 
 def build_train_step(fwd, data_node: str, top: str, *, lr: float,
                      optimizer: str = "sgd", momentum: float = 0.9,
-                     from_logits: bool = False, clip_gradients: float = 0.0):
+                     from_logits: bool = False, clip_gradients: float = 0.0,
+                     seed_node: str = ""):
     """Shared fwd+bwd+update step (used by cnet_train and train_bench):
-    step(w, vel, xb, labels[, lr_t]) -> (loss, new_w, new_vel), where
-    `vel` is init_opt_state(optimizer, w). Softmax-CE loss (log_softmax
-    when `top` is the pre-softmax logits node — log(prob) has zero
-    gradient once the softmax saturates); SGD / heavy-ball momentum /
-    Adam with f32 master weights. `lr_t` (a traced scalar) overrides the
-    static lr — LR schedules (warmup/decay) pass it per call without
-    recompiling."""
+    step(w, vel, xb, labels[, lr_t[, seed_t]]) -> (loss, new_w, new_vel),
+    where `vel` is init_opt_state(optimizer, w). Softmax-CE loss
+    (log_softmax when `top` is the pre-softmax logits node — log(prob)
+    has zero gradient once the softmax saturates); SGD / heavy-ball
+    momentum / Adam with f32 master weights. `lr_t` (a traced scalar)
+    overrides the static lr — LR schedules (warmup/decay) pass it per
+    call without recompiling. `seed_node`: when the plan was lowered
+    train_dropout=1 it carries a fed dropout-seed input (lower.py
+    DROP_SEED_NODE); pass its name and feed the GLOBAL step index as
+    `seed_t` so every step draws a fresh dropout mask."""
     import jax
     import jax.numpy as jnp
 
@@ -59,9 +63,15 @@ def build_train_step(fwd, data_node: str, top: str, *, lr: float,
         raise RtErr(f"unknown optimizer '{optimizer}' "
                     f"({' | '.join(OPTIMIZERS)})")
 
-    def step(w, vel, xb, labels, lr_t=None):
+    def step(w, vel, xb, labels, lr_t=None, seed_t=None):
         def loss_fn(w):
-            p = fwd({data_node: xb}, w)[top]
+            ins = {data_node: xb}
+            if seed_node:
+                if seed_t is None:
+                    raise RtErr("build_train_step: plan has a dropout "
+                                "seed input — pass seed_t (global step)")
+                ins[seed_node] = jnp.asarray(seed_t, jnp.int32)
+            p = fwd(ins, w)[top]
             if p.ndim == 4:
                 p = p.mean(axis=(2, 3))
             p = p.astype(jnp.float32)
@@ -676,10 +686,13 @@ class CnetTrain(_NetMode):
             raise RtErr("cnet_train: eval_every requires eval_stream")
         self._consumed = 0
         rng = np.random.RandomState(self.seed)
+        from ..engine.lower import DROP_SEED_NODE
+        seed_node = DROP_SEED_NODE \
+            if DROP_SEED_NODE in plan.input_nodes else ""
         step = jax.jit(build_train_step(
             fwd, data_node, top, lr=self.lr, optimizer=self.optimizer,
             momentum=self.momentum, from_logits=from_logits,
-            clip_gradients=self.clip_gradients))
+            clip_gradients=self.clip_gradients, seed_node=seed_node))
 
         vel = init_opt_state(self.optimizer, weights)
         losses = []
@@ -737,11 +750,13 @@ class CnetTrain(_NetMode):
                 raise RtErr("cnet_train: snapshot_every must be a multiple "
                             "of steps_per_call")
 
-            def chunk_fn(w, vel, xs, ls, lrs):
+            def chunk_fn(w, vel, xs, ls, lrs, seeds):
                 def body(carry, inp):
-                    loss, w2, v2 = step(*carry, inp[0], inp[1], inp[2])
+                    loss, w2, v2 = step(*carry, inp[0], inp[1], inp[2],
+                                        inp[3] if seed_node else None)
                     return (w2, v2), loss
-                (w, vel), lk = jax.lax.scan(body, (w, vel), (xs, ls, lrs))
+                (w, vel), lk = jax.lax.scan(body, (w, vel),
+                                            (xs, ls, lrs, seeds))
                 return lk, w, vel
             chunk = jax.jit(chunk_fn)
         if self.device_data:
@@ -751,16 +766,18 @@ class CnetTrain(_NetMode):
             # global step t covers staged indices [t*b, t*b+b) mod N — the
             # exact skip-with-wrap order of the streaming path, with the
             # same (u8→f32 - mean) * scale f32 preprocessing
-            def dd_chunk_fn(w, vel, ds, labs, ix0s, lrs):
+            def dd_chunk_fn(w, vel, ds, labs, ix0s, lrs, seeds):
                 def body(carry, inp):
-                    ix0, lr_t = inp
+                    ix0, lr_t, seed_t = inp
                     ix = (ix0 + jnp.arange(b, dtype=jnp.int32)) % n_ds
                     xb = (jnp.take(ds, ix, axis=0).astype(jnp.float32)
                           - ds_mean) * ds_scale
                     loss, w2, v2 = step(*carry, xb,
-                                        jnp.take(labs, ix, axis=0), lr_t)
+                                        jnp.take(labs, ix, axis=0), lr_t,
+                                        seed_t if seed_node else None)
                     return (w2, v2), loss
-                (w, vel), lk = jax.lax.scan(body, (w, vel), (ix0s, lrs))
+                (w, vel), lk = jax.lax.scan(body, (w, vel),
+                                            (ix0s, lrs, seeds))
                 return lk, w, vel
             dd_chunk = jax.jit(dd_chunk_fn)
         eval_fn = None
@@ -775,8 +792,9 @@ class CnetTrain(_NetMode):
                                  np.float32)
                 ix0s = np.asarray([(j * b) % n_ds
                                    for j in range(i, i + k_now)], np.int32)
+                seeds = np.arange(i, i + k_now, dtype=np.int32)
                 lk, weights, vel = dd_chunk(weights, vel, ds_dev, labs_dev,
-                                            ix0s, lrs)
+                                            ix0s, lrs, seeds)
                 self._consumed += k_now * b
                 new_losses = [float(v) for v in np.asarray(lk)]
                 i = self._log_losses(i, new_losses, losses)
@@ -800,16 +818,25 @@ class CnetTrain(_NetMode):
                 xs.append(x)
                 ls.append(labels)
             if K == 1:
-                # default path: exact historical call shape (golden runs)
-                loss, weights, vel = \
-                    step(weights, vel, xs[0], ls[0]) if not warm else \
-                    step(weights, vel, xs[0], ls[0], np.float32(lr_at(i)))
+                if seed_node:
+                    loss, weights, vel = step(
+                        weights, vel, xs[0], ls[0],
+                        np.float32(lr_at(i)) if warm else None,
+                        np.int32(i))
+                else:
+                    # default path: exact historical call shape (goldens)
+                    loss, weights, vel = \
+                        step(weights, vel, xs[0], ls[0]) if not warm else \
+                        step(weights, vel, xs[0], ls[0],
+                             np.float32(lr_at(i)))
                 new_losses = [float(loss)]
             else:
                 lrs = np.asarray([lr_at(j) for j in range(i, i + K)],
                                  np.float32)
                 lk, weights, vel = chunk(weights, vel, np.stack(xs),
-                                         np.stack(ls), lrs)
+                                         np.stack(ls), lrs,
+                                         np.arange(i, i + K,
+                                                   dtype=np.int32))
                 new_losses = [float(v) for v in np.asarray(lk)]
             i = self._log_losses(i, new_losses, losses)
             if eval_fn is not None and self.eval_every \

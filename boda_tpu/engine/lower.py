@@ -26,6 +26,9 @@ from ..core.error import RtErr
 from ..graph.pipe import ConvOp, ConvPipe
 from ..ops.cnn_variants import OpTune, add_cnn_codegen_annotations
 from ..ops.op_base import OpBase
+
+# fed input node carrying the per-step dropout seed (train_dropout=1)
+DROP_SEED_NODE = "det_drop_seed"
 from ..ops.registry import get_template
 
 
@@ -121,6 +124,10 @@ def lower_pipe(pipe: ConvPipe, tune: Optional[OpTune] = None,
             mixed=getattr(tune, "fuse_mixed_siblings", False))
     for s in steps:
         node_dims.update(s.temps)
+    if any(s.arg_nodes.get("seed") == DROP_SEED_NODE for s in steps):
+        # seeded train-mode dropout: the seed is a fed scalar input
+        node_dims[DROP_SEED_NODE] = Dims([("v", 1)], tn="int32_t")
+        input_nodes.append(DROP_SEED_NODE)
     plan = Plan(steps, node_dims, input_nodes, weight_nodes, output_nodes)
     _prequant_int8_weights(plan)
     if fused_storage and tune.layout == "nhwc":
@@ -719,7 +726,15 @@ def _lower_in_place(pipe: ConvPipe, ip: ConvOp, train_dropout: bool) -> list[Ste
         sig.set_dims("inout", dims)
         if "dropout_ratio" in ip.nda_vals:
             sig.nda_vals["dropout_ratio"] = ip.nda_vals["dropout_ratio"]
-        return [Step(sig, {"inout": node}, ip.tag)]
+        args = {"inout": node}
+        if train_dropout:
+            # per-STEP mask: the seed is a fed input node (the solver
+            # passes the global step index), so each training step draws
+            # a fresh mask — caffe's per-iteration redraw semantics
+            # (dropout_layer.cpp), not a trace-time constant
+            sig.set_dims("seed", Dims([("v", 1)], tn="int32_t"))
+            args["seed"] = DROP_SEED_NODE
+        return [Step(sig, args, ip.tag)]
     if ip.type == "ZeroIfNonPos":
         sig = OpBase({"type": ip.type, "func_name": "ZeroIfNonPos"})
         # 'in' is the FORWARD activation (bots[1]) — declare ITS dims,

@@ -212,7 +212,8 @@ class Dropout(KernelTemplate):
     are reproducible across backends given the same seed."""
 
     name = "dropout"
-    args = [adecl("inout", INOUT, "img chan y x")]
+    args = [adecl("seed", IN, "v", opt=True),
+            adecl("inout", INOUT, "img chan y x")]
     nhwc_ok = True  # elementwise; det mask is index-based (layout-stable
     # per storage shape — train-mode masks are sig-keyed on io_layout)
     sig_nda_keys = ["dropout_ratio", "det_drop_seed"]
@@ -232,6 +233,49 @@ class Dropout(KernelTemplate):
         u = (h >> np.uint64(40)).astype(np.float64) / float(1 << 24)
         return u.reshape(shape)
 
+    # ---- per-STEP seeded mask (training; seed is a traced scalar) ----
+    # The static `_mask` above bakes ONE mask per signature at trace
+    # time — fine for cross-backend determinism tests, but a training
+    # run would drop the SAME units every step (fixed pruning, zero
+    # stochastic regularization; caffe redraws the mask per iteration,
+    # dropout_layer.cpp). The seeded form computes the mask IN-GRAPH
+    # from a fed step counter: 32-bit murmur3-fmix on (index, seed) —
+    # uint32 only (TPU has no u64), with an exact numpy twin for the
+    # ref engine. Gated on the optional 'seed' arg so every existing
+    # static-mask signature (and its goldens) is untouched.
+    _FMIX = (2654435761, 0x9E3779B9, 0x85EB_CA6B, 0xC2B2_AE35)
+
+    @classmethod
+    def _mask32_np(cls, seed, shape):
+        m = np.uint32
+        c1, c2, c3, c4 = (m(v) for v in cls._FMIX)
+        idx = np.arange(int(np.prod(shape)), dtype=np.uint32)
+        with np.errstate(over="ignore"):
+            h = idx * c1 + m(np.uint32(seed)) * c2
+            h ^= h >> m(16)
+            h *= c3
+            h ^= h >> m(13)
+            h *= c4
+            h ^= h >> m(16)
+        return ((h >> m(8)).astype(np.float64) / float(1 << 24)) \
+            .reshape(shape)
+
+    @classmethod
+    def _mask32_jnp(cls, seed, shape):
+        import jax.numpy as jnp
+        c1, c2, c3, c4 = (jnp.uint32(v) for v in cls._FMIX)
+        n = int(np.prod(shape))
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        h = idx * c1 + seed.reshape(()).astype(jnp.uint32) * c2
+        h = h ^ (h >> jnp.uint32(16))
+        h = h * c3
+        h = h ^ (h >> jnp.uint32(13))
+        h = h * c4
+        h = h ^ (h >> jnp.uint32(16))
+        u = (h >> jnp.uint32(8)).astype(jnp.float32) \
+            * jnp.float32(1.0 / (1 << 24))
+        return u.reshape(shape)
+
     @classmethod
     def build(cls, rfs: OpBase):
         import jax.numpy as jnp
@@ -239,6 +283,13 @@ class Dropout(KernelTemplate):
             return lambda x: x
         ratio_nda = rfs.nda_vals.get("dropout_ratio")
         ratio = float(ratio_nda.item()) if ratio_nda is not None else 0.5
+        if "seed" in rfs.nda_vals:
+            # per-step seeded mask; arg order is in_args then io_args
+            def fn_seeded(seed, x):
+                u = cls._mask32_jnp(seed, x.shape)
+                keep = (u >= ratio).astype(x.dtype)
+                return x * keep / (1.0 - ratio)
+            return fn_seeded
         # mask is baked per (seed, shape) signature — deterministic
         def fn(x):
             u = jnp.asarray(cls._mask(rfs, x.shape), dtype=x.dtype)
@@ -247,8 +298,15 @@ class Dropout(KernelTemplate):
         return fn
 
     @classmethod
-    def ref_impl(cls, rfs: OpBase, x):
-        x = np.asarray(x)
+    def ref_impl(cls, rfs: OpBase, *a):
+        if len(a) == 2:  # seeded train form: (seed, x)
+            seed, x = a
+            x = np.asarray(x)
+            ratio_nda = rfs.nda_vals.get("dropout_ratio")
+            ratio = float(ratio_nda.item()) if ratio_nda is not None else 0.5
+            u = cls._mask32_np(int(np.asarray(seed).reshape(())), x.shape)
+            return x * (u >= ratio).astype(x.dtype) / (1.0 - ratio)
+        x = np.asarray(a[0])
         if rfs.str_vals.get("drop_mode", "infer") == "infer":
             return x
         ratio_nda = rfs.nda_vals.get("dropout_ratio")

@@ -331,3 +331,51 @@ def test_fused_weights_committed_to_device():
     for n, v in eng._weights.items():
         assert isinstance(v, jax.Array), \
             f"weight '{n}' is {type(v).__name__}, not a committed jax.Array"
+
+
+def test_train_dropout_per_step_seeded_masks():
+    """train_dropout lowering feeds a per-STEP dropout seed (engine/
+    lower DROP_SEED_NODE): different seeds draw different masks (caffe's
+    per-iteration redraw, dropout_layer.cpp — a trace-time-constant mask
+    would be fixed pruning, zero regularization), the same seed is
+    deterministic, the keep fraction tracks 1-ratio, and the jax mask
+    exactly matches the numpy twin the ref engine uses."""
+    import jax
+    import numpy as np
+
+    from boda_tpu.engine.lower import DROP_SEED_NODE, lower_pipe
+    from boda_tpu.engine.rtc_fwd import build_fused_forward
+    from boda_tpu.engine.lower import resolve_plan_weights
+    from boda_tpu.models.zoo import build_model
+    from boda_tpu.ops.pallas.elementwise import Dropout
+
+    pipe = build_model("mini", batch=2)
+    plan = lower_pipe(pipe, train_dropout=True)
+    assert DROP_SEED_NODE in plan.input_nodes
+    w = resolve_plan_weights(plan, pipe.op_params)
+    fwd = jax.jit(build_fused_forward(plan))
+    x = (np.random.RandomState(0).randn(
+        *pipe.get_data_img_dims().shape) * 0.5).astype(np.float32)
+
+    def run(seed):
+        return np.asarray(fwd(
+            {"data": x, DROP_SEED_NODE: np.asarray([seed], np.int32)},
+            w)["prob"])
+
+    p0, p0b, p1 = run(0), run(0), run(1)
+    np.testing.assert_array_equal(p0, p0b)   # same seed: deterministic
+    assert np.abs(p0 - p1).max() > 0         # fresh mask per step
+
+    # mask statistics + numpy/jax twin exactness
+    sh = (64, 1024)
+    for seed in (0, 7, 123456):
+        u_np = Dropout._mask32_np(seed, sh)
+        import jax.numpy as jnp
+        u_j = np.asarray(Dropout._mask32_jnp(jnp.int32(seed), sh))
+        np.testing.assert_allclose(u_j, u_np.astype(np.float32),
+                                   rtol=0, atol=0)
+        keep = (u_np >= 0.4).mean()
+        assert abs(keep - 0.6) < 0.01, keep
+    # different seeds decorrelate
+    assert (Dropout._mask32_np(1, sh) != Dropout._mask32_np(2, sh)).mean() \
+        > 0.99
