@@ -328,7 +328,6 @@ def test_alexnet_b64_wisdom_artifact():
 
     import pytest
 
-    from boda_tpu.engine.lower import lower_pipe
     from boda_tpu.models.zoo import build_model
     from boda_tpu.tune.wisdom import (load_tune_index, lookup_tune,
                                       read_wisdom_file)
@@ -337,8 +336,12 @@ def test_alexnet_b64_wisdom_artifact():
         pytest.skip("wisdom artifact not yet generated (on-chip ops_prof)")
     ws = read_wisdom_file(fn)
     assert len(ws) == 8
-    idx = load_tune_index(fn)
+    # the artifact was measured on the TPU chip; its records carry that
+    # plat tag (wisdom records are per-platform, op-tuner.H:11-46 parity)
+    idx = load_tune_index(fn, "xla:tpu:TPU v5 lite")
+    assert idx, "no TPU-plat tune records in the artifact"
     pipe = build_model("alexnet_ng_conv", batch=64)
-    plan = lower_pipe(pipe)
-    hits = sum(lookup_tune(idx, s.sig) is not None for s in plan.steps)
+    pipe.calc_dims()
+    hits = sum(lookup_tune(idx, op) is not None
+               for op in pipe.ops.values() if op.type == "Convolution")
     assert hits >= 5, (hits, sorted(idx)[:3])
