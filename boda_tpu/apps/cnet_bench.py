@@ -709,6 +709,9 @@ class TrainBench(_NetMode):
                      help="sgd | momentum | adam (optimizer state "
                           "carried through the chain)")
     momentum = Attr(float, default=0.9)
+    weight_decay = Attr(float, default=0.0,
+                        help="L2 regularization (caffe weight_decay); "
+                             "0 = off")
     iters = Attr(int, default=20, help="long chain length")
     reps = Attr(int, default=3, help="slope repetitions (median)")
     compiler_options = Attr(dict[str, str], default=None,
@@ -781,6 +784,7 @@ class TrainBench(_NetMode):
         step = build_train_step(fwd, data_node, top, lr=self.lr,
                                 optimizer=self.optimizer,
                                 momentum=self.momentum,
+                                weight_decay=self.weight_decay,
                                 from_logits=from_logits,
                                 seed_node=seed_node)
 

@@ -44,13 +44,14 @@ def init_opt_state(optimizer: str, weights: dict) -> dict:
 def build_train_step(fwd, data_node: str, top: str, *, lr: float,
                      optimizer: str = "sgd", momentum: float = 0.9,
                      from_logits: bool = False, clip_gradients: float = 0.0,
-                     seed_node: str = ""):
+                     weight_decay: float = 0.0, seed_node: str = ""):
     """Shared fwd+bwd+update step (used by cnet_train and train_bench):
     step(w, vel, xb, labels[, lr_t[, seed_t]]) -> (loss, new_w, new_vel),
     where `vel` is init_opt_state(optimizer, w). Softmax-CE loss
     (log_softmax when `top` is the pre-softmax logits node — log(prob)
     has zero gradient once the softmax saturates); SGD / heavy-ball
-    momentum / Adam with f32 master weights. `lr_t` (a traced scalar)
+    momentum / Adam with f32 master weights; `weight_decay` = caffe
+    SolverParameter.weight_decay (L2 reg on the gradient). `lr_t` (a traced scalar)
     overrides the static lr — LR schedules (warmup/decay) pass it per
     call without recompiling. `seed_node`: when the plan was lowered
     train_dropout=1 it carries a fed dropout-seed input (lower.py
@@ -94,6 +95,16 @@ def build_train_step(fwd, data_node: str, top: str, *, lr: float,
                                 / jnp.maximum(gnorm, 1e-12))
             grads = tmap(lambda g: (g.astype(jnp.float32)
                                     * scale).astype(g.dtype), grads)
+        if weight_decay:
+            # L2 regularization (caffe SGDSolver::Regularize, the default
+            # regularization_type=L2 with decay_mult=1 on every param):
+            # g += wd * w, AFTER clipping and BEFORE the momentum /
+            # adaptive update — matching caffe's ApplyUpdate ordering
+            # (ClipGradients -> Regularize -> ComputeUpdateValue)
+            grads = tmap(lambda g, wv: (g.astype(jnp.float32)
+                                        + weight_decay
+                                        * wv.astype(jnp.float32))
+                         .astype(g.dtype), grads, w)
         if optimizer == "momentum":  # heavy-ball: v'=mu*v+g; w'=w-lr*v'
             vel = {"v": tmap(lambda v, g: jnp.asarray(momentum, v.dtype)
                              * v + g.astype(v.dtype), vel["v"], grads)}
@@ -392,6 +403,11 @@ class CnetTrain(_NetMode):
                           help="global-L2-norm gradient clipping threshold "
                                "(caffe SolverParameter.clip_gradients "
                                "semantics; 0 = off)")
+    weight_decay = Attr(float, default=0.0,
+                        help="L2 regularization strength (caffe "
+                             "SolverParameter.weight_decay semantics: "
+                             "g += wd*w before the momentum update; "
+                             "0 = off)")
     num_classes = Attr(int, default=0,
                        help="label range for synthetic data (default: "
                             "the net's output channels)")
@@ -692,7 +708,8 @@ class CnetTrain(_NetMode):
         step = jax.jit(build_train_step(
             fwd, data_node, top, lr=self.lr, optimizer=self.optimizer,
             momentum=self.momentum, from_logits=from_logits,
-            clip_gradients=self.clip_gradients, seed_node=seed_node))
+            clip_gradients=self.clip_gradients,
+            weight_decay=self.weight_decay, seed_node=seed_node))
 
         vel = init_opt_state(self.optimizer, weights)
         losses = []
