@@ -44,14 +44,21 @@ def init_opt_state(optimizer: str, weights: dict) -> dict:
 def build_train_step(fwd, data_node: str, top: str, *, lr: float,
                      optimizer: str = "sgd", momentum: float = 0.9,
                      from_logits: bool = False, clip_gradients: float = 0.0,
-                     weight_decay: float = 0.0, seed_node: str = ""):
+                     weight_decay: float = 0.0, seed_node: str = "",
+                     param_mults: dict = None):
     """Shared fwd+bwd+update step (used by cnet_train and train_bench):
     step(w, vel, xb, labels[, lr_t[, seed_t]]) -> (loss, new_w, new_vel),
     where `vel` is init_opt_state(optimizer, w). Softmax-CE loss
     (log_softmax when `top` is the pre-softmax logits node — log(prob)
     has zero gradient once the softmax saturates); SGD / heavy-ball
     momentum / Adam with f32 master weights; `weight_decay` = caffe
-    SolverParameter.weight_decay (L2 reg on the gradient). `lr_t` (a traced scalar)
+    SolverParameter.weight_decay (L2 reg on the gradient).
+    `param_mults`: caffe ParamSpec per weight name -> (lr_mult,
+    decay_mult) — decay_mult scales this param's L2 term, lr_mult
+    scales its APPLIED update (lr_mult=0 freezes it; note caffe folds
+    local_rate into the velocity instead, so momentum trajectories
+    under time-varying lr differ — ours is the standard heavy-ball
+    form). `lr_t` (a traced scalar)
     overrides the static lr — LR schedules (warmup/decay) pass it per
     call without recompiling. `seed_node`: when the plan was lowered
     train_dropout=1 it carries a fed dropout-seed input (lower.py
@@ -63,6 +70,11 @@ def build_train_step(fwd, data_node: str, top: str, *, lr: float,
     if optimizer not in OPTIMIZERS:
         raise RtErr(f"unknown optimizer '{optimizer}' "
                     f"({' | '.join(OPTIMIZERS)})")
+    pm = param_mults or {}
+    has_mults = any(tuple(m) != (1.0, 1.0) for m in pm.values())
+
+    def _mult_tree(w, ix):
+        return {k: float(pm.get(k, (1.0, 1.0))[ix]) for k in w}
 
     def step(w, vel, xb, labels, lr_t=None, seed_t=None):
         def loss_fn(w):
@@ -97,14 +109,15 @@ def build_train_step(fwd, data_node: str, top: str, *, lr: float,
                                     * scale).astype(g.dtype), grads)
         if weight_decay:
             # L2 regularization (caffe SGDSolver::Regularize, the default
-            # regularization_type=L2 with decay_mult=1 on every param):
-            # g += wd * w, AFTER clipping and BEFORE the momentum /
-            # adaptive update — matching caffe's ApplyUpdate ordering
-            # (ClipGradients -> Regularize -> ComputeUpdateValue)
-            grads = tmap(lambda g, wv: (g.astype(jnp.float32)
-                                        + weight_decay
-                                        * wv.astype(jnp.float32))
-                         .astype(g.dtype), grads, w)
+            # regularization_type=L2): g += wd * decay_mult * w, AFTER
+            # clipping and BEFORE the momentum / adaptive update —
+            # matching caffe's ApplyUpdate ordering (ClipGradients ->
+            # Regularize -> ComputeUpdateValue)
+            dm = _mult_tree(w, 1)
+            grads = tmap(lambda g, wv, d: (g.astype(jnp.float32)
+                                           + weight_decay * d
+                                           * wv.astype(jnp.float32))
+                         .astype(g.dtype), grads, w, dm)
         if optimizer == "momentum":  # heavy-ball: v'=mu*v+g; w'=w-lr*v'
             vel = {"v": tmap(lambda v, g: jnp.asarray(momentum, v.dtype)
                              * v + g.astype(v.dtype), vel["v"], grads)}
@@ -126,8 +139,13 @@ def build_train_step(fwd, data_node: str, top: str, *, lr: float,
             upd = grads
         lr_v = jnp.float32(lr) if lr_t is None else \
             jnp.asarray(lr_t, jnp.float32)
-        new_w = tmap(lambda wv, g: wv - lr_v.astype(wv.dtype)
-                     * g.astype(wv.dtype), w, upd)
+        if has_mults:
+            lm = _mult_tree(w, 0)
+            new_w = tmap(lambda wv, g, m: wv - (lr_v * m).astype(wv.dtype)
+                         * g.astype(wv.dtype), w, upd, lm)
+        else:
+            new_w = tmap(lambda wv, g: wv - lr_v.astype(wv.dtype)
+                         * g.astype(wv.dtype), w, upd)
         return loss, new_w, vel
 
     return step
@@ -705,11 +723,22 @@ class CnetTrain(_NetMode):
         from ..engine.lower import DROP_SEED_NODE
         seed_node = DROP_SEED_NODE \
             if DROP_SEED_NODE in plan.input_nodes else ""
+        # caffe ParamSpec mults (imported prototxts; zoo nets have none):
+        # map pipe.param_mults through any weight-transform aliasing
+        mults = {}
+        for n in weights:
+            src = plan.weight_transforms.get(n, (n, None))[0]
+            if src in pipe.param_mults:
+                mults[n] = pipe.param_mults[src]
+        if mults:
+            print(f"honoring caffe param mults on {len(mults)} "
+                  f"weight blob(s)", flush=True)
         step = jax.jit(build_train_step(
             fwd, data_node, top, lr=self.lr, optimizer=self.optimizer,
             momentum=self.momentum, from_logits=from_logits,
             clip_gradients=self.clip_gradients,
-            weight_decay=self.weight_decay, seed_node=seed_node))
+            weight_decay=self.weight_decay, seed_node=seed_node,
+            param_mults=mults))
 
         vel = init_opt_state(self.optimizer, weights)
         losses = []

@@ -192,6 +192,24 @@ def create_pipe_from_param(net: PbNode, in_dims: Optional[Dims] = None,
             continue
         params: dict = {}
         op_type = ltype
+        param_specs: list[tuple[float, float]] = []
+        if ltype in ("Convolution", "Deconvolution", "InnerProduct"):
+            # caffe ParamSpec (per weight blob, order [filts, biases]):
+            # V2 `param { lr_mult decay_mult }` blocks; V1 layers carry
+            # repeated `blobs_lr` / `weight_decay` floats instead
+            specs = l.get_all("param")
+            if specs and not is_v1:
+                for sp in specs:
+                    if not isinstance(sp, PbNode):
+                        break  # V1 'param' is a share-name string
+                    param_specs.append((float(sp.get("lr_mult", 1.0)),
+                                        float(sp.get("decay_mult", 1.0))))
+            else:
+                lrs = [float(x) for x in l.get_all("blobs_lr")]
+                wds = [float(x) for x in l.get_all("weight_decay")]
+                for i in range(max(len(lrs), len(wds))):
+                    param_specs.append((lrs[i] if i < len(lrs) else 1.0,
+                                        wds[i] if i < len(wds) else 1.0))
         if ltype in ("Convolution", "Deconvolution"):
             cp = l.get("convolution_param") or PbNode()
             # unsupported conv features must fail at parse time: silently
@@ -279,6 +297,9 @@ def create_pipe_from_param(net: PbNode, in_dims: Optional[Dims] = None,
         op = ConvOp(op_type, name, bots, tops, params)
         op.str_vals["caffe_name"] = name
         pipe.add_op(op)
+        for i, (lm, dm) in enumerate(param_specs[:2]):
+            if (lm, dm) != (1.0, 1.0):
+                pipe.param_mults[bots[1 + i]] = (lm, dm)
 
     # declared-input data nodes
     for i, inp in enumerate(inputs):
@@ -488,6 +509,16 @@ def pipe_to_net_param(pipe: ConvPipe, name: str = "net") -> PbNode:
             l.add("bottom", b)
         for t in op.tops:
             l.add("top", t)
+        if op.type in ("Convolution", "Deconvolution", "InnerProduct"):
+            # round-trip non-default ParamSpec mults ([filts, biases])
+            mults = [pipe.param_mults.get(b) for b in op.bots[1:3]]
+            if any(m is not None for m in mults):
+                for m in mults:
+                    sp = PbNode()
+                    lm, dm = m if m is not None else (1.0, 1.0)
+                    sp.add("lr_mult", lm)
+                    sp.add("decay_mult", dm)
+                    l.add("param", sp)
         if op.type in ("Convolution", "Deconvolution"):
             cp = PbNode()
             cp.add("num_output", op.get_u32("out_chans"))

@@ -214,6 +214,10 @@ class ConvPipe:
         self.tops: set[str] = set()   # sink node names
         self.bots: set[str] = set()   # source node names
         self.op_params: dict[str, NDA] = {}  # weight blobs by node name
+        # caffe ParamSpec per weight blob: param node name ->
+        # (lr_mult, decay_mult); absent = (1,1). Only non-default specs
+        # are recorded (sparse).
+        self.param_mults: dict[str, tuple[float, float]] = {}
         self.data_img_node_names: list[str] = []
         self.data_label_node_names: list[str] = []
         self.out_node_name: str = ""
@@ -709,6 +713,7 @@ class ConvPipe:
                     and not sub.nodes[n].top_for:
                 sub.nodes[n].dims = self.nodes[n].dims
         sub.op_params = self.op_params
+        sub.param_mults = self.param_mults
         sub.calc_dims()
         sub.calc_support_info()
         return sub

@@ -300,3 +300,50 @@ def test_blob_default_dim_names():
     assert [d.name for d in nda2.dims] == ["out_chan", "in_chan"]
     nda1 = _blob_to_nda(FakeBlob([10]))
     assert [d.name for d in nda1.dims] == ["out_chan"]
+
+
+PARAM_MULT_PROTOTXT = """
+name: "pm"
+input: "data"
+input_shape { dim: 1 dim: 3 dim: 8 dim: 8 }
+layer { name: "conv1" type: "Convolution" bottom: "data" top: "conv1"
+  param { lr_mult: 0 decay_mult: 0 }
+  param { lr_mult: 2 decay_mult: 0 }
+  convolution_param { num_output: 4 kernel_size: 3 pad: 1 } }
+layer { name: "fc1" type: "InnerProduct" bottom: "conv1" top: "fc1"
+  inner_product_param { num_output: 5 } }
+layer { name: "prob" type: "Softmax" bottom: "fc1" top: "prob" }
+"""
+
+V1_PARAM_MULT_PROTOTXT = """
+name: "pm_v1"
+input: "data"
+input_dim: 1 input_dim: 3 input_dim: 8 input_dim: 8
+layers { bottom: "data" top: "conv1" name: "conv1" type: CONVOLUTION
+  blobs_lr: 1 blobs_lr: 2 weight_decay: 1 weight_decay: 0
+  convolution_param { num_output: 4 kernel_size: 3 pad: 1 } }
+layers { bottom: "conv1" top: "prob" name: "prob" type: SOFTMAX }
+"""
+
+
+def test_param_spec_mults_import_and_export():
+    """caffe ParamSpec parity: V2 param{lr_mult,decay_mult} blocks land
+    in pipe.param_mults keyed by weight node ([filts, biases] order),
+    default-(1,1) specs are not recorded, and the exporter round-trips
+    non-default specs."""
+    from boda_tpu.graph.caffe_io import pipe_to_net_param
+    pipe = create_pipe_from_param(parse_pbtext(PARAM_MULT_PROTOTXT))
+    assert pipe.param_mults == {"conv1_filts": (0.0, 0.0),
+                                "conv1_biases": (2.0, 0.0)}
+    net2 = pipe_to_net_param(pipe)
+    rt = create_pipe_from_param(net2)
+    assert rt.param_mults == pipe.param_mults
+    # fc1 had no specs -> no param blocks emitted for it
+    fc_l = [l for l in net2.get_all("layer") if l.get("name") == "fc1"][0]
+    assert not fc_l.get_all("param")
+
+
+def test_param_spec_mults_v1_blobs_lr():
+    """V1 layers carry repeated blobs_lr / weight_decay floats."""
+    pipe = create_pipe_from_param(parse_pbtext(V1_PARAM_MULT_PROTOTXT))
+    assert pipe.param_mults == {"conv1_biases": (2.0, 0.0)}

@@ -358,3 +358,38 @@ class TestWeightDecay:
         np.testing.assert_allclose(
             g_plus, np.asarray(vel1p["v"]["fc"]) + wd * w0["fc"],
             rtol=1e-5, atol=1e-6)
+
+
+class TestParamMults:
+    def test_lr_mult_freezes_and_decay_mult_excludes(self):
+        """caffe ParamSpec semantics in the solver: lr_mult=0 freezes a
+        blob (bit-identical across a step), lr_mult=2 doubles its
+        update, decay_mult=0 removes it from the L2 term."""
+        from boda_tpu.apps.train import build_train_step, init_opt_state
+
+        def fwd(ins, w):
+            return {"p": ins["data"] @ w["a"] + ins["data"] @ w["b"]}
+
+        rng = np.random.RandomState(11)
+        w0 = {"a": rng.randn(6, 5).astype(np.float32),
+              "b": rng.randn(6, 5).astype(np.float32)}
+        x = rng.randn(3, 6).astype(np.float32)
+        labels = np.array([0, 4, 2], np.int32)
+        lr, wd = 0.1, 0.05
+        kw = dict(lr=lr, from_logits=True, weight_decay=wd)
+        s_ref = build_train_step(fwd, "data", "p", **kw)
+        s_pm = build_train_step(
+            fwd, "data", "p",
+            param_mults={"a": (0.0, 0.0), "b": (2.0, 0.0)}, **kw)
+        vel = init_opt_state("sgd", w0)
+        _, w1r, _ = s_ref(w0, vel, x, labels)
+        _, w1m, _ = s_pm(w0, vel, x, labels)
+        # a frozen (lr_mult=0): unchanged
+        np.testing.assert_array_equal(np.asarray(w1m["a"]), w0["a"])
+        # b: update doubled, and decay removed — reconstruct from the
+        # reference run: ref upd_b = (w0-w1r)/lr = g + wd*w0;
+        # pm upd_b = 2*lr*g  =>  w1m = w0 - 2*lr*((w0-w1r)/lr - wd*w0)
+        g_b = (w0["b"] - np.asarray(w1r["b"])) / lr - wd * w0["b"]
+        np.testing.assert_allclose(np.asarray(w1m["b"]),
+                                   w0["b"] - 2 * lr * g_b,
+                                   rtol=1e-5, atol=1e-6)
