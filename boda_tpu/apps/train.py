@@ -450,6 +450,17 @@ class CnetTrain(_NetMode):
                         help="linear LR warmup over this many steps "
                              "(0 = constant lr) — deep BN-folded nets "
                              "trained from scratch need it")
+    lr_policy = Attr(str, default="fixed",
+                     help="caffe SolverParameter.lr_policy: fixed | "
+                          "step (lr*gamma^floor(i/stepsize)) | exp "
+                          "(lr*gamma^i) | poly (lr*(1-i/steps)^power) | "
+                          "multistep (lr*gamma^#stepvalues-passed); "
+                          "composes with warmup_steps")
+    gamma = Attr(float, default=0.1, help="step/exp/multistep decay factor")
+    stepsize = Attr(int, default=0, help="step policy period (required)")
+    power = Attr(float, default=1.0, help="poly policy exponent")
+    stepvalue = Attr(list[int], default=None,
+                     help="multistep policy boundaries, e.g. '4000 6000'")
     zero_init_pats = Attr(list[str], default=None,
                           help="zero the filts of convs matching these "
                                "tag regexes before training (fixup-style "
@@ -780,9 +791,35 @@ class CnetTrain(_NetMode):
                 self._consumed = snap["consumed"]
             print(f"resumed from {self.resume_fn} at step {start}")
         warm = self.warmup_steps
+        pol = self.lr_policy
+        if pol not in ("fixed", "step", "exp", "poly", "multistep"):
+            raise RtErr(f"cnet_train: unknown lr_policy '{pol}' (fixed | "
+                        f"step | exp | poly | multistep)")
+        if pol == "step" and self.stepsize < 1:
+            raise RtErr("cnet_train: lr_policy=step requires stepsize >= 1")
+        if pol == "multistep" and not self.stepvalue:
+            raise RtErr("cnet_train: lr_policy=multistep requires "
+                        "stepvalue boundaries")
+
+        def policy_lr(i):
+            # caffe SGDSolver::GetLearningRate formulas, keyed by the
+            # GLOBAL step index (resume-stable)
+            if pol == "step":
+                return self.lr * self.gamma ** (i // self.stepsize)
+            if pol == "exp":
+                return self.lr * self.gamma ** i
+            if pol == "poly":
+                return self.lr * max(0.0, 1.0 - i / self.steps) ** self.power
+            if pol == "multistep":
+                return self.lr * self.gamma ** sum(
+                    1 for sv in self.stepvalue if i >= sv)
+            return self.lr
 
         def lr_at(i):
-            return self.lr * min(1.0, (i + 1) / warm) if warm else self.lr
+            v = policy_lr(i)
+            return v * min(1.0, (i + 1) / warm) if warm else v
+
+        dyn_lr = bool(warm) or pol != "fixed"
 
         K = self.steps_per_call
         if K < 1:
@@ -867,14 +904,14 @@ class CnetTrain(_NetMode):
                 if seed_node:
                     loss, weights, vel = step(
                         weights, vel, xs[0], ls[0],
-                        np.float32(lr_at(i)) if warm else None,
+                        np.float32(lr_at(i)) if dyn_lr else None,
                         np.int32(i))
                 else:
                     # default path: exact historical call shape (goldens)
                     loss, weights, vel = \
-                        step(weights, vel, xs[0], ls[0]) if not warm else \
-                        step(weights, vel, xs[0], ls[0],
-                             np.float32(lr_at(i)))
+                        step(weights, vel, xs[0], ls[0]) if not dyn_lr \
+                        else step(weights, vel, xs[0], ls[0],
+                                  np.float32(lr_at(i)))
                 new_losses = [float(loss)]
             else:
                 lrs = np.asarray([lr_at(j) for j in range(i, i + K)],

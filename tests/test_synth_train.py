@@ -393,3 +393,43 @@ class TestParamMults:
         np.testing.assert_allclose(np.asarray(w1m["b"]),
                                    w0["b"] - 2 * lr * g_b,
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestLrPolicy:
+    def _losses(self, tmp_path, fn, extra=""):
+        run_mode(f"(mode=cnet_train,model=mini,batch=4,steps=4,lr=0.1,"
+                 f"seed=5,log_every=1,op_tune=(use_culibs=1),"
+                 f"loss_out_fn={fn},boda_output_dir={tmp_path}{extra})")
+        return np.loadtxt(tmp_path / fn)
+
+    def test_step_policy_matches_fixed_before_boundary(self, tmp_path,
+                                                       capsys):
+        """caffe lr_policy formulas: step with stepsize=4 never crosses a
+        boundary in 4 steps (== fixed); stepsize=2/gamma=0.1 matches
+        fixed through the first boundary then diverges; multistep with
+        stepvalue=2 reproduces the step trajectory exactly."""
+        fixed = self._losses(tmp_path, "f.txt")
+        capsys.readouterr()
+        s4 = self._losses(tmp_path, "s4.txt",
+                          ",lr_policy=step,stepsize=4,gamma=0.1")
+        capsys.readouterr()
+        np.testing.assert_allclose(fixed, s4, rtol=1e-6)
+        s2 = self._losses(tmp_path, "s2.txt",
+                          ",lr_policy=step,stepsize=2,gamma=0.1")
+        capsys.readouterr()
+        # losses at steps 1-3 reflect lrs of steps 0-2: steps 0,1 at lr,
+        # step 2 at lr*gamma -> first 3 losses match, the 4th diverges
+        np.testing.assert_allclose(fixed[:3], s2[:3], rtol=1e-5)
+        assert abs(fixed[3] - s2[3]) > 1e-7
+        ms = self._losses(tmp_path, "ms.txt",
+                          ",lr_policy=multistep,stepvalue=2,gamma=0.1")
+        capsys.readouterr()
+        np.testing.assert_allclose(s2, ms, rtol=1e-6)
+
+    def test_policy_validation(self, tmp_path):
+        with pytest.raises(RtErr, match="unknown lr_policy"):
+            self._losses(tmp_path, "x.txt", ",lr_policy=cosine")
+        with pytest.raises(RtErr, match="stepsize"):
+            self._losses(tmp_path, "x.txt", ",lr_policy=step")
+        with pytest.raises(RtErr, match="stepvalue"):
+            self._losses(tmp_path, "x.txt", ",lr_policy=multistep")
