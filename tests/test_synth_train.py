@@ -433,3 +433,28 @@ class TestLrPolicy:
             self._losses(tmp_path, "x.txt", ",lr_policy=step")
         with pytest.raises(RtErr, match="stepvalue"):
             self._losses(tmp_path, "x.txt", ",lr_policy=multistep")
+
+
+@pytest.mark.slow
+class TestLearnsHeldOut:
+    def test_mini_trains_to_heldout_accuracy(self, tmp_path, capsys):
+        """CPU-reproducible accuracy evidence (the TPU 640-image gates
+        need a chip; this doesn't): the full solver stack — momentum,
+        warmup, clipping, per-step dropout masks, device_data staging,
+        inference-lowered eval — trains mini on procedural shapes to
+        >=4x chance held-out top-1 (observed 0.535 at 1600 steps)."""
+        run_mode(
+            f"(mode=cnet_train,model=mini,batch=32,steps=1600,"
+            f"steps_per_call=50,lr=0.1,optimizer=momentum,"
+            f"warmup_steps=100,clip_gradients=2.0,log_every=400,"
+            f"eval_every=1600,device_data=1,"
+            f"stream=(mode=shapes-src,num_imgs=2000,ysz=32,xsz=32,"
+            f"num_classes=10,seed=1,mean=128,scale=0.015625),"
+            f"eval_stream=(mode=shapes-src,num_imgs=200,start_ix=50000,"
+            f"ysz=32,xsz=32,num_classes=10,seed=1,mean=128,"
+            f"scale=0.015625),boda_output_dir={tmp_path})")
+        out = capsys.readouterr().out
+        import re
+        m = re.search(r"eval @ step 1600: top_1_acc=([\d.]+)", out)
+        assert m, out
+        assert float(m.group(1)) >= 0.40, out
