@@ -54,11 +54,11 @@ def build_train_step(fwd, data_node: str, top: str, *, lr: float,
     momentum / Adam with f32 master weights; `weight_decay` = caffe
     SolverParameter.weight_decay (L2 reg on the gradient).
     `param_mults`: caffe ParamSpec per weight name -> (lr_mult,
-    decay_mult) — decay_mult scales this param's L2 term, lr_mult
-    scales its APPLIED update (lr_mult=0 freezes it; note caffe folds
-    local_rate into the velocity instead, so momentum trajectories
-    under time-varying lr differ — ours is the standard heavy-ball
-    form). `lr_t` (a traced scalar)
+    decay_mult) — decay_mult scales this param's L2 term; lr_mult
+    scales its regularized gradient BEFORE the optimizer (caffe
+    ComputeUpdateValue semantics: lr_mult=0 freezes the blob AND its
+    momentum/adam state; for sgd/constant-lr this equals scaling the
+    applied update). `lr_t` (a traced scalar)
     overrides the static lr — LR schedules (warmup/decay) pass it per
     call without recompiling. `seed_node`: when the plan was lowered
     train_dropout=1 it carries a fed dropout-seed input (lower.py
@@ -118,6 +118,14 @@ def build_train_step(fwd, data_node: str, top: str, *, lr: float,
                                            + weight_decay * d
                                            * wv.astype(jnp.float32))
                          .astype(g.dtype), grads, w, dm)
+        if has_mults:
+            # lr_mult scales the REGULARIZED gradient before the
+            # optimizer (caffe ComputeUpdateValue folds local_rate into
+            # the accumulated value): lr_mult=0 keeps momentum/adam
+            # state at exactly zero for frozen blobs, matching caffe
+            lm = _mult_tree(w, 0)
+            grads = tmap(lambda g, m: (g.astype(jnp.float32) * m)
+                         .astype(g.dtype), grads, lm)
         if optimizer == "momentum":  # heavy-ball: v'=mu*v+g; w'=w-lr*v'
             vel = {"v": tmap(lambda v, g: jnp.asarray(momentum, v.dtype)
                              * v + g.astype(v.dtype), vel["v"], grads)}
@@ -139,13 +147,8 @@ def build_train_step(fwd, data_node: str, top: str, *, lr: float,
             upd = grads
         lr_v = jnp.float32(lr) if lr_t is None else \
             jnp.asarray(lr_t, jnp.float32)
-        if has_mults:
-            lm = _mult_tree(w, 0)
-            new_w = tmap(lambda wv, g, m: wv - (lr_v * m).astype(wv.dtype)
-                         * g.astype(wv.dtype), w, upd, lm)
-        else:
-            new_w = tmap(lambda wv, g: wv - lr_v.astype(wv.dtype)
-                         * g.astype(wv.dtype), w, upd)
+        new_w = tmap(lambda wv, g: wv - lr_v.astype(wv.dtype)
+                     * g.astype(wv.dtype), w, upd)
         return loss, new_w, vel
 
     return step

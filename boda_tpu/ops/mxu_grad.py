@@ -125,7 +125,9 @@ def mxu_conv(x, w, *, window_strides, padding, dimension_numbers,
         and dimension_numbers == ("NHWC", "HWIO", "NHWC")
         and feature_group_count == 1
         and (lhs_dilation is None or tuple(lhs_dilation) == (1, 1))
-        and (rhs_dilation is None or tuple(rhs_dilation) == (1, 1)))
+        and (rhs_dilation is None or tuple(rhs_dilation) == (1, 1))
+        and all(not isinstance(p, str) and len(tuple(p)) == 2
+                for p in padding))  # numeric (lo,hi) pairs only
 
     @jax.custom_vjp
     def _conv(xc, wc):
@@ -138,9 +140,17 @@ def mxu_conv(x, w, *, window_strides, padding, dimension_numbers,
 
     def _bwd(res, g):
         xc, wc = res
+        # int32-overflow guard (static: shapes are known at trace time):
+        # the dW contraction sums N*OH*OW int8xint8 products; beyond
+        # 2^31/127^2 ~ 133k terms a worst-case sum wraps the int32
+        # accumulator SILENTLY, so such shapes keep the bf16 VJP (the
+        # shipped grad_q8 preset sites are 28^2/14^2/7^2 at b128 —
+        # <= 100k terms — all within bound)
+        q8_ok = wgrad_int8 and (
+            g.shape[0] * g.shape[1] * g.shape[2] * 127 * 127 < 2 ** 31)
         # uniform-dtype conv: transposable by jax; on TPU its grad convs
         # are one-pass bf16 (f32 hardware accumulate, one final rounding)
-        if not wgrad_int8:
+        if not q8_ok:
             _, vjp = jax.vjp(
                 lambda a, b: lax.conv_general_dilated(a, b, precision=prec,
                                                       **kw), xc, wc)

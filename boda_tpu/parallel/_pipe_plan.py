@@ -65,6 +65,14 @@ def build_plan_pipe_ctx(plan, segments, weights: dict, mesh,
     wmeta = []   # per stage: [(name, dt_key, off, size, shape), ...]
     flats = []   # per stage: {dt_key: 1-D np array}
     dt_objs: dict[str, np.dtype] = {}
+    all_names = [n for s in segments for n in s.weight_names]
+    if len(all_names) != len(set(all_names)):
+        dups = sorted({n for n in all_names if all_names.count(n) > 1})
+        raise RtErr(f"{what}: weight node(s) {dups} appear in more than "
+                    f"one stage — unpack_grads keeps only the last "
+                    f"stage's contribution, silently dropping gradient "
+                    f"terms; segment the plan so each weight has one "
+                    f"owning stage")
     for s in segments:
         offs: dict[str, int] = {}
         parts: dict[str, list] = {}

@@ -285,8 +285,11 @@ def gpipe_plan_train_step(plan, segments, weights: dict, x_mb, labels_mb,
         (_last, accf), _ = jax.lax.scan(
             btick, (jnp.zeros((ring_n,), jnp.float32), acc0),
             jnp.arange(T))
+        # where-mask, not multiply: non-last devices compute total_loss
+        # over stage activations reinterpreted as logits — a non-finite
+        # lval there would turn mask*lval into NaN and poison the psum
         loss_all = jax.lax.psum(
-            lval * (idx == K - 1).astype(jnp.float32), axis)
+            jnp.where(idx == K - 1, lval, 0.0), axis)
         # leading singleton: shard_map concatenates per-device outputs on
         # axis 0, so (1, Wmax) locals assemble into (K, Wmax) globals
         return loss_all, {dk: v[None] for dk, v in accf.items()}

@@ -106,7 +106,7 @@ class PpTest(HasMain):
                  "1f1b": plan_train_step_1f1b}
         names = [self.schedule] if self.schedule != "both" \
             else ["gpipe", "1f1b"]
-        n_fail = 0
+        fails = []  # (name, loss_rd, grad_mrd) of each FAILING schedule
         for name in names:
             loss_pp, g_pp = steps[name](
                 plan, segs, weights, x_mb, labels, mesh, loss_fn)
@@ -120,10 +120,12 @@ class PpTest(HasMain):
                                          / max(np.abs(b).max(), 1e-12)))
             ok = l_rd <= self.tol and g_mrd <= self.tol \
                 and set(g_pp) == set(want_g)
-            n_fail += not ok
+            if not ok:
+                fails.append((name, l_rd, g_mrd))
             print(f"pp_test {name} model={self.model} pp={self.pp} "
                   f"M={M}: {'PASSED' if ok else 'FAILED'} "
                   f"({len(want_g)} weight grads vs sequential)")
-        if n_fail:
-            raise RtErr(f"pp_test: {n_fail} schedule(s) FAILED "
-                        f"(loss_rd={l_rd:.2e} grad_mrd={g_mrd:.2e})")
+        if fails:
+            raise RtErr("pp_test: FAILED " + "; ".join(
+                f"{n} (loss_rd={lr:.2e} grad_mrd={gm:.2e})"
+                for n, lr, gm in fails))

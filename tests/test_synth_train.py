@@ -394,6 +394,31 @@ class TestParamMults:
                                    w0["b"] - 2 * lr * g_b,
                                    rtol=1e-5, atol=1e-6)
 
+    def test_frozen_blob_keeps_zero_momentum_state(self):
+        """caffe ComputeUpdateValue folds local_rate into the velocity:
+        an lr_mult=0 blob's momentum state must stay exactly zero (not
+        accumulate live gradients)."""
+        from boda_tpu.apps.train import build_train_step, init_opt_state
+
+        def fwd(ins, w):
+            return {"p": ins["data"] @ w["a"] + ins["data"] @ w["b"]}
+
+        rng = np.random.RandomState(13)
+        w0 = {"a": rng.randn(6, 5).astype(np.float32),
+              "b": rng.randn(6, 5).astype(np.float32)}
+        x = rng.randn(3, 6).astype(np.float32)
+        labels = np.array([0, 4, 2], np.int32)
+        s = build_train_step(fwd, "data", "p", lr=0.1, from_logits=True,
+                             optimizer="momentum", weight_decay=0.01,
+                             param_mults={"a": (0.0, 0.0)})
+        vel = init_opt_state("momentum", w0)
+        w1, v1 = w0, vel
+        for _ in range(3):
+            _, w1, v1 = s(w1, v1, x, labels)
+        np.testing.assert_array_equal(np.asarray(w1["a"]), w0["a"])
+        np.testing.assert_array_equal(np.asarray(v1["v"]["a"]), 0.0)
+        assert np.abs(np.asarray(v1["v"]["b"])).max() > 0
+
 
 class TestLrPolicy:
     def _losses(self, tmp_path, fn, extra=""):
