@@ -87,6 +87,12 @@ def main() -> int:
     except RtErr as e:
         print(f"error: {e}", file=sys.stderr)
         rc = 1
+    except OSError as e:
+        # file/socket errors surface as one-line messages, not
+        # tracebacks (reference: rt_err on failed opens, §5.3 failure
+        # detection); programming errors still traceback
+        print(f"error: {e}", file=sys.stderr)
+        rc = 1
     finally:
         global_timer_log_finalize()
     return rc
