@@ -90,7 +90,20 @@ def build_fused_forward(plan: Plan, keep_all_nodes: bool = False,
 
     def fwd(inputs: dict, weights: dict):
         vals = dict(weights)
-        vals.update({n: _storage_in(v, plan) for n, v in inputs.items()})
+        for n, v in inputs.items():
+            # validate feeds up front: a wrong-shaped input otherwise
+            # surfaces as an inscrutable shape error deep inside the
+            # fused program (e.g. a concat mismatch in the s2d stem)
+            nd = node_dims.get(n)
+            if nd is None:
+                raise RtErr(f"build_fused_forward: unknown input node "
+                            f"'{n}' (plan inputs: {plan.input_nodes})")
+            got = tuple(getattr(v, "shape", ()))
+            if got and got != tuple(nd.shape):
+                raise RtErr(f"build_fused_forward: input '{n}' shape "
+                            f"{got} != the plan's logical dims "
+                            f"{tuple(nd.shape)} ({nd})")
+            vals[n] = _storage_in(v, plan)
         aux: dict = {}
         for fn, tmpl, s in fns:
             ins = []
